@@ -1,0 +1,131 @@
+"""Population Stability Index detector — Spark-native.
+
+Semantics parity with /root/reference/src/drift_autopsy/detectors/statistical/psi.py:
+quantile bin edges fitted once on the reference split (psi.py:52-84),
+both sides histogrammed against those fixed edges (psi.py:149-154),
+missing/empty bins effectively clamped to ``min_bin_size`` (psi.py:102-103,
+157, 186), PSI = sum((a - e) * ln(a / e)) after renormalization
+(psi.py:105-110), absolute severity ladder 0.1/0.2/0.3/0.5 (psi.py:218-227).
+
+Spark execution: the fitted edges are tiny driver state; detect() is ONE
+conditional-sum aggregation job over union(ref, test) for every numeric
+feature x bin (map-side partial aggregation, no row shuffle), plus one
+small groupBy per categorical feature.  The scalar PSI over the aligned
+~n_features x n_bins histogram runs on the driver via the identical numpy
+formula — bit-equal to the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import numpy as np
+
+from driftspark.dataset import SparkDataset
+from driftspark.detectors.base import BaseDriftDetector
+from driftspark.numerics import psi_from_proportions, severity_from_psi
+from driftspark.registry import DetectorRegistry
+from driftspark.results import DetectionResult, DriftSeverity
+from driftspark.stats import (
+    categorical_proportions,
+    histogram_proportions,
+    quantile_edges,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@DetectorRegistry.register("psi")
+class PSI(BaseDriftDetector):
+    """PSI drift detector (see module docstring for parity contract).
+
+    Args mirror the reference (psi.py:38-49): threshold (default 0.2),
+    n_bins (10), min_bin_size (0.001), aggregate_method ("max"|"mean").
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.2,
+        n_bins: int = 10,
+        min_bin_size: float = 0.001,
+        aggregate_method: str = "max",
+    ):
+        super().__init__(name="psi")
+        self.threshold = threshold
+        self.n_bins = n_bins
+        self.min_bin_size = min_bin_size
+        self.aggregate_method = aggregate_method
+        self._bin_edges: Dict[str, np.ndarray] = {}
+
+    def fit(self, reference_data: SparkDataset) -> None:
+        super().fit(reference_data)
+        self._bin_edges = quantile_edges(
+            reference_data.df, reference_data.numeric_features, self.n_bins
+        )
+        logger.info("PSI fitted: %d binned features", len(self._bin_edges))
+
+    def detect(self, test_data: SparkDataset) -> DetectionResult:
+        self._require_fitted()
+        ref = self._reference_data
+        psi_values = []
+        feature_results: Dict[str, dict] = {}
+
+        # numeric features: one aggregation job for all features/bins/sides
+        edges_map = {
+            c: e for c, e in self._bin_edges.items() if c in test_data.df.columns
+        }
+        hists = histogram_proportions(ref.df, test_data.df, edges_map)
+        for col, (ref_p, test_p) in hists.items():
+            if ref_p.sum() == 0 or test_p.sum() == 0:
+                logger.warning("Skipping feature '%s': insufficient data", col)
+                continue
+            psi = psi_from_proportions(ref_p, test_p, self.min_bin_size)
+            psi_values.append(psi)
+            feature_results[col] = {
+                "psi": float(psi),
+                "n_bins": len(edges_map[col]) - 1,
+            }
+
+        # categorical features: small groupBy per column
+        for col in ref.categorical_features:
+            if col not in test_data.df.columns:
+                continue
+            ref_p, test_p = categorical_proportions(
+                ref.df, test_data.df, col, self.min_bin_size
+            )
+            if len(ref_p) == 0:
+                continue
+            psi = psi_from_proportions(ref_p, test_p, self.min_bin_size)
+            psi_values.append(psi)
+            feature_results[col] = {"psi": float(psi), "n_categories": len(ref_p)}
+
+        if not psi_values:
+            return DetectionResult(
+                detector_name=self.name,
+                drift_detected=False,
+                severity=DriftSeverity.NONE,
+                score=0.0,
+                threshold=self.threshold,
+            )
+
+        if self.aggregate_method == "mean":
+            aggregated = float(np.mean(psi_values))
+        else:  # "max" and any unknown value fall back to max (psi.py:208-213)
+            aggregated = float(np.max(psi_values))
+
+        drift_detected = aggregated >= self.threshold
+        severity = DriftSeverity(severity_from_psi(aggregated))
+
+        return DetectionResult(
+            detector_name=self.name,
+            drift_detected=drift_detected,
+            severity=severity,
+            score=aggregated,
+            threshold=self.threshold,
+            metadata={
+                "n_features_tested": len(psi_values),
+                "feature_results": feature_results,
+                "aggregate_method": self.aggregate_method,
+            },
+        )

@@ -1,0 +1,329 @@
+"""Driver-side numerical statistics (no scipy dependency).
+
+Implements exactly the scalar math the reference engine delegates to
+scipy/numpy, so verdicts are reproducible bit-for-bit where possible:
+
+- two-sample Kolmogorov-Smirnov D + p-value
+  (reference: scipy.stats.ks_2samp via
+  /root/reference/src/drift_autopsy/detectors/statistical/ks_test.py:103,
+  localizers/univariate.py:57).  We reproduce scipy's ``method='auto'``
+  dispatch: exact path-counting p-value when max(n, m) <= 10_000, else the
+  asymptotic Kolmogorov distribution.
+- one-way chi-square goodness-of-fit (reference: scipy.stats.chisquare via
+  detectors/proxy/cbpe.py:157, localizers/univariate.py:110) using a
+  regularized incomplete-gamma survival function.
+- PSI from aligned proportions (reference: detectors/statistical/psi.py:86-112).
+- the severity ladders shared by every detector (ks_test.py:153-163,
+  psi.py:218-227, cbpe.py:183-193, univariate.py:231-243).
+
+Everything here operates on tiny driver-side arrays (per-feature scalars or
+histograms); the heavy row-level work stays in Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MAX_EXACT_N = 10_000  # scipy ks_2samp MAX_AUTO_N: exact mode while max(n,m) <= this
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_2samp_d(ref: np.ndarray, test: np.ndarray) -> float:
+    """Two-sample KS statistic D on raw samples (numpy equivalent of the
+    D computation inside scipy.stats.ks_2samp)."""
+    ref = np.sort(np.asarray(ref, dtype=np.float64))
+    test = np.sort(np.asarray(test, dtype=np.float64))
+    n, m = len(ref), len(test)
+    if n == 0 or m == 0:
+        return 0.0
+    data_all = np.concatenate([ref, test])
+    cdf_ref = np.searchsorted(ref, data_all, side="right") / n
+    cdf_test = np.searchsorted(test, data_all, side="right") / m
+    return float(np.max(np.abs(cdf_ref - cdf_test)))
+
+
+def _kolmogorov_sf(lam: float) -> float:
+    """Survival function of the Kolmogorov limiting distribution.
+
+    Q(lam) = 2 * sum_{k>=1} (-1)^{k-1} exp(-2 k^2 lam^2) for lam not tiny;
+    Jacobi-theta form for small lam.
+    """
+    if lam <= 0:
+        return 1.0
+    if lam < 0.4:
+        # complementary (cdf) series converges fast for small lam
+        t = math.pi * math.pi / (8.0 * lam * lam)
+        s = 0.0
+        for k in range(1, 20, 2):  # odd k
+            term = math.exp(-(k * k) * t)
+            s += term
+            if term < 1e-18:
+                break
+        cdf = math.sqrt(2.0 * math.pi) / lam * s
+        return max(0.0, min(1.0, 1.0 - cdf))
+    s = 0.0
+    for k in range(1, 200):
+        term = math.exp(-2.0 * k * k * lam * lam)
+        s += term if (k % 2 == 1) else -term
+        if term < 1e-18:
+            break
+    return max(0.0, min(1.0, 2.0 * s))
+
+
+def ks_2samp_pvalue_asymp(d: float, n: int, m: int) -> float:
+    """Asymptotic two-sided p-value for two-sample KS at statistic ``d``.
+
+    Uses the Kolmogorov limit Q(sqrt(en) * d) with en = n*m/(n+m); at the
+    sizes where scipy switches to its asymptotic branch (max(n,m) > 10^4)
+    this agrees with scipy's kstwo.sf to well past verdict precision.
+    """
+    if d <= 0:
+        return 1.0
+    en = n * m / (n + m)
+    return _kolmogorov_sf(math.sqrt(en) * d)
+
+
+def ks_2samp_pvalue_exact(d: float, n: int, m: int) -> float:
+    """Exact two-sided p-value P(D >= d) by lattice path counting.
+
+    Counts monotone paths (0,0)->(n,m) with all |i*m - j*n| < round(d*n*m)
+    via a rescaled float DP (the same quantity scipy's exact method
+    computes).  O(n*m) driver-side; used only when max(n, m) <= 10^4,
+    mirroring scipy's auto dispatch.
+    """
+    if d <= 0:
+        return 1.0
+    h = int(round(d * n * m))
+    if h <= 0:
+        return 1.0
+    # DP row over j = 0..m; paths staying strictly inside |i*m - j*n| < h.
+    # Recurrence A[i][j] = A[i-1][j] + A[i][j-1] (zeroed outside the band) is
+    # a prefix sum with resets at outside cells — vectorized via cumsum.
+    row = np.zeros(m + 1, dtype=np.float64)
+    j_idx = np.arange(m + 1)
+    row[(j_idx * n) < h] = 1.0  # i = 0 row
+    log_scale = 0.0
+    for i in range(1, n + 1):
+        inside = np.abs(i * m - j_idx * n) < h
+        cs = np.cumsum(np.where(inside, row, 0.0))
+        ridx = np.maximum.accumulate(np.where(~inside, j_idx, -1))
+        offset = np.where(ridx >= 0, cs[np.maximum(ridx, 0)], 0.0)
+        row = np.where(inside, cs - offset, 0.0)
+        mx = row.max()
+        if mx > 1e290:
+            row /= mx
+            log_scale += math.log(mx)
+    a = row[m]
+    if a <= 0.0:
+        return 1.0
+    log_paths = math.log(a) + log_scale
+    log_total = math.lgamma(n + m + 1) - math.lgamma(n + 1) - math.lgamma(m + 1)
+    p = 1.0 - math.exp(log_paths - log_total)
+    return float(min(1.0, max(0.0, p)))
+
+
+def ks_2samp_pvalue(d: float, n: int, m: int) -> float:
+    """p-value with scipy ks_2samp 'auto' dispatch semantics."""
+    if max(n, m) <= MAX_EXACT_N:
+        return ks_2samp_pvalue_exact(d, n, m)
+    return ks_2samp_pvalue_asymp(d, n, m)
+
+
+def ks_2samp(ref: np.ndarray, test: np.ndarray) -> tuple[float, float]:
+    """(statistic, p_value) — drop-in for scipy.stats.ks_2samp two-sided."""
+    d = ks_2samp_d(ref, test)
+    return d, ks_2samp_pvalue(d, len(ref), len(test))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square
+# ---------------------------------------------------------------------------
+
+
+def _gammainc_lower_reg(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) (series, x < a + 1)."""
+    if x <= 0:
+        return 0.0
+    ap = a
+    s = 1.0 / a
+    term = s
+    for _ in range(1000):
+        ap += 1.0
+        term *= x / ap
+        s += term
+        if abs(term) < abs(s) * 1e-16:
+            break
+    return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) (continued fraction, x >= a + 1)."""
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(stat: float, df: int) -> float:
+    """Survival function of the chi-square distribution (== scipy.stats.chi2.sf)."""
+    if math.isnan(stat):
+        return float("nan")
+    if math.isinf(stat):
+        return 0.0  # scipy chi2.sf(inf) == 0 (zero expected count case)
+    if stat <= 0:
+        return 1.0
+    if df <= 0:
+        return float("nan")
+    a = df / 2.0
+    x = stat / 2.0
+    if x < a + 1.0:
+        return max(0.0, min(1.0, 1.0 - _gammainc_lower_reg(a, x)))
+    return max(0.0, min(1.0, _gammainc_upper_reg(a, x)))
+
+
+def chisquare(f_obs: np.ndarray, f_exp: np.ndarray) -> tuple[float, float]:
+    """(statistic, p_value) — drop-in for scipy.stats.chisquare (ddof=0).
+
+    Reference call sites: cbpe.py:157, univariate.py:110.
+    """
+    f_obs = np.asarray(f_obs, dtype=np.float64)
+    f_exp = np.asarray(f_exp, dtype=np.float64)
+    stat = float(np.sum((f_obs - f_exp) ** 2 / f_exp))
+    df = len(f_obs) - 1
+    return stat, chi2_sf(stat, df)
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+
+def psi_from_proportions(
+    expected: np.ndarray, actual: np.ndarray, min_bin_size: float = 0.001
+) -> float:
+    """PSI over aligned proportion vectors; verbatim reference semantics
+    (psi.py:86-112): clamp both sides to >= min_bin_size, renormalize to
+    sum 1, then sum((a - e) * ln(a / e))."""
+    expected = np.maximum(np.asarray(expected, dtype=np.float64), min_bin_size)
+    actual = np.maximum(np.asarray(actual, dtype=np.float64), min_bin_size)
+    expected = expected / expected.sum()
+    actual = actual / actual.sum()
+    return float(np.sum((actual - expected) * np.log(actual / expected)))
+
+
+# ---------------------------------------------------------------------------
+# Severity ladders (exact reference cutoffs)
+# ---------------------------------------------------------------------------
+
+
+def severity_from_pvalue(p: float, threshold: float) -> str:
+    """p-value relative ladder (ks_test.py:153-163, cbpe.py:183-193,
+    univariate.py:231-243): > t none, > t/2 low, > t/10 medium,
+    > t/100 high, else critical.  Note the localizer uses >= at each rung
+    (univariate.py:234-241); the detectors use >.  This function implements
+    the detector (strict >) variant."""
+    if p > threshold:
+        return "none"
+    if p > threshold / 2:
+        return "low"
+    if p > threshold / 10:
+        return "medium"
+    if p > threshold / 100:
+        return "high"
+    return "critical"
+
+
+def severity_from_pvalue_ge(p: float, threshold: float) -> str:
+    """Localizer variant with >= rungs (univariate.py:234-243)."""
+    if p >= threshold:
+        return "none"
+    if p >= threshold / 2:
+        return "low"
+    if p >= threshold / 10:
+        return "medium"
+    if p >= threshold / 100:
+        return "high"
+    return "critical"
+
+
+def severity_from_psi(psi: float) -> str:
+    """Absolute PSI ladder (psi.py:218-227)."""
+    if psi < 0.1:
+        return "none"
+    if psi < 0.2:
+        return "low"
+    if psi < 0.3:
+        return "medium"
+    if psi < 0.5:
+        return "high"
+    return "critical"
+
+
+def severity_from_mmd(mmd: float, threshold: float) -> str:
+    """MMD threshold-multiple ladder (mmd.py:242-252)."""
+    if mmd < threshold:
+        return "none"
+    if mmd < threshold * 1.5:
+        return "low"
+    if mmd < threshold * 2.5:
+        return "medium"
+    if mmd < threshold * 5:
+        return "high"
+    return "critical"
+
+
+def severity_from_auc(auc: float) -> str:
+    """Domain-classifier AUC ladder (domain_classifier.py:159-170)."""
+    if auc < 0.55:
+        return "none"
+    if auc < 0.65:
+        return "low"
+    if auc < 0.75:
+        return "medium"
+    if auc < 0.85:
+        return "high"
+    return "critical"
+
+
+def severity_from_flag_rate(rate: float) -> str:
+    """Hallucination flagged-rate ladder (confidence_density.py:62-77)."""
+    if rate < 0.05:
+        return "none"
+    if rate < 0.10:
+        return "low"
+    if rate < 0.20:
+        return "medium"
+    if rate < 0.35:
+        return "high"
+    return "critical"
+
+
+def qcut_edges(values: np.ndarray, q: int) -> np.ndarray:
+    """Driver-side oracle for pd.qcut(..., retbins=True, duplicates='drop')
+    edge computation (psi.py:70-77): linear-interpolated quantiles at
+    linspace(0, 1, q+1) with duplicate edges dropped."""
+    values = np.asarray(values, dtype=np.float64)
+    edges = np.quantile(values, np.linspace(0, 1, q + 1))
+    return np.unique(edges)

@@ -1,0 +1,331 @@
+"""Distributed statistical primitives (the engine's physical operators).
+
+Each primitive is a declarative DataFrame composition — Catalyst gets the
+whole plan (column pruning, partial aggregation, AQE) — and returns tiny
+driver-side arrays that feed the scalar math in ``driftspark.numerics``.
+
+Semantics parity notes (reference = /root/reference/src/drift_autopsy):
+
+* quantile bin edges == ``pd.qcut(values, q, retbins=True,
+  duplicates='drop')`` (psi.py:70-77): exact linear-interpolated
+  percentiles (Spark ``percentile`` aggregate) with duplicate edges dropped,
+  falling back to uniform ``linspace(min, max, q+1)`` edges (psi.py:80-82).
+* bucketization == ``pd.cut(values, bins=edges, include_lowest=True)``
+  (psi.py:149-150): right-closed intervals, first bin closed on both ends,
+  values outside [edges[0], edges[-1]] excluded from both the counts and
+  the normalization denominator (pandas leaves them NaN and
+  ``value_counts(normalize=True)`` drops them).
+* confidence binning == ``np.digitize(conf, linspace(0,1,11)[:-1]) - 1``
+  then clip to [0, n_bins-1] (cbpe.py:80-87): left-closed decile bins using
+  the exact ``np.linspace`` doubles as cutoffs.
+* KS D == the max |ECDF_ref - ECDF_test| over pooled sample points, i.e.
+  exactly scipy.stats.ks_2samp's statistic: computed distributed via
+  per-value pre-aggregation + a per-feature cumulative window (§2.4 A10 in
+  SURVEY.md).  The groupBy(feature, value) partial aggregation shrinks the
+  window input to distinct values, so the single-reducer-per-feature window
+  only ever sees the value domain, not the row count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_BIN_SIZE_DEFAULT = 0.001
+
+
+# ---------------------------------------------------------------------------
+# Null/NaN handling — pandas `.dropna()` parity for double columns
+# ---------------------------------------------------------------------------
+
+
+def nn(col: str) -> Column:
+    """NULL out NaNs so Spark aggregates skip them like pandas dropna
+    (reference drops NaN before every statistic, e.g. ks_test.py:96-97)."""
+    c = F.col(col).cast("double")
+    return F.when(~F.isnan(c), c)
+
+
+# ---------------------------------------------------------------------------
+# Quantile bin edges (PSI fit)
+# ---------------------------------------------------------------------------
+
+
+def quantile_edges(
+    df: DataFrame, cols: Sequence[str], q: int
+) -> Dict[str, np.ndarray]:
+    """Exact per-column quantile edges in ONE aggregation pass.
+
+    ``percentile`` is Spark's exact linear-interpolation percentile
+    aggregate — same interpolation as numpy/pandas quantile, so edges match
+    ``pd.qcut`` retbins (up to float associativity).  Nulls/NaNs excluded.
+    """
+    if not cols:
+        return {}
+    probs = [i / q for i in range(q + 1)]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.percentile(nn(c), F.array(*[F.lit(p) for p in probs])).alias(f"{c}__pct")
+        )
+        aggs.append(F.min(nn(c)).alias(f"{c}__min"))
+        aggs.append(F.max(nn(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).first()
+    out: Dict[str, np.ndarray] = {}
+    for c in cols:
+        pct = row[f"{c}__pct"]
+        if pct is None:  # all-null column
+            continue
+        edges = np.unique(np.asarray(pct, dtype=np.float64))
+        if len(edges) < 2:
+            # constant column → reference falls back to uniform edges
+            lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+            edges = np.linspace(lo, hi, q + 1)
+        out[c] = edges
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bucketization expressions
+# ---------------------------------------------------------------------------
+
+
+def bucket_expr(col: str, edges: np.ndarray) -> Column:
+    """pd.cut(values, bins=edges, include_lowest=True) as a Column.
+
+    Right-closed bins (e_{i}, e_{i+1}], first bin [e_0, e_1].  Returns NULL
+    for out-of-range or null/NaN values.  Bin index = number of interior
+    edges strictly below the value — a whole-stage-codegen'd sum of
+    comparisons, no UDF.
+    """
+    v = nn(col)
+    e = [float(x) for x in edges]
+    bin_idx = F.lit(0)
+    for interior in e[1:-1]:
+        bin_idx = bin_idx + (v > F.lit(interior)).cast("int")
+    in_range = (v >= F.lit(e[0])) & (v <= F.lit(e[-1]))
+    return F.when(in_range, bin_idx)
+
+
+def digitize_clip_expr(col: str, edges: np.ndarray, n_bins: int) -> Column:
+    """np.digitize(x, edges[:-1]) - 1, clipped to [0, n_bins-1]
+    (CBPE confidence binning, cbpe.py:83-84, 127-128).
+
+    digitize(x, bins) - 1 == (# of cutoffs <= x) - 1; uses the exact
+    linspace doubles as cutoffs so float-boundary behavior matches numpy.
+    NULL in → NULL out (NaN confidence is not meaningful).
+    """
+    v = nn(col)
+    cnt = F.lit(0)
+    for cutoff in [float(x) for x in edges[:-1]]:
+        cnt = cnt + (v >= F.lit(cutoff)).cast("int")
+    idx = cnt - F.lit(1)
+    clipped = F.least(F.greatest(idx, F.lit(0)), F.lit(n_bins - 1))
+    return F.when(v.isNotNull(), clipped)
+
+
+# ---------------------------------------------------------------------------
+# Histograms (PSI detect) — one scan for all features x bins x both sides
+# ---------------------------------------------------------------------------
+
+
+def histogram_proportions(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    edges_map: Dict[str, np.ndarray],
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Per-feature in-range bin proportions for both sides.
+
+    ONE job over union(ref, test): conditional-sum aggregation produces
+    n_features x n_bins count columns with map-side partial aggregation —
+    no shuffle of row data, only of the tiny aggregate state.
+
+    Matches ``value_counts(normalize=True, sort=False)`` over the pd.cut
+    categorical (psi.py:153-154): every fitted bin present (0.0 when
+    empty), denominator = in-range non-null count.
+    """
+    if not edges_map:
+        return {}
+    cols = list(edges_map)
+    aggs = []
+    for c in cols:
+        b = bucket_expr(c, edges_map[c])
+        n_bins = len(edges_map[c]) - 1
+        for i in range(n_bins):
+            aggs.append(
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"{c}||{i}")
+            )
+        aggs.append(F.count(b).alias(f"{c}||total"))
+    u = ref_df.select(*cols).withColumn("__side", F.lit("ref")).unionByName(
+        test_df.select(*cols).withColumn("__side", F.lit("test"))
+    )
+    rows = {r["__side"]: r for r in u.groupBy("__side").agg(*aggs).collect()}
+    out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for c in cols:
+        n_bins = len(edges_map[c]) - 1
+        props = []
+        for side in ("ref", "test"):
+            r = rows[side]
+            total = r[f"{c}||total"] or 0
+            counts = np.array(
+                [r[f"{c}||{i}"] or 0 for i in range(n_bins)], dtype=np.float64
+            )
+            props.append(counts / total if total > 0 else counts)
+        out[c] = (props[0], props[1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Categorical frequencies (PSI categorical / chi-square alignment)
+# ---------------------------------------------------------------------------
+
+
+def categorical_counts(
+    ref_df: DataFrame, test_df: DataFrame, col: str
+) -> Tuple[List, np.ndarray, np.ndarray]:
+    """Aligned raw value counts over the union of observed categories,
+    missing side filled with 0 (univariate.py:84-91 alignment), categories
+    sorted ascending (reference sorts the union, univariate.py:88).
+
+    groupBy(col) keeps the shuffle at category cardinality; assumes the
+    categorical domain fits on the driver (true for fmt/lang-style enums).
+    """
+    u = (
+        ref_df.select(F.col(col).alias("v")).where(F.col(col).isNotNull())
+        .withColumn("__side", F.lit("ref"))
+        .unionByName(
+            test_df.select(F.col(col).alias("v")).where(F.col(col).isNotNull())
+            .withColumn("__side", F.lit("test"))
+        )
+    )
+    agg = (
+        u.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("__side") == "ref", 1).otherwise(0)).alias("r"),
+            F.sum(F.when(F.col("__side") == "test", 1).otherwise(0)).alias("t"),
+        )
+        .collect()
+    )
+    cats = sorted(r["v"] for r in agg)
+    by_v = {r["v"]: r for r in agg}
+    ref_counts = np.array([by_v[c]["r"] for c in cats], dtype=np.float64)
+    test_counts = np.array([by_v[c]["t"] for c in cats], dtype=np.float64)
+    return cats, ref_counts, test_counts
+
+
+def categorical_proportions(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    col: str,
+    min_bin_size: float = MIN_BIN_SIZE_DEFAULT,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Aligned normalized frequencies with missing categories filled with
+    ``min_bin_size`` — exact `.align(fill_value=min_bin_size)` semantics of
+    psi.py:182-186."""
+    cats, ref_counts, test_counts = categorical_counts(ref_df, test_df, col)
+    rn, tn = ref_counts.sum(), test_counts.sum()
+    ref_p = np.where(ref_counts > 0, ref_counts / (rn if rn else 1.0), min_bin_size)
+    test_p = np.where(test_counts > 0, test_counts / (tn if tn else 1.0), min_bin_size)
+    return ref_p, test_p
+
+
+# ---------------------------------------------------------------------------
+# Distributed two-sample KS statistic
+# ---------------------------------------------------------------------------
+
+
+def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(feature, value) long form; NaN/null dropped (pandas dropna parity)."""
+    structs = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("fv"))
+        .select("fv.feature", "fv.value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+
+
+def ks_d_all(
+    ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
+) -> Dict[str, Tuple[float, int, int]]:
+    """KS D per feature, fully distributed, in ONE job for all features.
+
+    Plan: melt both sides → union → groupBy(feature, value) pre-aggregate
+    side counts (partial agg map-side) → per-feature cumulative window over
+    distinct values → max |cdf_ref - cdf_test|.  D is attained at sample
+    points, and the cumulative count at a distinct value equals
+    searchsorted(..., side='right'), so this is exactly scipy's statistic.
+
+    Returns {feature: (d, n_ref, m_test)}.
+    """
+    if not cols:
+        return {}
+    u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
+        _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
+    )
+    g = u.groupBy("feature", "value").agg(
+        F.sum("r").alias("r"), F.sum("t").alias("t")
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    scored = g.select(
+        "feature",
+        (
+            F.abs(
+                F.sum("r").over(w_cum) / F.sum("r").over(w_all)
+                - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
+            )
+        ).alias("diff"),
+        F.sum("r").over(w_all).alias("n"),
+        F.sum("t").over(w_all).alias("m"),
+    )
+    rows = scored.groupBy("feature").agg(
+        F.max("diff").alias("d"), F.first("n").alias("n"), F.first("m").alias("m")
+    ).collect()
+    return {r["feature"]: (float(r["d"]), int(r["n"]), int(r["m"])) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics (localizer dist_info; population std == np.std ddof=0)
+# ---------------------------------------------------------------------------
+
+
+def moment_stats(df: DataFrame, cols: Sequence[str]) -> Dict[str, Tuple[float, float]]:
+    """{col: (mean, population_std)} in one pass — matches np.mean/np.std
+    on dropna'd values (univariate.py:59-67)."""
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.mean(nn(c)).alias(f"{c}__mean"))
+        aggs.append(F.stddev_pop(nn(c)).alias(f"{c}__std"))
+    row = df.agg(*aggs).first()
+    return {
+        c: (
+            float(row[f"{c}__mean"]) if row[f"{c}__mean"] is not None else float("nan"),
+            float(row[f"{c}__std"]) if row[f"{c}__std"] is not None else float("nan"),
+        )
+        for c in cols
+    }
+
+
+def mode_of(df: DataFrame, col: str) -> Optional[str]:
+    """Most frequent non-null value; ties broken by smallest value
+    (pandas ``mode()[0]`` parity, univariate.py:115-116)."""
+    r = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .orderBy(F.desc("count"), F.asc(col))
+        .first()
+    )
+    return r[col] if r else None

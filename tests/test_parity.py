@@ -1,0 +1,150 @@
+"""Spark distributed statistics vs pandas/numpy oracles.
+
+Locks the semantic traps called out in SURVEY.md §2.4/§7: pd.qcut edge
+computation, pd.cut right-closed/include_lowest bucketization with silent
+out-of-range exclusion, value_counts normalization, np.digitize confidence
+bins, and the distributed KS D.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from driftspark import numerics as nm
+from driftspark import stats as st
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.normal(0, 1, 4000),
+            "b": rng.lognormal(0, 1, 4000),
+            "c": rng.randint(0, 5, 4000).astype(float),
+            "cat": rng.choice(["x", "y", "z"], 4000, p=[0.5, 0.3, 0.2]),
+        }
+    )
+    pdf.loc[rng.choice(4000, 50, replace=False), "a"] = np.nan
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_quantile_edges_match_pandas_qcut(frame):
+    pdf, df = frame
+    edges = st.quantile_edges(df, ["a", "b", "c"], 10)
+    for col in ["a", "b", "c"]:
+        values = pdf[col].dropna()
+        _, pd_edges = pd.qcut(values, q=10, retbins=True, duplicates="drop")
+        assert np.allclose(edges[col], pd_edges, rtol=1e-9), col
+
+
+def test_bucket_counts_match_pandas_cut(frame):
+    pdf, df = frame
+    # edges fitted on half the data so the other half has out-of-range values
+    fit_values = pdf["b"].iloc[:2000]
+    _, edges = pd.qcut(fit_values, q=10, retbins=True, duplicates="drop")
+    ref_df = df.limit(0)  # empty ref side; we only check the test side here
+    hists = st.histogram_proportions(df, df, {"b": edges})
+    ours_ref, ours_test = hists["b"]
+    binned = pd.cut(pdf["b"].dropna(), bins=edges, include_lowest=True)
+    expected = binned.value_counts(normalize=True, sort=False).values
+    assert np.allclose(ours_test, expected, atol=1e-12)
+    assert np.allclose(ours_ref, expected, atol=1e-12)
+    # out-of-range values must be excluded from the denominator:
+    # proportions sum to 1 over in-range values
+    assert ours_test.sum() == pytest.approx(1.0, abs=1e-12)
+
+
+def test_psi_end_to_end_matches_pandas_oracle(spark):
+    rng = np.random.RandomState(42)
+    ref = pd.DataFrame({"v": rng.normal(0, 1, 3000)})
+    test = pd.DataFrame({"v": rng.normal(0.4, 1.3, 3000)})
+    ref_df = spark.createDataFrame(ref)
+    test_df = spark.createDataFrame(test)
+
+    edges = st.quantile_edges(ref_df, ["v"], 10)["v"]
+    (ref_p, test_p) = st.histogram_proportions(ref_df, test_df, {"v": edges})["v"]
+    ours = nm.psi_from_proportions(ref_p, test_p)
+
+    # pandas oracle — verbatim reference psi.py:141-160 semantics
+    _, pd_edges = pd.qcut(ref["v"], q=10, retbins=True, duplicates="drop")
+    rb = pd.cut(ref["v"], bins=pd_edges, include_lowest=True)
+    tb = pd.cut(test["v"], bins=pd_edges, include_lowest=True)
+    rc = rb.value_counts(normalize=True, sort=False)
+    tc = tb.value_counts(normalize=True, sort=False)
+    rc, tc = rc.align(tc, fill_value=0.001)
+    e = np.maximum(rc.values, 0.001)
+    a = np.maximum(tc.values, 0.001)
+    e, a = e / e.sum(), a / a.sum()
+    oracle = np.sum((a - e) * np.log(a / e))
+    assert ours == pytest.approx(oracle, abs=1e-9)
+
+
+def test_categorical_alignment(frame, spark):
+    pdf, df = frame
+    test_pdf = pdf.copy()
+    test_pdf["cat"] = np.where(test_pdf["cat"] == "z", "w", test_pdf["cat"])
+    test_df = spark.createDataFrame(test_pdf)
+    cats, rc, tc = st.categorical_counts(df, test_df, "cat")
+    assert cats == ["w", "x", "y", "z"]
+    ref_vc = pdf["cat"].value_counts()
+    test_vc = test_pdf["cat"].value_counts()
+    for i, c in enumerate(cats):
+        assert rc[i] == ref_vc.get(c, 0)
+        assert tc[i] == test_vc.get(c, 0)
+
+
+def test_ks_d_all_matches_numpy(frame, spark):
+    pdf, df = frame
+    rng = np.random.RandomState(7)
+    test_pdf = pd.DataFrame(
+        {
+            "a": rng.normal(0.5, 1, 1500),
+            "b": rng.lognormal(0.2, 1, 1500),
+            "c": rng.randint(0, 5, 1500).astype(float),
+            "cat": rng.choice(["x", "y"], 1500),
+        }
+    )
+    test_df = spark.createDataFrame(test_pdf)
+    d_all = st.ks_d_all(df, test_df, ["a", "b", "c"])
+    for col in ["a", "b", "c"]:
+        rv = pdf[col].dropna().values
+        tv = test_pdf[col].dropna().values
+        d, n, m = d_all[col]
+        assert n == len(rv) and m == len(tv)
+        assert d == pytest.approx(nm.ks_2samp_d(rv, tv), abs=1e-12), col
+
+
+def test_digitize_expr_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    conf = np.concatenate([rng.uniform(0, 1, 2000), [0.0, 1.0, 0.1, 0.3, 0.5, 0.7]])
+    pdf = pd.DataFrame({"__conf": conf})
+    df = spark.createDataFrame(pdf)
+    edges = np.linspace(0, 1, 11)
+    b = st.digitize_clip_expr("__conf", edges, 10)
+    from pyspark.sql import functions as F
+
+    rows = df.select(b.alias("bin")).groupBy("bin").count().collect()
+    ours = np.zeros(10, dtype=np.int64)
+    for r in rows:
+        ours[r["bin"]] = r["count"]
+    binned = np.clip(np.digitize(conf, edges[:-1]) - 1, 0, 9)
+    expected = np.bincount(binned, minlength=10)
+    assert (ours == expected).all()
+
+
+def test_moment_stats_population_std(frame):
+    pdf, df = frame
+    ms = st.moment_stats(df, ["a", "b"])
+    for col in ["a", "b"]:
+        v = pdf[col].dropna().values
+        mean, std = ms[col]
+        assert mean == pytest.approx(np.mean(v), rel=1e-12)
+        assert std == pytest.approx(np.std(v), rel=1e-9)  # ddof=0 population std
+
+
+def test_mode_tie_break(spark):
+    pdf = pd.DataFrame({"c": ["b", "b", "a", "a", "c"]})
+    df = spark.createDataFrame(pdf)
+    # pandas mode()[0] returns the smallest among ties
+    assert st.mode_of(df, "c") == pdf["c"].mode()[0] == "a"
