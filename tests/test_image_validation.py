@@ -1,0 +1,126 @@
+"""Image codec, payload validation, synth determinism, profile, constraints."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark import imageops as io
+from driftspark.constraints import (
+    referential_violations,
+    uniqueness_report,
+    uniqueness_violations,
+)
+from driftspark.profile import phash_histogram, profile_columns
+from driftspark.synth import synth_dataset_dim, synth_image_pairs, synth_image_table
+
+
+def test_png_roundtrip_byte_exact():
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (24, 16, 3)).astype(np.uint8)
+    data = io.encode_png(px)
+    assert data.startswith(b"\x89PNG")
+    back = io.decode_png(data)
+    assert np.array_equal(px, back)
+
+
+def test_lossy_codec_psnr_above_floor():
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    back = io.decode_lossy(io.encode_lossy(px))
+    p = io.psnr(px, back)
+    assert 40.0 <= p < 60.0  # lossy but above the validation floor
+    assert io.psnr(px, px) == float("inf")
+
+
+def test_average_hash_deterministic_and_sensitive():
+    rng = np.random.RandomState(0)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    h1 = io.average_hash64(px)
+    h2 = io.average_hash64(px.copy())
+    assert h1 == h2
+    bright = np.clip(px.astype(int) + 120, 0, 255).astype(np.uint8)
+    # structural change to half the image flips bits
+    half = px.copy()
+    half[:8] = 255
+    assert io.average_hash64(half) != h1
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_synth_deterministic_across_partitioning(spark):
+    a = synth_image_table(spark, 400, with_bytes=False, num_partitions=2).orderBy("image_id", "split")
+    b = synth_image_table(spark, 400, with_bytes=False, num_partitions=7).orderBy("image_id", "split")
+    pa, pb = a.toPandas(), b.toPandas()
+    assert pa.drop(columns=["bytes"]).equals(pb.drop(columns=["bytes"]))
+
+
+def test_payload_validation_flags_injected_violations(spark):
+    pairs = synth_image_pairs(
+        spark, 300, corrupt_every=50, caption_edit_every=70, num_partitions=4
+    )
+    ref = pairs.where(F.col("split") == "ref")
+    test = pairs.where(F.col("split") == "test")
+    checks = io.validate_image_payloads(ref, test).cache()
+    n = checks.count()
+    assert n == 300
+    bad_pixels = checks.where(~F.col("pixels_ok")).select("image_id").collect()
+    bad_caps = checks.where(~F.col("caption_ok")).select("image_id").collect()
+    expected_px = {f"img_{p:010d}" for p in range(300) if p % 50 == 49}
+    expected_cap = {f"img_{p:010d}" for p in range(300) if p % 70 == 69}
+    assert {r["image_id"] for r in bad_pixels} == expected_px
+    assert {r["image_id"] for r in bad_caps} == expected_cap
+    # undamaged lossy rows decode within codec error but above the floor
+    ok = checks.where(F.col("pixels_ok") & ~F.isnull("psnr")).agg(F.min("psnr")).first()[0]
+    assert ok >= 40.0
+    assert checks.where(F.col("decode_error").isNotNull()).count() == 0
+
+
+def test_uniqueness_constraint(spark):
+    t = synth_image_table(spark, 2000, with_bytes=False, dup_every=100)
+    ref = t.where(F.col("split") == "ref")
+    viol = uniqueness_violations(ref, ["image_id"])
+    # ids 0..999 are ref; every 100th id duplicates its predecessor
+    expected_dup_keys = {f"img_{i-1:010d}" for i in range(1000) if i % 100 == 99}
+    got = {r["image_id"] for r in viol.select("image_id").distinct().collect()}
+    assert got == expected_dup_keys
+    assert viol.count() == 2 * len(expected_dup_keys)
+    rep = uniqueness_report(ref, ["image_id"]).first()
+    assert rep["n_rows"] == 1000
+    assert rep["n_dup_keys"] == len(expected_dup_keys)
+    assert not rep["unique_ok"]
+
+
+def test_referential_constraint(spark):
+    t = synth_image_table(spark, 4000, with_bytes=False, dangling_every=200)
+    dim = synth_dataset_dim(spark)
+    viol = referential_violations(t, "fk_dataset_id", dim, "dataset_id")
+    expected = {i for i in range(4000) if i % 200 == 199}
+    got = {r["fk_dataset_id"] for r in viol.collect()}
+    assert got == {f"ds_miss_{i}" for i in expected}
+
+
+def test_profile_columns(spark):
+    t = synth_image_table(spark, 1000, with_bytes=False, n_parts=4)
+    prof = profile_columns(
+        t, columns=["w", "h", "caption"], group_cols=["part"]
+    ).toPandas()
+    assert set(prof["part"]) == {0, 1, 2, 3}
+    wrow = prof[(prof["part"] == 0) & (prof["column"] == "w")].iloc[0]
+    pdf = t.where("part = 0").select("w").toPandas()
+    assert wrow["n_rows"] == len(pdf)
+    assert wrow["null_count"] == 0
+    assert wrow["min"] == pdf["w"].min()
+    assert wrow["max"] == pdf["w"].max()
+    assert wrow["mean"] == pytest.approx(pdf["w"].mean())
+    assert wrow["stddev"] == pytest.approx(pdf["w"].std(ddof=0))
+    # approx distinct within rsd of the true 3-value domain
+    assert 2 <= wrow["approx_distinct"] <= 4
+
+
+def test_phash_histogram_detects_prefix_drift(spark):
+    t = synth_image_table(spark, 6000, with_bytes=False, drift=True)
+    hist = phash_histogram(t, group_cols=["split"]).toPandas()
+    ref_buckets = set(hist[hist["split"] == "ref"]["bucket"])
+    test_buckets = set(hist[hist["split"] == "test"]["bucket"])
+    # drifted test side concentrates in the [96, 160) prefix band
+    assert all(96 <= b < 160 for b in test_buckets)
+    assert len(ref_buckets) > len(test_buckets)

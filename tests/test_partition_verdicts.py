@@ -1,0 +1,131 @@
+"""Per-partition verdicts: SQL PSI vs pandas oracle, grouped KS, chi2,
+checkpoint/resume."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark import numerics as nm
+from driftspark.checkpoint import CheckpointManager, resumable_partition_drift
+from driftspark.stats import quantile_edges
+from driftspark.synth import synth_image_table
+from driftspark.verdicts import (
+    ks_d_by_partition,
+    partition_verdicts,
+    psi_by_partition,
+)
+
+
+@pytest.fixture(scope="module")
+def drifted(spark):
+    return synth_image_table(
+        spark, 8000, n_parts=4, drift=True, with_bytes=False
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def stable(spark):
+    return synth_image_table(
+        spark, 8000, n_parts=4, drift=False, with_bytes=False
+    ).cache()
+
+
+def _pandas_psi_oracle(ref_vals, test_vals, edges, min_bin_size=0.001):
+    rb = pd.cut(pd.Series(ref_vals), bins=edges, include_lowest=True)
+    tb = pd.cut(pd.Series(test_vals), bins=edges, include_lowest=True)
+    rc = rb.value_counts(normalize=True, sort=False)
+    tc = tb.value_counts(normalize=True, sort=False)
+    rc, tc = rc.align(tc, fill_value=min_bin_size)
+    return nm.psi_from_proportions(rc.values, tc.values, min_bin_size)
+
+
+def test_psi_by_partition_matches_pandas(spark, drifted):
+    ref = drifted.where("split = 'ref'")
+    test = drifted.where("split = 'test'")
+    edges = quantile_edges(ref, ["w", "phash"], 10)
+    got = {
+        (r["part"], r["feature"]): r["psi"]
+        for r in psi_by_partition(ref, test, edges).collect()
+    }
+    ref_pdf = ref.select("w", "phash").toPandas()
+    test_pdf = test.select("part", "w", "phash").toPandas()
+    for part in range(4):
+        for col in ["w", "phash"]:
+            oracle = _pandas_psi_oracle(
+                ref_pdf[col].values,
+                test_pdf[test_pdf["part"] == part][col].values,
+                edges[col],
+            )
+            assert got[(part, col)] == pytest.approx(oracle, abs=1e-9), (part, col)
+
+
+def test_ks_by_partition_matches_numpy(spark, drifted):
+    ref = drifted.where("split = 'ref'")
+    test = drifted.where("split = 'test'")
+    rows = {
+        (r["part"], r["feature"]): (r["d"], r["n"], r["m"])
+        for r in ks_d_by_partition(ref, test, ["w", "h"]).collect()
+    }
+    ref_pdf = ref.select("w", "h").toPandas()
+    test_pdf = test.select("part", "w", "h").toPandas()
+    for part in range(4):
+        for col in ["w", "h"]:
+            tv = test_pdf[test_pdf["part"] == part][col].values.astype(float)
+            rv = ref_pdf[col].values.astype(float)
+            d, n, m = rows[(part, col)]
+            assert n == len(rv) and m == len(tv)
+            assert d == pytest.approx(nm.ks_2samp_d(rv, tv), abs=1e-12)
+
+
+def test_partition_verdicts_drift_vs_stable(spark, drifted, stable):
+    vd = partition_verdicts(
+        drifted, numeric_cols=["w", "h"], cat_cols=["fmt"]
+    ).toPandas()
+    vs = partition_verdicts(
+        stable, numeric_cols=["w", "h"], cat_cols=["fmt"]
+    ).toPandas()
+    # every partition x feature x check present
+    assert len(vd) == 4 * (2 + 2 + 1)
+    # drifted table: w/h PSI and KS and fmt chi2 all fail everywhere
+    assert not vd[vd["check"] == "ks"]["passed"].any()
+    assert not vd[vd["check"] == "chi2"]["passed"].any()
+    # stable table: everything passes
+    assert vs["passed"].all()
+    assert (vs["severity"] == "none").all()
+
+
+def test_checkpoint_resume(spark, drifted):
+    tmp = tempfile.mkdtemp()
+    try:
+        cp = CheckpointManager(spark, f"{tmp}/ledger")
+        run_id = "testrun01"
+        assert cp.pending_parts(run_id, [0, 1, 2, 3]) == [0, 1, 2, 3]
+        # first invocation processes only two partitions (simulated crash)
+        v1 = resumable_partition_drift(
+            drifted.where(F.col("part") < 2),
+            cp,
+            run_id,
+            numeric_cols=["w"],
+            cat_cols=[],
+        )
+        assert sorted({r["part"] for r in v1.select("part").collect()}) == [0, 1]
+        assert cp.completed_parts(run_id) == [0, 1]
+        # resume over the full table: only 2 and 3 are recomputed
+        v2 = resumable_partition_drift(
+            drifted, cp, run_id, numeric_cols=["w"], cat_cols=[]
+        )
+        assert sorted({r["part"] for r in v2.select("part").collect()}) == [2, 3]
+        assert cp.completed_parts(run_id) == [0, 1, 2, 3]
+        # idempotent: nothing pending on a third run
+        v3 = resumable_partition_drift(
+            drifted, cp, run_id, numeric_cols=["w"], cat_cols=[]
+        )
+        assert v3.count() == 0
+        summary = cp.run_summary(run_id)
+        assert summary["parts_done"] == 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
