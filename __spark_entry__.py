@@ -1,38 +1,628 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-partition drift-verdict query on
+sf0.001.  ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+Float outputs are rounded identically on both sides to absorb
+cross-engine last-ulp differences; column names are aliased identically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (identical literals on the Spark and DuckDB sides)
+# ---------------------------------------------------------------------------
+
+PRICE_EDGES = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50000.0,
+               60000.0, 70000.0, 80000.0, 90000.0, 110000.0]
+CONF_CUTOFFS = [float(x) for x in np.linspace(0, 1, 11)[:-1]]  # digitize cutoffs
+MINHASH_K = 4
+LANG_PATTERNS = {
+    "en": r"(?i)\b(the|and|of|to|is|in|that|it|was|for)\b",
+    "de": r"(?i)\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b",
+    "fr": r"(?i)\b(le|la|et|les|des|est|dans|que|une|pour)\b",
+    "es": r"(?i)\b(el|la|de|que|y|los|en|un|por|con)\b",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _split(df: DataFrame, key: str):
+    return df.where(F.col(key) % 2 == 0), df.where(F.col(key) % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (smoke check on sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Per-partition drift verdicts over lineitem: test split (odd order
+    keys) vs reference split (even), partitioned by l_linenumber — the
+    north-rule verdict query shape on the driver's own data."""
+    from driftspark.verdicts import partition_verdicts
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    tagged = li.withColumn(
+        "split", F.when(F.col("l_orderkey") % 2 == 0, "ref").otherwise("test")
+    ).withColumn("part", F.col("l_linenumber"))
+    return partition_verdicts(
+        tagged,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        cat_cols=["l_returnflag"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------------
+
+
+def _q_profile_stats(spark, sf_dir):
+    """A1-A3: grouped moments / min-max / null & distinct counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_quantile_edges(spark, sf_dir):
+    """A4: exact decile edges (pd.qcut parity) of the reference split."""
+    from driftspark.stats import quantile_edges
+
+    ref, _ = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    edges = quantile_edges(ref, ["l_extendedprice"], 10)["l_extendedprice"]
+    rows = [(i, round(float(e), 6)) for i, e in enumerate(edges)]
+    return spark.createDataFrame(rows, "idx int, edge double")
+
+
+def _q_histogram_price(spark, sf_dir):
+    """A6: right-closed include-lowest histogram counts on fixed edges."""
+    from driftspark.stats import bucket_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = bucket_expr("l_extendedprice", np.array(PRICE_EDGES))
+    return (
+        li.select(b.alias("bin"))
+        .where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def _q_psi_price(spark, sf_dir):
+    """A9: full PSI pipeline between splits on fixed edges + severity (A20)."""
+    from driftspark.numerics import psi_from_proportions, severity_from_psi
+    from driftspark.stats import histogram_proportions
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    props = histogram_proportions(ref, test, {"l_extendedprice": np.array(PRICE_EDGES)})
+    rp, tp = props["l_extendedprice"]
+    psi = psi_from_proportions(rp, tp)
+    return spark.createDataFrame(
+        [("l_extendedprice", round(psi, 9), severity_from_psi(psi))],
+        "feature string, psi double, severity string",
+    )
+
+
+def _q_ks_d(spark, sf_dir):
+    """A10: distributed two-sample KS D between splits."""
+    from driftspark.stats import ks_d_all
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    d = ks_d_all(ref, test, ["l_quantity", "l_extendedprice"])
+    rows = [(c, round(v[0], 9), v[1], v[2]) for c, v in sorted(d.items())]
+    return spark.createDataFrame(rows, "feature string, ks_d double, n long, m long")
+
+
+def _q_chi2_returnflag(spark, sf_dir):
+    """A11: chi-square statistic of categorical counts between splits."""
+    from driftspark.stats import categorical_counts
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    cats, rc, tc = categorical_counts(ref, test, "l_returnflag")
+    valid = (rc >= 5) | (tc >= 5)
+    rv, tv = rc[valid], tc[valid]
+    expected = rv / rv.sum() * tv.sum()
+    stat = float(np.sum((tv - expected) ** 2 / expected))
+    return spark.createDataFrame(
+        [("l_returnflag", round(stat, 6), int(valid.sum()))],
+        "feature string, chi2_stat double, n_categories int",
+    )
+
+
+def _q_uniqueness(spark, sf_dir):
+    """J4: uniqueness violation keys (salted two-phase aggregation)."""
+    from driftspark.constraints import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"]).orderBy("l_orderkey")
+
+
+def _q_referential(spark, sf_dir):
+    """J5: referential violations (anti-join): orders whose customer is
+    not in the BUILDING segment (engineered violating parent subset)."""
+    from driftspark.constraints import referential_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    parent = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    v = referential_violations(orders, "o_custkey", parent, "c_custkey")
+    return v.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")).orderBy("o_custkey")
+
+
+def _q_topk(spark, sf_dir):
+    """T2/T3: top-k sort."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+def _q_cbpe_hist(spark, sf_dir):
+    """A8: np.digitize confidence binning (CBPE) on a derived confidence."""
+    from driftspark.stats import digitize_clip_expr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.least(F.col("l_discount") * 10.0, F.lit(1.0)).alias("__conf")
+    )
+    b = digitize_clip_expr("__conf", np.linspace(0, 1, 11), 10)
+    return li.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).orderBy("bin")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Dedup (exact): duplicate groups by content hash (30-char prefix)."""
+    from driftspark.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 30)
+    )
+    return exact_duplicates(docs, ["prefix"]).orderBy("content_hash")
+
+
+def _q_minhash(spark, sf_dir):
+    """Dedup (MinHash): per-doc md5 minhash signatures (word shingles)."""
+    from driftspark.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", n_hashes=MINHASH_K).orderBy("id")
+
+
+def _q_jaccard(spark, sf_dir):
+    """Dedup (n-gram Jaccard): all-pairs token-set similarity >= 0.3."""
+    from driftspark.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    p = jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.3, max_token_df=10**9)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    """Text analysis: char/token counts + average token length."""
+    from driftspark.textops import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_text_stats(docs, "text")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_langid(spark, sf_dir):
+    """Text analysis: stopword-profile language ID."""
+    from driftspark.textops import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Text analysis: order-insensitive document fingerprint."""
+    from driftspark.textops import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 vs vec_id=0's embedding."""
+    from driftspark.ann import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = cosine_topk(emb.where(F.col("vec_id") != 0), "vec_id", "embedding", qvec, 10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Scan/agg over the events table with time bucketing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("event_type", "hour")
+    )
+
+
+def _q_null_counts(spark, sf_dir):
+    """A3/validators: per-column null counts in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_user"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible; correctness via pytest) ------
+
+
+def _q_simhash(spark, sf_dir):
+    from driftspark.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text").orderBy("id")
+
+
+def _q_lsh_candidates(spark, sf_dir):
+    from driftspark.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", n_hashes=16, bands=4, min_jaccard=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from driftspark.ann import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = cosine_topk_lsh(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", qvec, k=10
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_image_verdicts(spark, sf_dir):
+    """North-rule flagship on the deterministic synthetic image table."""
+    from driftspark.synth import synth_image_table
+    from driftspark.verdicts import partition_verdicts
+
+    t = synth_image_table(spark, 6000, n_parts=4, drift=True, with_bytes=False)
+    v = partition_verdicts(t, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"])
+    return v.select(
+        "part", "feature", "check", F.round("statistic", 6).alias("statistic"),
+        "severity", "passed",
+    ).orderBy("part", "feature", "check")
+
+
+def _q_image_payload_check(spark, sf_dir):
+    """PSNR>=40dB + caption equality on synthetic payload pairs."""
+    from driftspark.imageops import validate_image_payloads
+    from driftspark.synth import synth_image_pairs
+
+    pairs = synth_image_pairs(spark, 400, num_partitions=4)
+    checks = validate_image_payloads(
+        pairs.where("split='ref'"), pairs.where("split='test'")
+    )
+    return checks.select(
+        "image_id", "pixels_ok", "caption_ok"
+    ).orderBy("image_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_stats": _q_profile_stats,
+        "quantile_edges": _q_quantile_edges,
+        "histogram_price": _q_histogram_price,
+        "psi_price": _q_psi_price,
+        "ks_d": _q_ks_d,
+        "chi2_returnflag": _q_chi2_returnflag,
+        "uniqueness_violations": _q_uniqueness,
+        "referential_violations": _q_referential,
+        "topk_parts": _q_topk,
+        "cbpe_confidence_hist": _q_cbpe_hist,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash,
+        "jaccard_pairs": _q_jaccard,
+        "text_quality": _q_text_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_ann_topk,
+        "events_hourly": _q_events_hourly,
+        "null_counts": _q_null_counts,
+        # rows-only (non-SQL-expressible / synthetic-input)
+        "simhash": _q_simhash,
+        "minhash_lsh_neardups": _q_lsh_candidates,
+        "ann_cosine_topk_lsh": _q_ann_lsh,
+        "image_partition_verdicts": _q_image_verdicts,
+        "image_payload_check": _q_image_payload_check,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(col: str, edges) -> str:
+    """pd.cut-parity bucket: count of interior edges strictly below value;
+    NULL outside [first, last]."""
+    interior = " + ".join(
+        f"(CASE WHEN {col} > {e!r} THEN 1 ELSE 0 END)" for e in edges[1:-1]
+    )
+    return (
+        f"CASE WHEN {col} >= {edges[0]!r} AND {col} <= {edges[-1]!r} "
+        f"THEN ({interior}) ELSE NULL END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    price_bucket = _bucket_sql("l_extendedprice", PRICE_EDGES)
+    digitize = " + ".join(
+        f"(CASE WHEN __conf >= {c!r} THEN 1 ELSE 0 END)" for c in CONF_CUTOFFS
+    )
+    mh_cols = ", ".join(
+        f"min(md5(token || ':{k}')) AS mh{k}" for k in range(MINHASH_K)
+    )
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{lang} > 0 AND h_{lang} = greatest(h_en, h_de, h_fr, h_es) "
+            f"THEN '{lang}'"
+            for lang in ["en", "de", "fr", "es"]
+        )
+        + " ELSE 'und' END"
+    )
+    lang_hits = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}', 1)) AS h_{lang}"
+        for lang, pat in LANG_PATTERNS.items()
+    )
+
+    return {
+        "profile_stats": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   round(avg(l_quantity), 6) AS mean_qty,
+                   round(stddev_pop(l_quantity), 6) AS std_qty,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "quantile_edges": """
+            WITH e AS (
+              SELECT quantile_cont(l_extendedprice,
+                [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS edges
+              FROM lineitem WHERE l_orderkey % 2 = 0
+            )
+            SELECT CAST(i - 1 AS INTEGER) AS idx, round(edges[i], 6) AS edge
+            FROM e, generate_series(1, 11) AS t(i)
+            ORDER BY idx
+        """,
+        "histogram_price": f"""
+            WITH b AS (SELECT {price_bucket} AS bin FROM lineitem)
+            SELECT CAST(bin AS INTEGER) AS bin, count(*) AS cnt
+            FROM b WHERE bin IS NOT NULL GROUP BY bin ORDER BY bin
+        """,
+        "psi_price": f"""
+            WITH rb AS (
+              SELECT {price_bucket} AS bin FROM lineitem WHERE l_orderkey % 2 = 0
+            ), tb AS (
+              SELECT {price_bucket} AS bin FROM lineitem WHERE l_orderkey % 2 = 1
+            ), bins AS (SELECT unnest(generate_series(0, {len(PRICE_EDGES) - 2})) AS bin),
+            rc AS (SELECT bin, count(*) AS c FROM rb WHERE bin IS NOT NULL GROUP BY bin),
+            tc AS (SELECT bin, count(*) AS c FROM tb WHERE bin IS NOT NULL GROUP BY bin),
+            p AS (
+              SELECT bins.bin,
+                     greatest(coalesce(rc.c, 0) * 1.0 / (SELECT sum(c) FROM rc), 0.001) AS e,
+                     greatest(coalesce(tc.c, 0) * 1.0 / (SELECT sum(c) FROM tc), 0.001) AS a
+              FROM bins LEFT JOIN rc ON bins.bin = rc.bin LEFT JOIN tc ON bins.bin = tc.bin
+            ), n AS (
+              SELECT e / (SELECT sum(e) FROM p) AS en, a / (SELECT sum(a) FROM p) AS an FROM p
+            ), s AS (SELECT sum((an - en) * ln(an / en)) AS psi FROM n)
+            SELECT 'l_extendedprice' AS feature, round(psi, 9) AS psi,
+                   CASE WHEN psi < 0.1 THEN 'none' WHEN psi < 0.2 THEN 'low'
+                        WHEN psi < 0.3 THEN 'medium' WHEN psi < 0.5 THEN 'high'
+                        ELSE 'critical' END AS severity
+            FROM s
+        """,
+        "ks_d": """
+            WITH feats AS (
+              SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice, l_orderkey FROM lineitem
+            ), u AS (
+              SELECT feature, value,
+                     CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS r,
+                     CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END AS t
+              FROM feats WHERE value IS NOT NULL
+            ), g AS (
+              SELECT feature, value, sum(r) AS r, sum(t) AS t
+              FROM u GROUP BY feature, value
+            ), c AS (
+              SELECT feature,
+                     sum(r) OVER (PARTITION BY feature ORDER BY value) AS cr,
+                     sum(t) OVER (PARTITION BY feature ORDER BY value) AS ct,
+                     sum(r) OVER (PARTITION BY feature) AS n,
+                     sum(t) OVER (PARTITION BY feature) AS m
+              FROM g
+            )
+            SELECT feature, round(max(abs(cr * 1.0 / n - ct * 1.0 / m)), 9) AS ks_d,
+                   CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m
+            FROM c GROUP BY feature ORDER BY feature
+        """,
+        "chi2_returnflag": """
+            WITH rc AS (
+              SELECT l_returnflag AS v, count(*) AS r FROM lineitem
+              WHERE l_orderkey % 2 = 0 GROUP BY 1
+            ), tc AS (
+              SELECT l_returnflag AS v, count(*) AS t FROM lineitem
+              WHERE l_orderkey % 2 = 1 GROUP BY 1
+            ), j AS (
+              SELECT coalesce(rc.v, tc.v) AS v, coalesce(r, 0) AS r, coalesce(t, 0) AS t
+              FROM rc FULL OUTER JOIN tc ON rc.v = tc.v
+            ), valid AS (SELECT * FROM j WHERE r >= 5 OR t >= 5),
+            e AS (
+              SELECT t, r * 1.0 / (SELECT sum(r) FROM valid) * (SELECT sum(t) FROM valid) AS exp
+              FROM valid
+            )
+            SELECT 'l_returnflag' AS feature,
+                   round(sum((t - exp) * (t - exp) / exp), 6) AS chi2_stat,
+                   CAST((SELECT count(*) FROM valid) AS INTEGER) AS n_categories
+            FROM e
+        """,
+        "uniqueness_violations": """
+            SELECT l_orderkey, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+            ORDER BY l_orderkey
+        """,
+        "referential_violations": """
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "topk_parts": """
+            SELECT p_partkey, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "cbpe_confidence_hist": f"""
+            WITH c AS (SELECT least(l_discount * 10.0, 1.0) AS __conf FROM lineitem),
+            b AS (
+              SELECT least(greatest(({digitize}) - 1, 0), 9) AS bin FROM c
+              WHERE __conf IS NOT NULL
+            )
+            SELECT CAST(bin AS INTEGER) AS bin, count(*) AS cnt
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        "dedup_exact": """
+            SELECT md5(substr(text, 1, 30)) AS content_hash, count(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+            ORDER BY content_hash
+        """,
+        "minhash_signatures": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id AS id, t.token
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+              WHERE t.token <> ''
+            )
+            SELECT id, {mh_cols}
+            FROM tok GROUP BY id ORDER BY id
+        """,
+        "jaccard_pairs": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id AS id, t.token
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+              WHERE t.token <> ''
+            ), sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+            shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "text_quality": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END, 6)
+                     AS avg_token_len,
+                   round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio
+            FROM s ORDER BY doc_id
+        """,
+        "langid": f"""
+            WITH h AS (SELECT doc_id, text, lang, source, n_chars, {lang_hits} FROM documents)
+            SELECT doc_id, {lang_case} AS lang_pred FROM h ORDER BY doc_id
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+                     )), ' ')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id = 0
+            ), v AS (
+              SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id <> 0
+            ), d AS (
+              SELECT v.vec_id,
+                     sum(CAST(v.x AS DOUBLE) * CAST(q.x AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE))) AS nv
+              FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+            ), qn AS (SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n FROM q)
+            SELECT vec_id, round(dot / (nv * (SELECT n FROM qn)), 6) AS cosine
+            FROM d ORDER BY dot / (nv * (SELECT n FROM qn)) DESC, vec_id LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "null_counts": """
+            SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
+                   count(*) AS n_rows
+            FROM events
+        """,
+    }

@@ -1,0 +1,195 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "images_per_sec": ...}
+
+The image-validation throughput (validated images/sec: constraint +
+payload + drift pass over a synthetic image table, north-rule metric) is
+measured on a pre-materialized parquet table so generation cost is not
+billed to the engine.  tools/scaling.py runs the same job at two
+parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_IMAGE_ROWS", "60000"))
+
+
+def _timed(queries, name, fn):
+    t0 = time.time()
+    fn()
+    queries[name] = round(time.time() - t0, 3)
+
+
+def main():
+    from driftspark.session import get_spark
+
+    spark = get_spark(app_name="driftspark-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+    q = {}
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    test = li.where(F.col("l_orderkey") % 2 == 1)
+    num_feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    # --- drift detectors over the TPC-H splits -------------------------
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import KSTest, PSI
+
+    sref = SparkDataset(ref.select(*num_feats, "l_returnflag"))
+    stest = SparkDataset(test.select(*num_feats, "l_returnflag"))
+    _timed(q, "psi_detector", lambda: PSI().fit_detect(sref, stest))
+    _timed(q, "ks_detector", lambda: KSTest().fit_detect(sref, stest))
+
+    # --- per-partition verdict suite -----------------------------------
+    from driftspark.verdicts import partition_verdicts
+
+    tagged = li.withColumn(
+        "split", F.when(F.col("l_orderkey") % 2 == 0, "ref").otherwise("test")
+    ).withColumn("part", F.col("l_linenumber"))
+    _timed(
+        q,
+        "partition_verdicts",
+        lambda: partition_verdicts(
+            tagged, numeric_cols=num_feats, cat_cols=["l_returnflag"]
+        ).count(),
+    )
+
+    # --- profiling + constraints ---------------------------------------
+    from driftspark.constraints import referential_violations, uniqueness_violations
+    from driftspark.profile import profile_columns
+
+    _timed(
+        q,
+        "profile",
+        lambda: profile_columns(
+            li, columns=num_feats + ["l_returnflag"], group_cols=["l_returnflag"]
+        ).count(),
+    )
+    _timed(
+        q,
+        "uniqueness",
+        lambda: uniqueness_violations(
+            li.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"]
+        ).count(),
+    )
+    _timed(
+        q,
+        "referential",
+        lambda: referential_violations(
+            orders,
+            "o_custkey",
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
+            "c_custkey",
+        ).count(),
+    )
+
+    # --- training-data ops ----------------------------------------------
+    from driftspark.ann import cosine_topk
+    from driftspark.dedup import exact_duplicates, minhash_near_duplicates, simhash64
+    from driftspark.textops import detect_language, quality_score
+
+    _timed(
+        q,
+        "dedup_exact",
+        lambda: exact_duplicates(
+            docs.withColumn("p", F.substring("text", 1, 50)), ["p"]
+        ).count(),
+    )
+    _timed(
+        q,
+        "minhash_lsh",
+        lambda: minhash_near_duplicates(docs, "doc_id", "text").count(),
+    )
+    _timed(q, "simhash", lambda: simhash64(docs, "doc_id", "text").count())
+    _timed(
+        q,
+        "text_quality",
+        lambda: quality_score(docs, "text").agg(F.avg("quality_score")).collect(),
+    )
+    _timed(
+        q,
+        "langid",
+        lambda: detect_language(docs, "text").groupBy("lang_pred").count().collect(),
+    )
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    _timed(
+        q,
+        "ann_cosine_topk",
+        lambda: cosine_topk(emb, "vec_id", "embedding", qvec, 10).collect(),
+    )
+
+    # --- north-rule metric: validated images/sec -------------------------
+    from driftspark.constraints import uniqueness_report
+    from driftspark.imageops import validate_image_payloads
+    from driftspark.synth import synth_image_pairs, synth_image_table
+    from driftspark.verdicts import partition_verdicts as pv
+
+    tmp = tempfile.mkdtemp(prefix="driftspark_bench_")
+    try:
+        synth_image_table(
+            spark, IMAGE_ROWS, n_parts=16, drift=True, with_bytes=False,
+            num_partitions=int(CPUS) * 2,
+        ).write.mode("overwrite").parquet(f"{tmp}/images")
+        synth_image_pairs(
+            spark, IMAGE_ROWS // 10, num_partitions=int(CPUS) * 2
+        ).write.mode("overwrite").parquet(f"{tmp}/pairs")
+        img = spark.read.parquet(f"{tmp}/images")
+        pairs = spark.read.parquet(f"{tmp}/pairs")
+
+        t0 = time.time()
+        # constraint pass
+        uniqueness_report(img, ["image_id", "split"]).count()
+        # drift pass (per-partition verdicts on all drift axes)
+        pv(img, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"]).count()
+        # payload pass (decode + PSNR + captions) on the paired subset
+        n_pairs = validate_image_payloads(
+            pairs.where("split='ref'"), pairs.where("split='test'")
+        ).count()
+        dt = time.time() - t0
+        q["image_validation"] = round(dt, 3)
+        images_per_sec = round((IMAGE_ROWS + n_pairs) / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": SF_DIR,
+                "cpus": int(CPUS),
+                "images_per_sec": images_per_sec,
+                "image_rows": IMAGE_ROWS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Approximate / exact nearest-neighbor search over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline (pure column math:
+zip_with + aggregate — JVM-side, no UDF), and a random-hyperplane LSH
+variant as the scale path: deterministic hash-derived hyperplanes sign-hash
+every vector into b-bit buckets; candidates = vectors sharing any signature
+band; exact cosine re-rank on the (small) candidate set.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity_col(vec_col: Column, query: Sequence[float]) -> Column:
+    """cos(vec, query) as a whole-stage-codegen column expression."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector.
+
+    Plan: one scan, cos as column math, TakeOrderedAndProject for the
+    limit — no full sort, no shuffle of vectors."""
+    cos = cosine_similarity_col(F.col(vec_col), query)
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no data dependence)."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """b-bit sign signature: bit p set when dot(vec, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig.bitwiseOR(
+            F.when(_dot(vec_col, pl) > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-pruned cosine top-k: only vectors sharing at least one signature
+    band with the query are exactly re-ranked.  Recall < 1 by construction;
+    raise n_planes/bands for tighter buckets or more candidates.
+
+    At 10^12 scale the signature is precomputed/persisted as a column and
+    the band match becomes a partition-pruned scan."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query, dtype=np.float64)
+    for p, plane in enumerate(planes):
+        if float(plane @ qv) > 0:
+            qsig |= 1 << p
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig = signature_expr(F.col(vec_col), planes)
+    with_sig = df.withColumn("__sig", sig)
+    cond = None
+    for b in range(bands):
+        qband = (qsig >> (b * bits_per_band)) & mask
+        band_eq = (
+            F.shiftrightunsigned(F.col("__sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            == F.lit(qband)
+        )
+        cond = band_eq if cond is None else (cond | band_eq)
+    cands = with_sig.where(cond)
+    cos = cosine_similarity_col(F.col(vec_col), query)
+    return (
+        cands.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, max_rows: int = 20000
+) -> DataFrame:
+    """All-pairs k-NN by cosine for moderate tables (cross-join bounded by
+    ``max_rows``) — the verification oracle for the LSH path."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"knn_pairs_exact is O(n^2); {n} rows > {max_rows}")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", cos.alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

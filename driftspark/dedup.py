@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash (bit-majority over token hashes + banded hamming candidates), and
+token-set Jaccard.  All are pure DataFrame compositions — shuffles only on
+key/bucket columns, map-side partial aggregation everywhere, no UDFs.
+
+Scale notes:
+* MinHash signatures aggregate per document (one shuffle at doc grain);
+  LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band, band_hash) buckets.  Hot buckets (boilerplate docs) are bounded by
+  ``max_bucket_size``.
+* Jaccard token-join drops tokens above a document-frequency ceiling
+  (stop-token suppression) — without it the self-join explodes on "the".
+* MinHash uses md5-derived hashes so an external engine (DuckDB oracle)
+  can reproduce signatures exactly; SimHash uses xxhash64 (JVM intrinsic,
+  faster) and is verified by property tests instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
+    """(id, token) long form — whitespace tokenization, lowercased."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    return t.distinct() if distinct else t
+
+
+def exact_duplicates(
+    df: DataFrame, content_cols: Sequence[str], id_col: Optional[str] = None
+) -> DataFrame:
+    """Exact-content duplicate groups: (content_hash, dup_count [, ids]).
+
+    Hash-groupBy — the canonical first dedup pass; partial agg map-side."""
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    g = df.select(h.alias("content_hash"), *( [F.col(id_col)] if id_col else [] ))
+    agg = [F.count(F.lit(1)).alias("dup_count")]
+    if id_col:
+        agg.append(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    return g.groupBy("content_hash").agg(*agg).where(F.col("dup_count") > 1)
+
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], order_col: str) -> DataFrame:
+    """Keep one row per content hash (smallest order_col) — distributed
+    keep-first via window rank, no collect."""
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    w = Window.partitionBy(h).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """Per-document MinHash signature: sig_k = min over shingles of
+    md5(shingle || ':' || k).  shingle_size=1 → word shingles; >1 → word
+    n-grams (sliding window via posexplode + self-join-free array slicing).
+
+    Returns (id, mh0..mh{n-1}).  One explode + one groupBy(doc) shuffle."""
+    if shingle_size == 1:
+        sh = tokens(df, id_col, text_col)
+    else:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_size, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size)),
+        )
+        sh = (
+            df.select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
+            .where(F.col("token") != "")
+            .distinct()
+        )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f":{k}")))).alias(f"mh{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into ``bands``
+    bands of ``n_hashes/bands`` rows; docs sharing any band bucket are
+    candidates.  Self-join happens per (band, bucket) with oversized
+    buckets dropped (boilerplate guard).  Returns (id_a, id_b) distinct,
+    id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    sized = buckets.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("__sz") <= max_bucket_size)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact token-Jaccard verification of candidates only.  Returns
+    (id_a, id_b, jaccard >= min_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    tok = tokens(df, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # count shared tokens by joining token lists through the candidate pair
+    shared = (
+        cands.join(tok.select(F.col("id").alias("id_a"), "token"), "id_a")
+        .join(tok.select(F.col("id").alias("id_b"), "token"), ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    max_token_df: int = 1000,
+) -> DataFrame:
+    """All-pairs token-set Jaccard via token self-join with stop-token
+    suppression (tokens appearing in more than ``max_token_df`` docs are
+    excluded from pairing but still count toward set sizes)."""
+    tok = tokens(df, id_col, text_col).cache()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rare = tok.join(
+        F.broadcast(docfreq.where(F.col("df") <= max_token_df).select("token")), "token"
+    )
+    shared = (
+        rare.select(F.col("id").alias("id_a"), "token")
+        .join(rare.select(F.col("id").alias("id_b"), "token"), "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: bit k of the fingerprint is the sign of
+    sum over tokens of (2*bit_k(xxhash64(token)) - 1).  64 conditional-sum
+    aggregates, all JVM-side (xxhash64 + bit ops), one groupBy(doc)."""
+    tok = tokens(df, id_col, text_col)
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            (F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"s{k}")
+        for k in range(64)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for k in range(64):
+        # bit 63 is the sign bit of the signed long
+        bit_val = F.lit(1 << k).cast("long") if k < 63 else F.lit(-(1 << 63)).cast("long")
+        fp = fp.bitwiseOR(F.when(F.col(f"s{k}") > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    sim: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Hamming-near pairs from simhash fingerprints via the chunk trick:
+    two 64-bit hashes within hamming distance < chunks must share at least
+    one exact 16-bit chunk → equi-join per chunk, verify hamming exactly
+    (bit_count of xor)."""
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("v"),
+        )
+        for c in range(chunks)
+    ]
+    e = sim.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("id", "simhash", "cc.chunk", "cc.v")
+    a = e.select("chunk", "v", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = e.select("chunk", "v", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, ["chunk", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -153,7 +153,9 @@ def _gen_rows(
             (prefix_u * 64).astype(np.int64) + 96,  # concentrated band
             (prefix_u * 256).astype(np.int64),
         )
-        low = _mix64(i + np.uint64(7) * _GOLDEN) & np.uint64((1 << 56) - 1)
+        stream7 = np.uint64((7 * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+        with np.errstate(over="ignore"):
+            low = _mix64(i + stream7) & np.uint64((1 << 56) - 1)
         phash = ((prefix.astype(np.uint64) << np.uint64(56)) | low).view(np.int64)
 
     return pd.DataFrame(

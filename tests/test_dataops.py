@@ -1,0 +1,177 @@
+"""Dedup / text / ANN operators vs pure-python oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark.ann import cosine_topk, cosine_topk_lsh, knn_pairs_exact
+from driftspark.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash64,
+    simhash_near_duplicates,
+)
+from driftspark.textops import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    with_text_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "der schnelle braune fuchs springt und ist nicht da"),
+    (4, "le renard brun et rapide saute dans les bois pour une pause"),
+    (5, "el zorro marron salta que los arboles en un bosque por la noche con"),
+    (6, "completely different content about spark engines and data"),
+    (7, "Numbers 123 456 789 and SYMBOLS !!! ??? ,,,"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates_and_dedup(spark, docs):
+    dups = exact_duplicates(docs, ["text"], id_col="doc_id").collect()
+    assert len(dups) == 1
+    assert dups[0]["dup_count"] == 2
+    assert dups[0]["ids"] == [0, 1]
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    assert kept.count() == 7  # one of the dup pair removed
+    assert kept.where("doc_id = 0").count() == 1  # keep-first (smallest id)
+    assert kept.where("doc_id = 1").count() == 0
+
+
+def test_minhash_signature_oracle(spark, docs):
+    sigs = {r["id"]: r for r in minhash_signatures(docs, "doc_id", "text", 4).collect()}
+    for doc_id, text in DOCS:
+        toks = set(t for t in text.lower().split() if t)
+        for k in range(4):
+            expected = min(
+                hashlib.md5(f"{t}:{k}".encode()).hexdigest() for t in toks
+            )
+            assert sigs[doc_id][f"mh{k}"] == expected, (doc_id, k)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n_hashes=16, bands=8, min_jaccard=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup always caught
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 1)] == pytest.approx(1.0)
+
+
+def test_jaccard_pairs_oracle(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.2).collect()
+    }
+    # brute-force oracle
+    sets = {i: set(t.lower().split()) for i, t in DOCS}
+    for a in range(len(DOCS)):
+        for b in range(a + 1, len(DOCS)):
+            jac = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if jac >= 0.2:
+                assert got[(a, b)] == pytest.approx(jac, abs=1e-9), (a, b)
+            else:
+                assert (a, b) not in got
+
+
+def test_simhash_properties(spark, docs):
+    sims = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sims[0] == sims[1]  # identical docs → identical fingerprints
+    ham_near = bin((sims[0] ^ sims[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sims[0] ^ sims[6]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    pairs = simhash_near_duplicates(
+        simhash64(docs, "doc_id", "text"), max_hamming=max(ham_near, 1)
+    ).collect()
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_text_stats_oracle(spark, docs):
+    rows = {r["doc_id"]: r for r in with_text_stats(docs, "text").collect()}
+    for doc_id, text in DOCS:
+        r = rows[doc_id]
+        assert r["n_chars"] == len(text)
+        assert r["n_tokens"] == len(text.split())
+        punct = sum(1 for ch in text if not (ch.isalnum() or ch.isspace() or ch == "_"))
+        assert r["punct_ratio"] == pytest.approx(punct / len(text), abs=1e-9)
+
+
+def test_quality_and_language(spark, docs):
+    qs = {r["doc_id"]: r["quality_score"] for r in quality_score(docs, "text").collect()}
+    assert qs[0] > qs[7]  # clean english prose beats symbol soup
+    langs = {r["doc_id"]: r["lang_pred"] for r in detect_language(docs, "text").collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "fr"
+    assert langs[5] == "es"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma   alpha beta"), (2, "alpha beta delta")],
+            columns=["doc_id", "text"],
+        )
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_oracle(spark, vectors):
+    df, vecs = vectors
+    qv = vecs[0]
+    got = cosine_topk(df.where("vec_id <> 0"), "vec_id", "embedding", qv.tolist(), 5).collect()
+    sims = (vecs @ qv) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv))
+    order = [i for i in np.argsort(-sims) if i != 0][:5]
+    assert [r["vec_id"] for r in got] == order
+    for r, i in zip(got, order):
+        assert r["cosine"] == pytest.approx(float(sims[i]), abs=1e-6)
+
+
+def test_cosine_topk_lsh_recall(spark, vectors):
+    df, vecs = vectors
+    qv = vecs[0]
+    exact = [r["vec_id"] for r in cosine_topk(df.where("vec_id <> 0"), "vec_id", "embedding", qv.tolist(), 10).collect()]
+    approx = [r["vec_id"] for r in cosine_topk_lsh(df.where("vec_id <> 0"), "vec_id", "embedding", qv.tolist(), 10, n_planes=16, bands=8).collect()]
+    # banded LSH with 8 bands of 2 bits keeps most true neighbors
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6
+
+
+def test_knn_pairs_exact(spark, vectors):
+    df, vecs = vectors
+    small = df.where("vec_id < 20")
+    got = knn_pairs_exact(small, "vec_id", "embedding", k=3).collect()
+    by_a = {}
+    for r in got:
+        by_a.setdefault(r["id_a"], []).append(r["id_b"])
+    sims = (vecs[:20] @ vecs[:20].T) / (
+        np.linalg.norm(vecs[:20], axis=1)[:, None] * np.linalg.norm(vecs[:20], axis=1)[None, :]
+    )
+    for a in range(20):
+        order = [int(i) for i in np.argsort(-sims[a]) if i != a][:3]
+        assert by_a[a] == order

@@ -1,0 +1,109 @@
+"""Scaling-efficiency evidence (north rule: >= 0.8 between N and 4N).
+
+Generates a deterministic synthetic image table ONCE, then runs the
+identical validation job (tools/validate_job.py) via
+``spark-submit --py-files driftspark.zip`` at local[N] and local[4N] and
+reports throughput at both plus efficiency = (thr_4N / thr_N) / 4.
+
+Writes BENCH/scaling.json and refreshes the measurement table in
+BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N = int(os.environ.get("SCALING_N", "8"))
+ROWS = int(os.environ.get("SCALING_ROWS", "400000"))
+PAIRS = int(os.environ.get("SCALING_PAIRS", "30000"))
+
+
+def build_zip(tmp):
+    zpath = os.path.join(tmp, "driftspark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "driftspark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def generate(tmp):
+    from driftspark.session import get_spark
+    from driftspark.synth import synth_image_pairs, synth_image_table
+
+    spark = get_spark(app_name="scaling-datagen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_image_table(
+        spark, ROWS, n_parts=64, drift=True, with_bytes=False, num_partitions=64
+    ).write.mode("overwrite").parquet(f"{tmp}/images")
+    synth_image_pairs(spark, PAIRS, num_partitions=64).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/pairs")
+    spark.stop()
+
+
+def run(master, zpath, tmp):
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.ui.enabled=false",
+        "--driver-memory", "8g",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "validate_job.py"),
+        f"{tmp}/images",
+        f"{tmp}/pairs",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from {master}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="driftspark_scaling_")
+    try:
+        zpath = build_zip(tmp)
+        print(f"generating {ROWS} images + {PAIRS} pairs ...", flush=True)
+        generate(tmp)
+        results = {}
+        for cores in (N, 4 * N):
+            print(f"running validation at local[{cores}] ...", flush=True)
+            r = run(f"local[{cores}]", zpath, tmp)
+            results[f"local[{cores}]"] = r
+            print(f"  -> {r['images_per_sec']} images/sec ({r['elapsed_sec']}s)", flush=True)
+        thr_n = results[f"local[{N}]"]["images_per_sec"]
+        thr_4n = results[f"local[{4 * N}]"]["images_per_sec"]
+        eff = round((thr_4n / thr_n) / 4, 3)
+        summary = {
+            "n_cores": N,
+            "rows": ROWS,
+            "pairs": PAIRS,
+            "throughput_N": thr_n,
+            "throughput_4N": thr_4n,
+            "scaling_efficiency": eff,
+            "pass_ge_0.8": eff >= 0.8,
+            "runs": results,
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary, indent=2))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
