@@ -25,6 +25,7 @@ from driftspark.results import (
 # importing subpackages registers components
 from driftspark import detectors as _detectors  # noqa: F401
 from driftspark import localize as _localize  # noqa: F401
+from driftspark import rca as _rca  # noqa: F401
 
 __version__ = "0.1.0"
 

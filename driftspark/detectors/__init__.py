@@ -2,7 +2,18 @@
 
 from driftspark.detectors.base import BaseDriftDetector
 from driftspark.detectors.cbpe import CBPE
+from driftspark.detectors.domain_classifier import DomainClassifier
+from driftspark.detectors.hallucination import HallucinationRiskDetector
 from driftspark.detectors.ks import KSTest
+from driftspark.detectors.mmd import MMD
 from driftspark.detectors.psi import PSI
 
-__all__ = ["BaseDriftDetector", "KSTest", "PSI", "CBPE"]
+__all__ = [
+    "BaseDriftDetector",
+    "KSTest",
+    "PSI",
+    "CBPE",
+    "MMD",
+    "DomainClassifier",
+    "HallucinationRiskDetector",
+]

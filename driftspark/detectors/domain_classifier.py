@@ -1,0 +1,138 @@
+"""Domain-classifier drift detector — distributed pyspark.ml edition.
+
+Semantics parity with
+/root/reference/src/drift_autopsy/detectors/model_based/domain_classifier.py:
+label reference rows 0 and test rows 1 (domain_classifier.py:96-104),
+random forest (100 trees, depth 5) (:107-112), 3-fold cross-validated
+ROC-AUC (:114-127), top-10 feature importances (:141-154), AUC severity
+ladder .55/.65/.75/.85 (:159-170), drift when auc >= threshold (:157).
+
+Spark execution: where the reference trains sklearn in-process, this
+trains pyspark.ml RandomForestClassifier DISTRIBUTED on the full union —
+no subsampling needed at any scale.  Cross-validation folds are assigned
+by a deterministic row hash (content-keyed, partitioning-invariant), AUC
+via BinaryClassificationEvaluator (areaUnderROC).  Model family and
+hyperparameters match; tree-level randomness necessarily differs from
+sklearn, so parity tests assert behavior (AUC ~ 0.5 on identical
+distributions, AUC -> 1 on separated ones, severity cutoffs) rather than
+bit equality."""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from driftspark.dataset import SparkDataset
+from driftspark.detectors.base import BaseDriftDetector
+from driftspark.numerics import severity_from_auc
+from driftspark.registry import DetectorRegistry
+from driftspark.results import DetectionResult, DriftSeverity
+
+logger = logging.getLogger(__name__)
+
+
+@DetectorRegistry.register("domain_classifier")
+class DomainClassifier(BaseDriftDetector):
+    """Classifier two-sample test (args mirror domain_classifier.py:37-53)."""
+
+    def __init__(
+        self,
+        threshold: float = 0.6,
+        n_estimators: int = 100,
+        max_depth: int = 5,
+        use_cross_val: bool = True,
+        cv_folds: int = 3,
+        random_state: int = 42,
+    ):
+        super().__init__(name="domain_classifier")
+        self.threshold = threshold
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.use_cross_val = use_cross_val
+        self.cv_folds = cv_folds
+        self.random_state = random_state
+        self._classifier = None
+
+    def detect(self, test_data: SparkDataset) -> DetectionResult:
+        self._require_fitted()
+        from pyspark.ml.classification import RandomForestClassifier
+        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+        from pyspark.ml.feature import VectorAssembler
+
+        ref = self._reference_data
+        cols = [c for c in ref.numeric_features if c in test_data.df.columns]
+        if not cols:
+            return DetectionResult(
+                detector_name=self.name,
+                drift_detected=False,
+                severity=DriftSeverity.NONE,
+                score=0.5,
+                threshold=self.threshold,
+            )
+
+        # union with domain labels (J3), fillna(0) parity (:97-98)
+        sel = [F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols]
+        u = (
+            ref.df.select(*sel).withColumn("label", F.lit(0.0))
+            .unionByName(test_data.df.select(*sel).withColumn("label", F.lit(1.0)))
+            .na.fill(0.0)
+        )
+        assembler = VectorAssembler(inputCols=cols, outputCol="features")
+        data = assembler.transform(u).select("features", "label")
+
+        rf = RandomForestClassifier(
+            numTrees=self.n_estimators,
+            maxDepth=self.max_depth,
+            seed=self.random_state,
+            featuresCol="features",
+            labelCol="label",
+        )
+        evaluator = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        )
+
+        auc_std = None
+        if self.use_cross_val:
+            # deterministic content-keyed folds (partitioning-invariant)
+            folded = data.withColumn(
+                "fold",
+                F.pmod(F.xxhash64("features", F.lit(self.random_state)), self.cv_folds),
+            ).cache()
+            scores = []
+            for k in range(self.cv_folds):
+                train = folded.where(F.col("fold") != k)
+                held = folded.where(F.col("fold") == k)
+                model = rf.fit(train)
+                scores.append(evaluator.evaluate(model.transform(held)))
+            folded.unpersist()
+            auc = float(np.mean(scores))
+            auc_std = float(np.std(scores))
+        else:
+            model = rf.fit(data)
+            auc = float(evaluator.evaluate(model.transform(data)))
+
+        # final fit on everything for importances (:141-147)
+        self._classifier = rf.fit(data)
+        importances = dict(zip(cols, self._classifier.featureImportances.toArray()))
+        sorted_features = sorted(importances.items(), key=lambda x: x[1], reverse=True)[:10]
+        sorted_features = [(f, float(v)) for f, v in sorted_features]
+
+        drift_detected = auc >= self.threshold
+        severity = DriftSeverity(severity_from_auc(auc))
+        return DetectionResult(
+            detector_name=self.name,
+            drift_detected=drift_detected,
+            severity=severity,
+            score=auc,
+            threshold=self.threshold,
+            statistic=auc,
+            metadata={
+                "auc": auc,
+                "auc_std": auc_std,
+                "n_features": len(cols),
+                "top_features": sorted_features,
+                "use_cross_val": self.use_cross_val,
+            },
+        )

@@ -1,0 +1,163 @@
+"""Maximum Mean Discrepancy detector.
+
+Semantics parity with /root/reference/src/drift_autopsy/detectors/distribution/mmd.py:
+unbiased MMD^2 estimator over RBF/linear kernel matrices (mmd.py:94-139),
+median-heuristic gamma over the first 100 rows/side (mmd.py:108-115),
+permutation-test p-value (p = (#null >= obs + 1)/(N + 1), mmd.py:141-170),
+seeded subsampling to max_samples (mmd.py:75-92), threshold-multiple
+severity ladder (mmd.py:242-252).
+
+Spark execution: the kernel-matrix computation is inherently O(n^2) and
+the REFERENCE ITSELF caps it at max_samples (default 5000) per side — so
+the Spark engine's job is the deterministic sample: a content-keyed
+orderBy(xxhash64(*)) + limit (stable under partitioning/parallelism,
+unlike positional RandomState.choice which has no meaning on a distributed
+table), collected as one Arrow batch; the numpy kernel math then runs on
+the driver exactly as the reference's.  Permutations are seeded (the
+reference leaves np.random.permutation unseeded — we default to
+perm_seed=42 for reproducible CI; pass perm_seed=None for reference-exact
+nondeterminism)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from driftspark.dataset import SparkDataset
+from driftspark.detectors.base import BaseDriftDetector
+from driftspark.numerics import severity_from_mmd
+from driftspark.registry import DetectorRegistry
+from driftspark.results import DetectionResult, DriftSeverity
+
+logger = logging.getLogger(__name__)
+
+
+def _rbf_kernel(X: np.ndarray, Y: np.ndarray, gamma: float) -> np.ndarray:
+    XX = np.sum(X**2, axis=1).reshape(-1, 1)
+    YY = np.sum(Y**2, axis=1).reshape(1, -1)
+    sq = XX + YY - 2 * (X @ Y.T)
+    return np.exp(-gamma * sq)
+
+
+def mmd_unbiased(
+    X: np.ndarray, Y: np.ndarray, kernel: str = "rbf", gamma: Optional[float] = None
+) -> float:
+    """Unbiased MMD estimate (sqrt of the clipped MMD^2), reference math."""
+    n, m = len(X), len(Y)
+    if gamma is None and kernel == "rbf":
+        combined = np.vstack([X[: min(100, n)], Y[: min(100, m)]])
+        sq = np.sum((combined[:, None, :] - combined[None, :, :]) ** 2, axis=2)
+        med = np.median(sq[sq > 0]) if (sq > 0).any() else 0.0
+        gamma = 1.0 / (2 * med) if med > 0 else 1.0
+    if kernel == "rbf":
+        K_XX, K_YY, K_XY = (
+            _rbf_kernel(X, X, gamma),
+            _rbf_kernel(Y, Y, gamma),
+            _rbf_kernel(X, Y, gamma),
+        )
+    elif kernel == "linear":
+        K_XX, K_YY, K_XY = X @ X.T, Y @ Y.T, X @ Y.T
+    else:
+        raise ValueError(f"Unknown kernel: {kernel}")
+    mmd_sq = (
+        (K_XX.sum() - np.trace(K_XX)) / (n * (n - 1))
+        + (K_YY.sum() - np.trace(K_YY)) / (m * (m - 1))
+        - 2 * K_XY.sum() / (n * m)
+    )
+    return float(np.sqrt(max(0, mmd_sq)))
+
+
+@DetectorRegistry.register("mmd")
+class MMD(BaseDriftDetector):
+    """MMD multivariate drift detector (args mirror mmd.py:32-45)."""
+
+    def __init__(
+        self,
+        threshold: float = 0.1,
+        kernel: str = "rbf",
+        gamma: Optional[float] = None,
+        n_permutations: int = 100,
+        max_samples: int = 5000,
+        perm_seed: Optional[int] = 42,
+    ):
+        super().__init__(name="mmd")
+        self.threshold = threshold
+        self.kernel = kernel
+        self.gamma = gamma
+        self.n_permutations = n_permutations
+        self.max_samples = max_samples
+        self.perm_seed = perm_seed
+
+    def _sample_matrix(self, ds: SparkDataset, cols) -> tuple[np.ndarray, int]:
+        """Deterministic content-keyed sample of the numeric feature matrix
+        (fillna(0) — mmd.py:214-215), collected as Arrow batches."""
+        df = ds.df.select([F.col(c).cast("double").alias(c) for c in cols]).na.fill(0.0)
+        total = df.count()
+        if total > self.max_samples:
+            df = df.orderBy(F.xxhash64(*cols), *cols).limit(self.max_samples)
+        pdf = df.toPandas()
+        return np.nan_to_num(pdf.values.astype(np.float64)), total
+
+    def detect(self, test_data: SparkDataset) -> DetectionResult:
+        self._require_fitted()
+        ref = self._reference_data
+        cols = [c for c in ref.numeric_features if c in test_data.df.columns]
+        if not cols:
+            return DetectionResult(
+                detector_name=self.name,
+                drift_detected=False,
+                severity=DriftSeverity.NONE,
+                score=0.0,
+                threshold=self.threshold,
+            )
+
+        X, n_ref_total = self._sample_matrix(ref, cols)
+        Y, n_test_total = self._sample_matrix(test_data, cols)
+
+        mmd_value = mmd_unbiased(X, Y, self.kernel, self.gamma)
+
+        p_value = None
+        if self.n_permutations > 0:
+            rng = (
+                np.random.RandomState(self.perm_seed)
+                if self.perm_seed is not None
+                else np.random
+            )
+            combined = np.vstack([X, Y])
+            n = len(X)
+            null_mmds = []
+            for _ in range(self.n_permutations):
+                perm = rng.permutation(len(combined))
+                null_mmds.append(
+                    mmd_unbiased(
+                        combined[perm[:n]], combined[perm[n:]], self.kernel, self.gamma
+                    )
+                )
+            p_value = float(
+                (np.sum(np.array(null_mmds) >= mmd_value) + 1)
+                / (self.n_permutations + 1)
+            )
+
+        drift_detected = mmd_value >= self.threshold
+        severity = DriftSeverity(severity_from_mmd(mmd_value, self.threshold))
+        return DetectionResult(
+            detector_name=self.name,
+            drift_detected=drift_detected,
+            severity=severity,
+            score=mmd_value,
+            threshold=self.threshold,
+            p_value=p_value,
+            statistic=mmd_value,
+            metadata={
+                "kernel": self.kernel,
+                "n_features": len(cols),
+                "n_permutations": self.n_permutations,
+                "max_samples": self.max_samples,
+                "subsampled": len(X) < n_ref_total or len(Y) < n_test_total,
+                "actual_ref_samples": len(X),
+                "actual_test_samples": len(Y),
+            },
+        )

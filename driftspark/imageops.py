@@ -240,3 +240,18 @@ def validate_image_payloads(ref_df, test_df, min_psnr: float = 40.0):
     return joined.mapInPandas(
         lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
     )
+
+
+def validate_image_payloads_paired(paired_df, min_psnr: float = 40.0):
+    """Payload validation over a PRE-JOINED pairs table
+    (image_id, ref_bytes, ref_caption, test_bytes, test_caption, fmt).
+
+    This is the shuffle-free scale path: when the ref/test copies land
+    co-located (an Iceberg table bucketed by image_id, or a pairs table
+    materialized by the ingestion join), validation is a pure scan +
+    mapInPandas — decode/PSNR compute parallelizes linearly with executors
+    because no image bytes ever cross the network.  Prefer this over
+    validate_image_payloads whenever the storage layout allows."""
+    return paired_df.mapInPandas(
+        lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
+    )

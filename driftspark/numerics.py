@@ -103,19 +103,30 @@ def ks_2samp_pvalue_exact(d: float, n: int, m: int) -> float:
     if h <= 0:
         return 1.0
     # DP row over j = 0..m; paths staying strictly inside |i*m - j*n| < h.
-    # Recurrence A[i][j] = A[i-1][j] + A[i][j-1] (zeroed outside the band) is
-    # a prefix sum with resets at outside cells — vectorized via cumsum.
+    # Recurrence A[i][j] = A[i-1][j] + A[i][j-1] (zeroed outside the band).
+    # The band is a diagonal strip of j-width ~2h/n per row, so each row
+    # only needs a cumsum over its window — O(n * d * m) total, which is
+    # what makes per-partition verdict p-values cheap when d is small.
     row = np.zeros(m + 1, dtype=np.float64)
-    j_idx = np.arange(m + 1)
-    row[(j_idx * n) < h] = 1.0  # i = 0 row
+    j_hi0 = min(m, (h - 1) // n) if n else m
+    row[: j_hi0 + 1] = 1.0  # i = 0 row: inside while j*n < h
     log_scale = 0.0
     for i in range(1, n + 1):
-        inside = np.abs(i * m - j_idx * n) < h
-        cs = np.cumsum(np.where(inside, row, 0.0))
-        ridx = np.maximum.accumulate(np.where(~inside, j_idx, -1))
-        offset = np.where(ridx >= 0, cs[np.maximum(ridx, 0)], 0.0)
-        row = np.where(inside, cs - offset, 0.0)
-        mx = row.max()
+        # inside window: (i*m - h)/n < j < (i*m + h)/n
+        lo = max(0, (i * m - h) // n + 1)
+        hi = min(m, -((-(i * m + h)) // n) - 1)  # ceil((im+h)/n) - 1
+        while lo <= m and abs(i * m - lo * n) >= h:
+            lo += 1
+        while hi >= 0 and abs(i * m - hi * n) >= h:
+            hi -= 1
+        if lo > hi:
+            return 1.0  # band pinched shut: no path avoids D >= d
+        new = np.zeros(m + 1, dtype=np.float64)
+        # A[i][j] = A[i-1][j] + A[i][j-1] within the window: cumsum of the
+        # previous row over the window (cells left of the window are 0)
+        new[lo : hi + 1] = np.cumsum(row[lo : hi + 1])
+        row = new
+        mx = row[hi]
         if mx > 1e290:
             row /= mx
             log_scale += math.log(mx)
@@ -129,8 +140,15 @@ def ks_2samp_pvalue_exact(d: float, n: int, m: int) -> float:
 
 
 def ks_2samp_pvalue(d: float, n: int, m: int) -> float:
-    """p-value with scipy ks_2samp 'auto' dispatch semantics."""
+    """p-value with scipy ks_2samp 'auto' dispatch semantics.
+
+    Shortcut: when the asymptotic tail is already < 1e-10 the exact DP is
+    skipped — every verdict/severity cutoff (>= threshold/100) is orders of
+    magnitude above it, and the banded DP's cost grows with d."""
     if max(n, m) <= MAX_EXACT_N:
+        pa = ks_2samp_pvalue_asymp(d, n, m)
+        if pa < 1e-10:
+            return pa
         return ks_2samp_pvalue_exact(d, n, m)
     return ks_2samp_pvalue_asymp(d, n, m)
 

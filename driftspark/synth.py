@@ -274,6 +274,65 @@ def synth_image_pairs(
     return rng.mapInPandas(gen, schema=PAIR_SCHEMA)
 
 
+PAIR_WIDE_SCHEMA = (
+    "image_id string, ref_bytes binary, ref_caption string, "
+    "test_bytes binary, test_caption string, fmt string, part int"
+)
+
+
+def synth_image_pairs_wide(
+    spark: SparkSession,
+    n_pairs: int,
+    n_parts: int = 8,
+    seed: int = 42,
+    corrupt_every: int = 500,
+    caption_edit_every: int = 700,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pre-joined (co-located) ref/test payload pairs — one row per
+    image_id with both copies, the storage layout the shuffle-free
+    ``validate_image_payloads_paired`` path expects."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].values
+            u = _u(seed, 11, ids.astype(np.uint64))
+            fmt = _choice(u, ["png", "jpeg"], [0.5, 0.5])
+            rows = {k: [] for k in (
+                "image_id", "ref_bytes", "ref_caption", "test_bytes",
+                "test_caption", "fmt", "part",
+            )}
+            for r in range(len(ids)):
+                p = int(ids[r])
+                px = _pixels_for(seed, p, 16, 16, 0)
+                cap = f"caption {p} {_VOCAB[p % len(_VOCAB)]}"
+                tpx, tcap = px, cap
+                if corrupt_every and p % corrupt_every == corrupt_every - 1:
+                    rng = np.random.Generator(np.random.Philox(key=seed + 1, counter=p))
+                    noise = rng.integers(-40, 41, size=px.shape)
+                    tpx = np.clip(px.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+                elif fmt[r] == "jpeg":
+                    rng = np.random.Generator(np.random.Philox(key=seed + 2, counter=p))
+                    jitter = rng.integers(-2, 3, size=px.shape)
+                    tpx = np.clip(px.astype(np.int64) + jitter, 0, 255).astype(np.uint8)
+                if caption_edit_every and p % caption_edit_every == caption_edit_every - 1:
+                    tcap = cap + " EDITED"
+                enc = encode_png if fmt[r] == "png" else encode_lossy
+                rows["image_id"].append(f"img_{p:010d}")
+                rows["ref_bytes"].append(enc(px))
+                rows["ref_caption"].append(cap)
+                rows["test_bytes"].append(enc(tpx))
+                rows["test_caption"].append(tcap)
+                rows["fmt"].append(fmt[r])
+                rows["part"].append(p % n_parts)
+            out = pd.DataFrame(rows)
+            out["part"] = out["part"].astype(np.int32)
+            yield out
+
+    rng = spark.range(0, n_pairs, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=PAIR_WIDE_SCHEMA)
+
+
 def synth_dataset_dim(spark: SparkSession, n: int = 100) -> DataFrame:
     """Parent dimension table (FIXTURES.md F2) — small, broadcast side."""
     pdf = pd.DataFrame(

@@ -192,6 +192,92 @@ def ks_d_by_partition(
     )
 
 
+def ks_d_by_partition_broadcast(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    part_col: str = "part",
+    max_ref_ecdf_points: int = 4_000_000,
+) -> DataFrame:
+    """(part, feature, d, n, m) — exact KS D per partition via a BROADCAST
+    reference ECDF.
+
+    The window formulation (ks_d_by_partition) replicates the reference's
+    distinct values into every partition's window — O(distinct x parts)
+    sort work, which dominated the validation job when a high-cardinality
+    column (phash) met many partitions.  Here the global reference ECDF is
+    aggregated once, collected ({feature: sorted values + cumulative
+    counts}), broadcast, and each (part, feature) group's test sample
+    evaluates
+
+        D = max_i max(|R(t_i) - T(t_i)|, |R(t_i^-) - T(t_{i-1})|)
+
+    with numpy searchsorted inside applyInPandas — mathematically equal to
+    the max over all pooled points (between consecutive test points the
+    test ECDF is constant and R is monotone, so interval suprema are
+    attained at the R(t_i^-) endpoints; negative-side interval extrema are
+    dominated by the test-point terms).  Per-group work is O(m_part log
+    distinct_ref); ref distinct values above ``max_ref_ecdf_points`` are
+    quantile-thinned (error bound 1/points on R-resolution)."""
+    spark = ref_df.sparkSession
+
+    def melt(df, with_part):
+        structs = [
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+            for c in cols
+        ]
+        sel = [F.col(part_col).alias("part")] if with_part else []
+        return (
+            df.select(*sel, F.explode(F.array(*structs)).alias("fv"))
+            .select(*(["part"] if with_part else []), "fv.feature", "fv.value")
+            .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        )
+
+    ref_counts = (
+        melt(ref_df, False)
+        .groupBy("feature", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()  # Arrow batches — orders faster than Row collect()
+    )
+    ecdf: Dict[str, tuple] = {}
+    for feat, g in ref_counts.groupby("feature"):
+        g = g.sort_values("value")
+        vals = g["value"].values.astype(np.float64)
+        cums = np.cumsum(g["c"].values.astype(np.int64))
+        if len(vals) > max_ref_ecdf_points:
+            idx = np.unique(
+                np.linspace(0, len(vals) - 1, max_ref_ecdf_points).astype(np.int64)
+            )
+            vals, cums = vals[idx], cums[idx]
+        ecdf[feat] = (vals, cums, int(cums[-1]))
+    b_ecdf = spark.sparkContext.broadcast(ecdf)
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part, feat = key
+        vals, cums, n = b_ecdf.value[feat]
+        t = np.sort(pdf["value"].values.astype(np.float64))
+        m = len(t)
+        tv, tc = np.unique(t, return_counts=True)
+        T = np.cumsum(tc) / m
+        T_prev = np.concatenate([[0.0], T[:-1]])
+        hi = np.searchsorted(vals, tv, side="right")
+        lo = np.searchsorted(vals, tv, side="left")
+        R_at = np.where(hi > 0, cums[np.maximum(hi - 1, 0)], 0) / n
+        R_before = np.where(lo > 0, cums[np.maximum(lo - 1, 0)], 0) / n
+        d = float(
+            np.max(np.maximum(np.abs(R_at - T), np.abs(R_before - T_prev)))
+        )
+        return pd.DataFrame(
+            {"part": [part], "feature": [feat], "d": [d], "n": [n], "m": [m]}
+        )
+
+    return (
+        melt(test_df, True)
+        .groupBy("part", "feature")
+        .applyInPandas(compute, schema="part int, feature string, d double, n long, m long")
+    )
+
+
 def chi2_by_partition(
     ref_df: DataFrame,
     test_df: DataFrame,
@@ -261,6 +347,8 @@ def partition_verdicts(
     chi2_threshold: float = 0.05,
     n_bins: int = 10,
     parts: Optional[Sequence] = None,
+    approx_quantile_error: Optional[float] = None,
+    ks_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Run the per-partition drift suite over one split-tagged table.
 
@@ -278,7 +366,21 @@ def partition_verdicts(
     rows: List[tuple] = []
 
     if numeric_cols:
-        edges_map = quantile_edges(ref_df, numeric_cols, n_bins)
+        if approx_quantile_error is not None:
+            # scale path: Greenwald-Khanna approximate edges (at 10^12 rows
+            # an exact percentile sort is not realistic; pd.qcut parity
+            # paths keep the exact default)
+            probs = [i / n_bins for i in range(n_bins + 1)]
+            raw = ref_df.approxQuantile(
+                list(numeric_cols), probs, approx_quantile_error
+            )
+            edges_map = {
+                c: np.unique(np.array(e, dtype=np.float64))
+                for c, e in zip(numeric_cols, raw)
+                if len(e) > 0
+            }
+        else:
+            edges_map = quantile_edges(ref_df, numeric_cols, n_bins)
         for r in psi_by_partition(ref_df, test_df, edges_map, part_col).collect():
             psi = float(r["psi"])
             rows.append(
@@ -294,7 +396,12 @@ def partition_verdicts(
                     int(r["n_test"]),
                 )
             )
-        for r in ks_d_by_partition(ref_df, test_df, numeric_cols, part_col).collect():
+        ks_columns = list(numeric_cols if ks_cols is None else ks_cols)
+        for r in (
+            ks_d_by_partition_broadcast(ref_df, test_df, ks_columns, part_col).collect()
+            if ks_columns
+            else []
+        ):
             d, n, m = float(r["d"]), int(r["n"]), int(r["m"])
             p = ks_2samp_pvalue(d, n, m)
             rows.append(

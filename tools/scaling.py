@@ -20,9 +20,9 @@ import zipfile
 sys.path.insert(0, "/root/repo")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N = int(os.environ.get("SCALING_N", "8"))
-ROWS = int(os.environ.get("SCALING_ROWS", "400000"))
-PAIRS = int(os.environ.get("SCALING_PAIRS", "30000"))
+N = int(os.environ.get("SCALING_N", "2"))
+ROWS = int(os.environ.get("SCALING_ROWS", "20000000"))
+PAIRS = int(os.environ.get("SCALING_PAIRS", "800000"))
 
 
 def build_zip(tmp):
@@ -39,14 +39,14 @@ def build_zip(tmp):
 
 def generate(tmp):
     from driftspark.session import get_spark
-    from driftspark.synth import synth_image_pairs, synth_image_table
+    from driftspark.synth import synth_image_pairs_wide, synth_image_table
 
     spark = get_spark(app_name="scaling-datagen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     synth_image_table(
         spark, ROWS, n_parts=64, drift=True, with_bytes=False, num_partitions=64
     ).write.mode("overwrite").parquet(f"{tmp}/images")
-    synth_image_pairs(spark, PAIRS, num_partitions=64).write.mode(
+    synth_image_pairs_wide(spark, PAIRS, num_partitions=64).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/pairs")
     spark.stop()
@@ -56,15 +56,16 @@ def run(master, zpath, tmp):
     cmd = [
         "spark-submit",
         "--master", master,
-        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.shuffle.partitions=32",
         "--conf", "spark.ui.enabled=false",
-        "--driver-memory", "8g",
+        "--driver-memory", "12g",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "validate_job.py"),
         f"{tmp}/images",
         f"{tmp}/pairs",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    env = dict(os.environ, VALIDATE_APPROX_QUANTILE="0.001")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
