@@ -63,6 +63,35 @@ def main():
     _timed(q, "psi_detector", lambda: PSI().fit_detect(sref, stest))
     _timed(q, "ks_detector", lambda: KSTest().fit_detect(sref, stest))
 
+    from driftspark.detectors import MMD, DomainClassifier, HallucinationRiskDetector
+
+    _timed(
+        q,
+        "mmd_detector",
+        lambda: MMD(n_permutations=20, max_samples=3000).fit_detect(sref, stest),
+    )
+    _timed(
+        q,
+        "domain_classifier",
+        lambda: DomainClassifier(n_estimators=50, use_cross_val=False).fit_detect(
+            sref, stest
+        ),
+    )
+    halluc_test = SparkDataset(
+        test.select(*num_feats).withColumn(
+            "proba", F.least(F.col("l_discount") * 9 + F.lit(0.5), F.lit(0.99))
+        ),
+        feature_cols=num_feats,
+        proba_col="proba",
+    )
+    _timed(
+        q,
+        "hallucination_mahalanobis",
+        lambda: HallucinationRiskDetector().fit_detect(
+            SparkDataset(ref.select(*num_feats)), halluc_test
+        ),
+    )
+
     # --- per-partition verdict suite -----------------------------------
     from driftspark.verdicts import partition_verdicts
 
@@ -143,18 +172,18 @@ def main():
 
     # --- north-rule metric: validated images/sec -------------------------
     from driftspark.constraints import uniqueness_report
-    from driftspark.imageops import validate_image_payloads
-    from driftspark.synth import synth_image_pairs, synth_image_table
+    from driftspark.imageops import validate_image_payloads_paired
+    from driftspark.synth import synth_image_pairs_wide, synth_image_table
     from driftspark.verdicts import partition_verdicts as pv
 
     tmp = tempfile.mkdtemp(prefix="driftspark_bench_")
     try:
         synth_image_table(
             spark, IMAGE_ROWS, n_parts=16, drift=True, with_bytes=False,
-            num_partitions=int(CPUS) * 2,
+            num_partitions=min(int(CPUS) * 2, 64),
         ).write.mode("overwrite").parquet(f"{tmp}/images")
-        synth_image_pairs(
-            spark, IMAGE_ROWS // 10, num_partitions=int(CPUS) * 2
+        synth_image_pairs_wide(
+            spark, IMAGE_ROWS // 10, num_partitions=min(int(CPUS) * 2, 64)
         ).write.mode("overwrite").parquet(f"{tmp}/pairs")
         img = spark.read.parquet(f"{tmp}/images")
         pairs = spark.read.parquet(f"{tmp}/pairs")
@@ -163,11 +192,14 @@ def main():
         # constraint pass
         uniqueness_report(img, ["image_id", "split"]).count()
         # drift pass (per-partition verdicts on all drift axes)
-        pv(img, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"]).count()
-        # payload pass (decode + PSNR + captions) on the paired subset
-        n_pairs = validate_image_payloads(
-            pairs.where("split='ref'"), pairs.where("split='test'")
+        pv(
+            img,
+            numeric_cols=["w", "h", "phash"],
+            cat_cols=["fmt"],
+            ks_cols=["w", "h"],
         ).count()
+        # payload pass (decode + PSNR + captions), co-located layout
+        n_pairs = validate_image_payloads_paired(pairs).count()
         dt = time.time() - t0
         q["image_validation"] = round(dt, 3)
         images_per_sec = round((IMAGE_ROWS + n_pairs) / dt, 1)

@@ -252,7 +252,7 @@ def ks_d_by_partition_broadcast(
         ecdf[feat] = (vals, cums, int(cums[-1]))
     b_ecdf = spark.sparkContext.broadcast(ecdf)
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def compute(key, pdf):
         part, feat = key
         vals, cums, n = b_ecdf.value[feat]
         t = np.sort(pdf["value"].values.astype(np.float64))
@@ -357,6 +357,8 @@ def partition_verdicts(
     reference severity ladder, and pass/fail.  ``parts`` restricts the run
     to a subset of partitions (the checkpoint/resume hook).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = df.sparkSession
     ref_df = df.where(F.col(split_col) == ref_value)
     test_df = df.where(F.col(split_col) == test_value)
@@ -365,7 +367,9 @@ def partition_verdicts(
 
     rows: List[tuple] = []
 
-    if numeric_cols:
+    def run_psi():
+        if not numeric_cols:
+            return []
         if approx_quantile_error is not None:
             # scale path: Greenwald-Khanna approximate edges (at 10^12 rows
             # an exact percentile sort is not realistic; pd.qcut parity
@@ -381,44 +385,60 @@ def partition_verdicts(
             }
         else:
             edges_map = quantile_edges(ref_df, numeric_cols, n_bins)
-        for r in psi_by_partition(ref_df, test_df, edges_map, part_col).collect():
-            psi = float(r["psi"])
-            rows.append(
-                (
-                    r["part"],
-                    r["feature"],
-                    "psi",
-                    psi,
-                    None,
-                    severity_from_psi(psi),
-                    psi < psi_threshold,
-                    int(r["n_ref"]),
-                    int(r["n_test"]),
-                )
-            )
-        ks_columns = list(numeric_cols if ks_cols is None else ks_cols)
-        for r in (
-            ks_d_by_partition_broadcast(ref_df, test_df, ks_columns, part_col).collect()
-            if ks_columns
-            else []
-        ):
-            d, n, m = float(r["d"]), int(r["n"]), int(r["m"])
-            p = ks_2samp_pvalue(d, n, m)
-            rows.append(
-                (
-                    r["part"],
-                    r["feature"],
-                    "ks",
-                    d,
-                    p,
-                    severity_from_pvalue(p, ks_threshold),
-                    not (p < ks_threshold),
-                    n,
-                    m,
-                )
-            )
+        return psi_by_partition(ref_df, test_df, edges_map, part_col).collect()
 
-    for rec in chi2_by_partition(ref_df, test_df, cat_cols, part_col):
+    def run_ks():
+        ks_columns = list(numeric_cols if ks_cols is None else ks_cols)
+        if not ks_columns:
+            return []
+        return ks_d_by_partition_broadcast(
+            ref_df, test_df, ks_columns, part_col
+        ).collect()
+
+    def run_chi2():
+        return chi2_by_partition(ref_df, test_df, cat_cols, part_col)
+
+    # the three check families are independent — submit their Spark jobs
+    # concurrently so per-job scheduling latency overlaps (the scheduler
+    # interleaves stages; at scale this also overlaps shuffle waits)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        psi_fut = pool.submit(run_psi)
+        ks_fut = pool.submit(run_ks)
+        chi2_fut = pool.submit(run_chi2)
+        psi_rows, ks_rows, chi2_rows = psi_fut.result(), ks_fut.result(), chi2_fut.result()
+
+    for r in psi_rows:
+        psi = float(r["psi"])
+        rows.append(
+            (
+                r["part"],
+                r["feature"],
+                "psi",
+                psi,
+                None,
+                severity_from_psi(psi),
+                psi < psi_threshold,
+                int(r["n_ref"]),
+                int(r["n_test"]),
+            )
+        )
+    for r in ks_rows:
+        d, n, m = float(r["d"]), int(r["n"]), int(r["m"])
+        p = ks_2samp_pvalue(d, n, m)
+        rows.append(
+            (
+                r["part"],
+                r["feature"],
+                "ks",
+                d,
+                p,
+                severity_from_pvalue(p, ks_threshold),
+                not (p < ks_threshold),
+                n,
+                m,
+            )
+        )
+    for rec in chi2_rows:
         p = rec["p"]
         rows.append(
             (

@@ -74,11 +74,14 @@ def run(master, zpath, tmp):
 
 
 def main():
-    tmp = tempfile.mkdtemp(prefix="driftspark_scaling_")
+    data_dir = os.environ.get("SCALING_DATA_DIR")
+    keep = data_dir is not None
+    tmp = data_dir or tempfile.mkdtemp(prefix="driftspark_scaling_")
     try:
-        zpath = build_zip(tmp)
-        print(f"generating {ROWS} images + {PAIRS} pairs ...", flush=True)
-        generate(tmp)
+        zpath = build_zip(tempfile.mkdtemp(prefix="driftspark_zip_"))
+        if not os.path.exists(f"{tmp}/images") or not os.path.exists(f"{tmp}/pairs"):
+            print(f"generating {ROWS} images + {PAIRS} pairs ...", flush=True)
+            generate(tmp)
         results = {}
         for cores in (N, 4 * N):
             print(f"running validation at local[{cores}] ...", flush=True)
@@ -103,7 +106,8 @@ def main():
             json.dump(summary, f, indent=2)
         print(json.dumps(summary, indent=2))
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -41,35 +41,71 @@ def main():
     paired_layout = "ref_bytes" in pairs.columns  # co-located pairs table
     n_images = img.count()
 
-    import sys as _sys
-
-    t0 = time.time()
-    marks = {}
-    profile_columns(img, columns=["w", "h", "phash", "fmt", "caption"], group_cols=["part"]).count()
-    marks["profile"] = round(time.time() - t0, 1)
-    uniqueness_report(img, ["image_id", "split"]).count()
-    marks["uniqueness"] = round(time.time() - t0, 1)
     import os as _os
+    import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
 
     aq = float(_os.environ.get("VALIDATE_APPROX_QUANTILE", "0") or 0) or None
-    # KS runs on the genuine numeric axes; phash (a 64-bit hash) drifts are
-    # caught by its quantile-bin PSI / prefix histogram, where KS on hash
-    # noise has no statistical meaning
-    partition_verdicts(
-        img,
-        numeric_cols=["w", "h", "phash"],
-        cat_cols=["fmt"],
-        approx_quantile_error=aq,
-        ks_cols=["w", "h"],
-    ).count()
-    marks["verdicts"] = round(time.time() - t0, 1)
-    if paired_layout:
-        n_pairs = validate_image_payloads_paired(pairs).count()
-    else:
-        n_pairs = validate_image_payloads(
-            pairs.where(F.col("split") == "ref"), pairs.where(F.col("split") == "test")
-        ).count()
-    marks["payload"] = round(time.time() - t0, 1)
+    marks = {}
+    t0 = time.time()
+
+    def timed(name, fn):
+        s = time.time()
+        r = fn()
+        marks[name] = round(time.time() - s, 1)
+        return r
+
+    def pass_profile():
+        return timed(
+            "profile",
+            lambda: profile_columns(
+                img, columns=["w", "h", "phash", "fmt", "caption"], group_cols=["part"]
+            ).count(),
+        )
+
+    def pass_uniqueness():
+        return timed(
+            "uniqueness",
+            lambda: uniqueness_report(img, ["image_id", "split"]).count(),
+        )
+
+    def pass_verdicts():
+        # KS runs on the genuine numeric axes; phash (a 64-bit hash) drift
+        # is caught by its quantile-bin PSI — KS on hash noise has no
+        # statistical meaning
+        return timed(
+            "verdicts",
+            lambda: partition_verdicts(
+                img,
+                numeric_cols=["w", "h", "phash"],
+                cat_cols=["fmt"],
+                approx_quantile_error=aq,
+                ks_cols=["w", "h"],
+            ).count(),
+        )
+
+    def pass_payload():
+        def run():
+            if paired_layout:
+                return validate_image_payloads_paired(pairs).count()
+            return validate_image_payloads(
+                pairs.where(F.col("split") == "ref"),
+                pairs.where(F.col("split") == "test"),
+            ).count()
+
+        return timed("payload", run)
+
+    # the four validation passes are independent — run them concurrently so
+    # Spark interleaves their stages (overlaps per-job scheduling latency)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(pass_profile),
+            pool.submit(pass_uniqueness),
+            pool.submit(pass_verdicts),
+            pool.submit(pass_payload),
+        ]
+        results = [f.result() for f in futs]
+    n_pairs = results[3]
     print("marks:", marks, file=_sys.stderr, flush=True)
     dt = time.time() - t0
 
