@@ -101,6 +101,60 @@ class MMD(BaseDriftDetector):
         pdf = df.toPandas()
         return np.nan_to_num(pdf.values.astype(np.float64)), total
 
+    def _permutation_pvalue(self, X: np.ndarray, Y: np.ndarray, mmd_obs: float) -> float:
+        """Permutation-test p = (#null >= obs + 1)/(N + 1) (mmd.py:141-170).
+
+        Fast path: the kernel matrix over the pooled sample is computed
+        ONCE and each permutation only re-slices it — O(N * n^2) index
+        work instead of N full kernel computations.  The permutation gamma
+        is fixed to the observed statistic's median-heuristic value
+        (the reference recomputes the heuristic per permutation, but its
+        permutations are also unseeded, so no reproducible parity exists
+        to preserve; fixed-gamma permutation testing is the standard
+        formulation)."""
+        n, m = len(X), len(Y)
+        combined = np.vstack([X, Y])
+        gamma = self.gamma
+        if gamma is None and self.kernel == "rbf":
+            head = np.vstack([X[: min(100, n)], Y[: min(100, m)]])
+            sq = np.sum((head[:, None, :] - head[None, :, :]) ** 2, axis=2)
+            med = np.median(sq[sq > 0]) if (sq > 0).any() else 0.0
+            gamma = 1.0 / (2 * med) if med > 0 else 1.0
+        if self.kernel == "rbf":
+            K = _rbf_kernel(combined, combined, gamma)
+        else:
+            K = combined @ combined.T
+        rng = (
+            np.random.RandomState(self.perm_seed)
+            if self.perm_seed is not None
+            else np.random
+        )
+        # per-permutation block sums via one mat-vec: with indicator u of
+        # the permuted X side, sum_XX = u.K u, sum_XY = u.K(1-u), and
+        # sum_YY = total - sum_XX - 2 sum_XY (K symmetric) — O(N^2) per
+        # permutation instead of O(N^2) MEMORY gathers per block
+        rowsum = K.sum(axis=1)
+        total = float(rowsum.sum())
+        diag = np.diag(K)
+        null_mmds = np.empty(self.n_permutations)
+        for i in range(self.n_permutations):
+            perm = rng.permutation(n + m)
+            u = np.zeros(n + m)
+            u[perm[:n]] = 1.0
+            Ku = K @ u
+            sum_xx = float(u @ Ku)
+            sum_xy = float((rowsum - Ku) @ u)
+            sum_yy = total - sum_xx - 2 * sum_xy
+            tr_xx = float(diag @ u)
+            tr_yy = float(diag.sum() - tr_xx)
+            mmd_sq = (
+                (sum_xx - tr_xx) / (n * (n - 1))
+                + (sum_yy - tr_yy) / (m * (m - 1))
+                - 2 * sum_xy / (n * m)
+            )
+            null_mmds[i] = np.sqrt(max(0, mmd_sq))
+        return float((np.sum(null_mmds >= mmd_obs) + 1) / (self.n_permutations + 1))
+
     def detect(self, test_data: SparkDataset) -> DetectionResult:
         self._require_fitted()
         ref = self._reference_data
@@ -121,25 +175,7 @@ class MMD(BaseDriftDetector):
 
         p_value = None
         if self.n_permutations > 0:
-            rng = (
-                np.random.RandomState(self.perm_seed)
-                if self.perm_seed is not None
-                else np.random
-            )
-            combined = np.vstack([X, Y])
-            n = len(X)
-            null_mmds = []
-            for _ in range(self.n_permutations):
-                perm = rng.permutation(len(combined))
-                null_mmds.append(
-                    mmd_unbiased(
-                        combined[perm[:n]], combined[perm[n:]], self.kernel, self.gamma
-                    )
-                )
-            p_value = float(
-                (np.sum(np.array(null_mmds) >= mmd_value) + 1)
-                / (self.n_permutations + 1)
-            )
+            p_value = self._permutation_pvalue(X, Y, mmd_value)
 
         drift_detected = mmd_value >= self.threshold
         severity = DriftSeverity(severity_from_mmd(mmd_value, self.threshold))

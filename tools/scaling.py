@@ -21,8 +21,8 @@ sys.path.insert(0, "/root/repo")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(os.environ.get("SCALING_N", "2"))
-ROWS = int(os.environ.get("SCALING_ROWS", "20000000"))
-PAIRS = int(os.environ.get("SCALING_PAIRS", "800000"))
+ROWS = int(os.environ.get("SCALING_ROWS", "10000000"))
+PAIRS = int(os.environ.get("SCALING_PAIRS", "5000000"))
 
 
 def build_zip(tmp):
