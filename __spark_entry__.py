@@ -266,6 +266,23 @@ def _q_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_embedding_neardups(spark, sf_dir):
+    """Dedup (embedding-cosine): exact all-pairs near-duplicates >= 0.4."""
+    from driftspark.ann import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     """Scan/agg over the events table with time bucketing."""
     ev = _t(spark, sf_dir, "events")
@@ -332,6 +349,35 @@ def _q_image_verdicts(spark, sf_dir):
     ).orderBy("part", "feature", "check")
 
 
+def _q_embedding_neardups_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup candidates with exact verification (scale
+    path; recall < 1 by construction → rows-only check)."""
+    from driftspark.ann import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.4, bands=8, n_planes=16
+    )
+    return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    """Multimodal: decode + feature-extract image payloads (real codecs)."""
+    from driftspark.multimodal import image_features
+    from driftspark.synth import synth_image_table
+
+    t = synth_image_table(spark, 500, with_bytes=True, num_partitions=4)
+    return image_features(t).select(
+        "image_id",
+        "width",
+        "height",
+        F.round("brightness", 4).alias("brightness"),
+        F.round("contrast", 4).alias("contrast"),
+    ).orderBy("image_id")
+
+
 def _q_image_payload_check(spark, sf_dir):
     """PSNR>=40dB + caption equality on synthetic payload pairs."""
     from driftspark.imageops import validate_image_payloads
@@ -365,12 +411,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_topk,
+        "embedding_neardups_exact": _q_embedding_neardups,
         "events_hourly": _q_events_hourly,
         "null_counts": _q_null_counts,
         # rows-only (non-SQL-expressible / synthetic-input)
         "simhash": _q_simhash,
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,
+        "embedding_neardups_lsh": _q_embedding_neardups_lsh,
+        "image_features": _q_image_features,
         "image_partition_verdicts": _q_image_verdicts,
         "image_payload_check": _q_image_payload_check,
     }
@@ -612,6 +661,26 @@ def oracle_sql() -> dict[str, str]:
             ), qn AS (SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n FROM q)
             SELECT vec_id, round(dot / (nv * (SELECT n FROM qn)), 6) AS cosine
             FROM d ORDER BY dot / (nv * (SELECT n FROM qn)) DESC, vec_id LIMIT 10
+        """,
+        "embedding_neardups_exact": """
+            WITH va AS (
+              SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+              FROM embeddings
+            ), dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+              FROM va a JOIN va b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id
+            ), norms AS (
+              SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM va GROUP BY vec_id
+            )
+            SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.vec_id = id_a
+            JOIN norms nb ON nb.vec_id = id_b
+            WHERE dot / (na.nrm * nb.nrm) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "events_hourly": """
             SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,

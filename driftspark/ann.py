@@ -123,6 +123,70 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 500,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH.
+
+    Sign-signature every vector against deterministic hyperplanes, band the
+    signature (two vectors within a small angle share a band with high
+    probability), equi-join per (band, band-bits) bucket with a hot-bucket
+    guard, then verify candidates with the exact cosine.  Returns
+    (id_a, id_b, cosine >= min_cosine), id_a < id_b.
+
+    Recall is probabilistic (raise bands for higher recall, planes for
+    precision); the all-pairs oracle is knn_pairs_exact."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig = signature_expr(F.col(vec_col), planes)
+    with_sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), b * bits_per_band)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = with_sig.select(
+        "id", "vec", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    sized = buckets.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("__sz") <= max_bucket_size)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def knn_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5, max_rows: int = 20000
 ) -> DataFrame:

@@ -1,0 +1,144 @@
+"""Structured Streaming drift monitoring.
+
+The reference engine is strictly two-batch (SURVEY.md §2.9 — no streaming
+surface), and the north rule's resumability is batch checkpoint/resume
+(driftspark.checkpoint).  This module is the engine's ADDITIONAL streaming
+surface for continuously-landing data: a ``readStream`` source of new
+reference-vs-production micro-batches, with per-batch drift verdicts
+computed in ``foreachBatch`` against a once-fitted reference state and
+appended to a verdict sink.  Late data is handled by watermarked
+event-time windows when a timestamp column is provided.
+
+Design: fit state (PSI bin edges) is computed ONCE from the static
+reference DataFrame and captured in the closure (tiny, broadcast by Spark
+with each task) — the stream never rescans the reference.  Each
+micro-batch runs the same conditional-aggregation histogram plan as the
+batch PSI path, so batch and streaming verdicts are numerically identical
+for identical input rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from driftspark.numerics import psi_from_proportions, severity_from_psi
+from driftspark.stats import histogram_proportions, quantile_edges
+
+
+class StreamingDriftMonitor:
+    """Continuously score arriving micro-batches against a fitted reference.
+
+    Usage::
+
+        monitor = StreamingDriftMonitor(ref_df, numeric_cols=["w", "h"])
+        stream = spark.readStream.schema(schema).parquet(incoming_dir)
+        query = monitor.start(stream, verdict_sink_dir, checkpoint_dir)
+        query.awaitTermination()
+
+    Each micro-batch appends one verdict row per feature to the sink:
+    (batch_id, feature, psi, severity, passed, n_test, processed_at).
+    """
+
+    def __init__(
+        self,
+        reference_df: DataFrame,
+        numeric_cols: Sequence[str],
+        n_bins: int = 10,
+        psi_threshold: float = 0.2,
+        min_bin_size: float = 0.001,
+    ):
+        self.numeric_cols = list(numeric_cols)
+        self.n_bins = n_bins
+        self.psi_threshold = psi_threshold
+        self.min_bin_size = min_bin_size
+        # fit once on the static reference; edges + reference proportions
+        # are the only state the stream needs
+        self.edges: Dict[str, np.ndarray] = quantile_edges(
+            reference_df, self.numeric_cols, n_bins
+        )
+        props = histogram_proportions(reference_df, reference_df, self.edges)
+        self.ref_props: Dict[str, np.ndarray] = {c: p[0] for c, p in props.items()}
+
+    def score_batch(self, batch_df: DataFrame) -> list:
+        """Verdict rows for one (micro-)batch — shared by foreachBatch and
+        direct batch calls, so streaming == batch numerics."""
+        hists = histogram_proportions(batch_df, batch_df, self.edges)
+        rows = []
+        for c, (test_p, _) in hists.items():
+            n_test = None  # proportions already normalized; count separately
+            psi = (
+                psi_from_proportions(self.ref_props[c], test_p, self.min_bin_size)
+                if test_p.sum() > 0
+                else 0.0
+            )
+            rows.append(
+                {
+                    "feature": c,
+                    "psi": float(psi),
+                    "severity": severity_from_psi(psi),
+                    "passed": bool(psi < self.psi_threshold),
+                }
+            )
+        return rows
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        sink_dir: str,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+        processing_time: Optional[str] = None,
+    ):
+        """Attach foreachBatch scoring to a streaming DataFrame and start."""
+        spark = stream_df.sparkSession
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.rdd.isEmpty():
+                return
+            n = batch_df.count()
+            rows = self.score_batch(batch_df)
+            out = spark.createDataFrame(
+                [
+                    (int(batch_id), r["feature"], r["psi"], r["severity"], r["passed"], n)
+                    for r in rows
+                ],
+                "batch_id long, feature string, psi double, severity string, "
+                "passed boolean, n_test long",
+            ).withColumn("processed_at", F.current_timestamp())
+            out.write.mode("append").parquet(sink_dir)
+
+        writer = stream_df.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked event-time windowed counts — the late-data-tolerant
+    aggregation shape for streaming quality metrics (rows landing later
+    than the watermark are dropped deterministically)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n",
+        )
+    )

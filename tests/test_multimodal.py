@@ -1,0 +1,117 @@
+"""Multimodal operators: real image path, stubbed audio/video plumbing,
+embedding near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark import imageops as io
+from driftspark.ann import embedding_near_duplicates, knn_pairs_exact
+from driftspark.multimodal import (
+    audio_features,
+    encode_fake_audio,
+    encode_fake_video,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+from driftspark.synth import synth_image_table
+
+
+def test_image_features_real_decode(spark):
+    t = synth_image_table(spark, 200, with_bytes=True, num_partitions=2)
+    feats = image_features(t).cache()
+    pdf = feats.toPandas()
+    assert len(pdf) == 200
+    assert pdf["decode_error"].isna().all()
+    assert (pdf["width"] > 0).all() and (pdf["height"] > 0).all()
+    # pixels are uniform-ish noise in [0, 200) + brightness: means near 100
+    assert pdf["brightness"].between(60, 140).all()
+    assert (pdf["contrast"] > 0).all()
+    # oracle on one row
+    row = t.where("image_id = 'img_0000000000'").first()
+    px = io.decode_image(bytes(row["bytes"]), row["fmt"])
+    f0 = pdf[pdf["image_id"] == "img_0000000000"].iloc[0]
+    assert f0["brightness"] == pytest.approx(px.astype(float).mean(axis=2).mean(), abs=1e-9)
+    assert f0["mean_r"] == pytest.approx(px[:, :, 0].mean(), abs=1e-9)
+
+
+def test_resize_images(spark):
+    t = synth_image_table(spark, 50, with_bytes=True, num_partitions=2)
+    resized = resize_images(t, 8, 8).toPandas()
+    assert len(resized) == 50
+    assert (resized["w"] == 8).all() and (resized["h"] == 8).all()
+    px = io.decode_png(bytes(resized["bytes"].iloc[0]))
+    assert px.shape == (8, 8, 3)
+
+
+def test_audio_features_fake_codec(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(20):
+        sr = 16000
+        samples = np.sin(np.linspace(0, 440 * 2 * np.pi, sr)).astype(np.float32)
+        rows.append((f"aud_{i}", encode_fake_audio(samples, sr)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    feats = audio_features(df, fake=True).toPandas()
+    assert len(feats) == 20
+    assert feats["decode_error"].isna().all()
+    assert (feats["sample_rate"] == 16000).all()
+    assert feats["duration_sec"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert feats["rms"].iloc[0] == pytest.approx(1 / np.sqrt(2), abs=0.01)  # sine RMS
+    assert feats["peak"].iloc[0] == pytest.approx(1.0, abs=0.01)
+
+
+def test_audio_stub_without_codec(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([("a0", b"RIFF....WAVE")], columns=["audio_id", "bytes"])
+    )
+    feats = audio_features(df).toPandas()  # fake=False → stub error surface
+    assert len(feats) == 1
+    assert "not available" in feats["decode_error"].iloc[0]
+
+
+def test_video_frame_sampling_fake_codec(spark):
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (10, 16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([("v0", encode_fake_video(frames))], columns=["video_id", "bytes"])
+    )
+    out = sample_frames(df, [0, 5, 9], fake=True).toPandas()
+    assert len(out) == 3
+    assert out["decode_error"].isna().all()
+    # extracted frame 5 decodes back to the original pixels
+    f5 = out[out["frame_idx"] == 5].iloc[0]
+    assert np.array_equal(io.decode_png(bytes(f5["bytes"])), frames[5])
+    # stub path without fake flag
+    stub = sample_frames(df, [0]).toPandas()
+    assert "not available" in stub["decode_error"].iloc[0]
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(42)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    # rows 0/1 and 2/3 are near-duplicates (tiny perturbation)
+    base[1] = base[0] + rng.normal(scale=0.01, size=16)
+    base[3] = base[2] + rng.normal(scale=0.01, size=16)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in base]})
+    df = spark.createDataFrame(pdf)
+    got = embedding_near_duplicates(
+        df, "vec_id", "embedding", min_cosine=0.99, bands=8, n_planes=16
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # verified cosines are exact
+    sims = {(r["id_a"], r["id_b"]): r["cosine"] for r in got}
+    a, b = base[0], base[1]
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert sims[(0, 1)] == pytest.approx(expected, abs=1e-6)
+    # no false positives against the exact all-pairs oracle
+    oracle = knn_pairs_exact(df, "vec_id", "embedding", k=59)
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in oracle.where("cosine >= 0.99").collect()
+        if r["id_a"] < r["id_b"]
+    }
+    assert pairs <= true_pairs

@@ -1,0 +1,73 @@
+"""Structured Streaming drift monitor: real streaming query, batch parity."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark.streaming import StreamingDriftMonitor, windowed_event_counts
+
+
+def test_streaming_drift_monitor_end_to_end(spark):
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(42)
+        ref_pdf = pd.DataFrame({"x": rng.normal(0, 1, 3000), "y": rng.normal(5, 2, 3000)})
+        ref_df = spark.createDataFrame(ref_pdf)
+        monitor = StreamingDriftMonitor(ref_df, ["x", "y"], psi_threshold=0.2)
+
+        # land two micro-batch files: one stable, one drifted
+        stable = pd.DataFrame({"x": rng.normal(0, 1, 2000), "y": rng.normal(5, 2, 2000)})
+        drifted = pd.DataFrame({"x": rng.normal(2, 1, 2000), "y": rng.normal(5, 2, 2000)})
+        spark.createDataFrame(stable).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(drifted).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("x double, y double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = monitor.start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(f"{tmp}/sink").toPandas()
+        assert set(out["feature"]) == {"x", "y"}
+        assert len(out) == 4  # 2 batches x 2 features
+        by = out.set_index(["batch_id", "feature"])
+        # y is stable in both batches
+        assert by.loc[(0, "y"), "passed"] and by.loc[(1, "y"), "passed"]
+        # exactly one batch drifts on x
+        x_pass = sorted([bool(by.loc[(0, "x"), "passed"]), bool(by.loc[(1, "x"), "passed"])])
+        assert x_pass == [False, True]
+        failed_x = by[(~by["passed"]) & (by.index.get_level_values("feature") == "x")]
+        assert (failed_x["psi"] > 1.0).all()
+        assert (failed_x["severity"] == "critical").all()
+
+        # streaming == batch numerics: score the drifted frame directly
+        direct = {
+            r["feature"]: r["psi"]
+            for r in monitor.score_batch(spark.createDataFrame(drifted))
+        }
+        drifted_batch_psi = float(out[(~out["passed"]) & (out["feature"] == "x")]["psi"].iloc[0])
+        assert direct["x"] == pytest.approx(drifted_batch_psi, abs=1e-12)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    # the windowing expression is testable on a static frame
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 01:10"]
+            ),
+            "kind": ["a", "a", "b"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = windowed_event_counts(df, "ts", "1 hour", "2 hours", ["kind"]).toPandas()
+    assert len(out) == 2
+    assert sorted(out["n"].tolist()) == [1, 2]
