@@ -1,0 +1,138 @@
+"""Physical-plan assertions: the optimizations the engine relies on at
+10^12-row scale must actually appear in the plans (predicate pushdown,
+column pruning, broadcast joins, map-side partial aggregation,
+whole-stage codegen)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark.constraints import referential_violations, uniqueness_violations
+from driftspark.profile import profile_columns
+from driftspark.stats import bucket_expr, histogram_proportions, ks_d_all
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(li):
+    df = li.where(F.col("l_quantity") > 30).select("l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_in_profile(li):
+    prof = profile_columns(li, columns=["l_quantity"], group_cols=["l_returnflag"])
+    plan = _plan(prof)
+    # ReadSchema carries only the needed columns, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_histogram_single_scan_partial_agg(spark, li):
+    ref = li.where("l_orderkey % 2 = 0")
+    test = li.where("l_orderkey % 2 = 1")
+    u = ref.select("l_quantity").withColumn("__side", F.lit("ref")).unionByName(
+        test.select("l_quantity").withColumn("__side", F.lit("test"))
+    )
+    edges = np.array([1.0, 10.0, 25.0, 50.0])
+    b = bucket_expr("l_quantity", edges)
+    agg = u.groupBy("__side").agg(
+        F.sum(F.when(b == 0, 1).otherwise(0)).alias("b0"), F.count(b).alias("t")
+    )
+    plan = _plan(agg)
+    # hash aggregation runs partial then final (map-side combine): only the
+    # tiny aggregate state crosses the exchange, never row data
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning" in plan
+    # after execution the finalized plan runs inside whole-stage codegen
+    # (the "*(n)" prefix marks codegen stages in the plan string)
+    agg.collect()
+    final = _plan(agg)
+    assert "isFinalPlan=true" in final
+    assert "*(" in final
+
+
+def test_referential_join_broadcasts_small_parent(spark, li):
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    v = referential_violations(li, "l_partkey", part, "p_partkey")
+    plan = _plan(v)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_uniqueness_violation_join_broadcasts_dup_keys(li):
+    v = uniqueness_violations(li.select("l_orderkey"), ["l_orderkey"])
+    plan = _plan(v)
+    assert "BroadcastHashJoin" in plan  # dup-key set is broadcast
+
+
+def test_ks_window_partitioned_not_global(spark, li):
+    ref = li.where("l_orderkey % 2 = 0")
+    test = li.where("l_orderkey % 2 = 1")
+    # construct the lazy plan only (no action) and inspect
+    from driftspark.stats import _melt
+    from pyspark.sql import Window
+
+    u = _melt(ref, ["l_quantity", "l_tax"]).withColumn("r", F.lit(1)).withColumn(
+        "t", F.lit(0)
+    )
+    g = u.groupBy("feature", "value").agg(F.sum("r").alias("r"))
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = g.select("feature", F.sum("r").over(w).alias("c"))
+    plan = _plan(scored)
+    # the cumulative window is partitioned by feature — no single-partition
+    # global window (which would serialize the whole table through one task)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_detectors_never_use_row_udfs(spark, li):
+    """No BatchEvalPython (row-at-a-time Python UDF) in any detector plan;
+    only ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas allowed."""
+    ref = li.where("l_orderkey % 2 = 0").select("l_quantity", "l_tax")
+    test = li.where("l_orderkey % 2 = 1").select("l_quantity", "l_tax")
+    from driftspark.stats import quantile_edges
+
+    edges = quantile_edges(ref, ["l_quantity"], 5)
+    # PSI histogram plan
+    u = ref.withColumn("__side", F.lit("r")).unionByName(
+        test.withColumn("__side", F.lit("t"))
+    )
+    b = bucket_expr("l_quantity", edges["l_quantity"])
+    agg = u.groupBy("__side").agg(F.sum(F.when(b == 0, 1).otherwise(0)).alias("x"))
+    assert "BatchEvalPython" not in _plan(agg)
+
+    # hallucination Mahalanobis scoring plan is Arrow-vectorized
+    import pandas as pd
+
+    from driftspark import SparkDataset
+    from driftspark.detectors.hallucination import HallucinationRiskDetector
+
+    det = HallucinationRiskDetector()
+    det.fit(SparkDataset(ref))
+    tds = SparkDataset(
+        test.withColumn("proba", F.lit(0.9)), feature_cols=["l_quantity", "l_tax"], proba_col="proba"
+    )
+    res = det.detect(tds)
+    plan = _plan(res.rows)
+    assert "BatchEvalPython" not in plan
+    assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
