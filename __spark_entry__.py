@@ -10,11 +10,16 @@ cross-engine last-ulp differences; column names are aliased identically.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the driftspark package importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # ---------------------------------------------------------------------------
 # shared constants (identical literals on the Spark and DuckDB sides)

@@ -22,24 +22,42 @@ from driftspark.results import (
     RCAResult,
 )
 
-# importing subpackages registers components
-from driftspark import detectors as _detectors  # noqa: F401
-from driftspark import localize as _localize  # noqa: F401
-from driftspark import rca as _rca  # noqa: F401
+# importing these registers the components (reference __init__ parity)
+from driftspark.detectors import (
+    CBPE,
+    MMD,
+    DomainClassifier,
+    HallucinationRiskDetector,
+    KSTest,
+    PSI,
+)
+from driftspark.loaders import DataLoader
+from driftspark.localize import UnivariateLocalizer
+from driftspark.rca import DistributionChangeRCA, SHAPAnalyzer
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "SparkDataset",
     "DriftPipeline",
+    "SparkDataset",
+    "DetectionResult",
+    "LocalizationResult",
+    "RCAResult",
+    "PipelineResult",
+    "DriftSeverity",
+    "FeatureDrift",
     "DetectorRegistry",
     "LocalizerRegistry",
     "RCARegistry",
-    "DetectionResult",
-    "DriftSeverity",
-    "FeatureDrift",
+    "KSTest",
+    "PSI",
+    "MMD",
+    "DomainClassifier",
+    "CBPE",
+    "HallucinationRiskDetector",
     "HallucinationResult",
-    "LocalizationResult",
-    "PipelineResult",
-    "RCAResult",
+    "UnivariateLocalizer",
+    "SHAPAnalyzer",
+    "DistributionChangeRCA",
+    "DataLoader",
 ]

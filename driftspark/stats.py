@@ -66,25 +66,33 @@ def quantile_edges(
     if not cols:
         return {}
     probs = [i / q for i in range(q + 1)]
-    aggs = []
-    for c in cols:
-        aggs.append(
-            F.percentile(nn(c), F.array(*[F.lit(p) for p in probs])).alias(f"{c}__pct")
+    # pre-aggregate to (feature, value, count) so the exact percentile's
+    # sort/merge state holds DISTINCT values with frequencies instead of
+    # every row — map-side partial aggregation shrinks low-cardinality
+    # columns by orders of magnitude, and the result is identical to the
+    # percentile of the expanded multiset
+    melted = _melt(df, cols)
+    counted = melted.groupBy("feature", "value").agg(F.count(F.lit(1)).alias("freq"))
+    rows = (
+        counted.groupBy("feature")
+        .agg(
+            F.percentile(
+                F.col("value"), F.array(*[F.lit(p) for p in probs]), F.col("freq")
+            ).alias("pct"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
         )
-        aggs.append(F.min(nn(c)).alias(f"{c}__min"))
-        aggs.append(F.max(nn(c)).alias(f"{c}__max"))
-    row = df.agg(*aggs).first()
+        .collect()
+    )
     out: Dict[str, np.ndarray] = {}
-    for c in cols:
-        pct = row[f"{c}__pct"]
-        if pct is None:  # all-null column
+    for r in rows:
+        if r["pct"] is None:  # all-null column
             continue
-        edges = np.unique(np.asarray(pct, dtype=np.float64))
+        edges = np.unique(np.asarray(r["pct"], dtype=np.float64))
         if len(edges) < 2:
             # constant column → reference falls back to uniform edges
-            lo, hi = row[f"{c}__min"], row[f"{c}__max"]
-            edges = np.linspace(lo, hi, q + 1)
-        out[c] = edges
+            edges = np.linspace(r["vmin"], r["vmax"], q + 1)
+        out[r["feature"]] = edges
     return out
 
 
