@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +186,102 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _kmeans_fit(X: np.ndarray, k: int, iters: int = 15, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (numpy only).
+
+    Seeded farthest-point-ish init (k-means++ style with fixed RNG), fixed
+    iteration count — same centroids for the same input regardless of
+    partitioning."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    n = len(X)
+    k = min(k, n)
+    centroids = np.empty((k, X.shape[1]))
+    centroids[0] = X[int(rng.integers(n))]
+    d2 = np.sum((X - centroids[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = X[int(rng.choice(n, p=probs))]
+        d2 = np.minimum(d2, np.sum((X - centroids[i]) ** 2, axis=1))
+    for _ in range(iters):
+        dists = (
+            np.sum(X**2, axis=1)[:, None]
+            - 2 * X @ centroids.T
+            + np.sum(centroids**2, axis=1)[None, :]
+        )
+        assign = dists.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IVFIndex:
+    """Inverted-file ANN index: coarse k-means centroids fitted on a
+    driver-side sample; every vector is assigned its nearest centroid
+    (one Arrow-batched matmul pass); queries probe only the ``n_probe``
+    nearest cells.
+
+    The scale story: persist ``assign(df)`` output PARTITIONED BY
+    ``centroid_id`` (parquet/Iceberg) — a probe then becomes a
+    partition-pruned scan of n_probe/k of the data, no index service
+    needed."""
+
+    def __init__(self, n_centroids: int = 64, seed: int = 42, sample_rows: int = 100_000):
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.sample_rows = sample_rows
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, vec_col: str) -> "IVFIndex":
+        sample = df.select(vec_col)
+        n = sample.count()
+        if n > self.sample_rows:
+            sample = sample.orderBy(F.xxhash64(vec_col)).limit(self.sample_rows)
+        X = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+        self.centroids = _kmeans_fit(X, self.n_centroids, seed=self.seed)
+        return self
+
+    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Append centroid_id — vectorized pandas UDF (one matmul per
+        Arrow batch against the broadcast centroid matrix)."""
+        C = self.centroids
+        c_sq = np.sum(C**2, axis=1)
+
+        def nearest(v: pd.Series) -> pd.Series:
+            X = np.array(v.tolist(), dtype=np.float64)
+            d = np.sum(X**2, axis=1)[:, None] - 2 * X @ C.T + c_sq[None, :]
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        nearest_udf = F.pandas_udf(nearest, "int")
+        return df.withColumn("centroid_id", nearest_udf(F.col(vec_col)))
+
+    def probe_cells(self, query: Sequence[float], n_probe: int) -> List[int]:
+        q = np.asarray(query, dtype=np.float64)
+        d = np.sum((self.centroids - q) ** 2, axis=1)
+        return [int(i) for i in np.argsort(d)[:n_probe]]
+
+    def search(
+        self,
+        assigned_df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        query: Sequence[float],
+        k: int = 10,
+        n_probe: int = 8,
+    ) -> DataFrame:
+        """Exact cosine top-k within the probed cells (recall < 1 when the
+        true neighbors live outside the probed cells)."""
+        cells = self.probe_cells(query, n_probe)
+        cand = assigned_df.where(F.col("centroid_id").isin(cells))
+        cos = cosine_similarity_col(F.col(vec_col), query)
+        return (
+            cand.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k)
+        )
 
 
 def knn_pairs_exact(

@@ -292,22 +292,27 @@ def chi2_by_partition(
     categories) count rows runs on the driver."""
     out: List[dict] = []
     for col in cat_cols:
-        ref_counts = (
+        # both sides in ONE job: ref rows tagged with a NULL part
+        u = (
             ref_df.where(F.col(col).isNotNull())
-            .groupBy(F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).alias("r"))
-            .collect()
+            .select(
+                F.lit(None).cast("long").alias("part"),
+                F.col(col).alias("v"),
+            )
+            .unionByName(
+                test_df.where(F.col(col).isNotNull()).select(
+                    F.col(part_col).cast("long").alias("part"), F.col(col).alias("v")
+                )
+            )
         )
-        ref_map = {r["v"]: r["r"] for r in ref_counts}
-        test_counts = (
-            test_df.where(F.col(col).isNotNull())
-            .groupBy(F.col(part_col).alias("part"), F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).alias("t"))
-            .collect()
-        )
+        counts = u.groupBy("part", "v").agg(F.count(F.lit(1)).alias("c")).collect()
+        ref_map: Dict = {}
         by_part: Dict = {}
-        for r in test_counts:
-            by_part.setdefault(r["part"], {})[r["v"]] = r["t"]
+        for r in counts:
+            if r["part"] is None:
+                ref_map[r["v"]] = r["c"]
+            else:
+                by_part.setdefault(int(r["part"]), {})[r["v"]] = r["c"]
         for part, tmap in by_part.items():
             cats = sorted(set(ref_map) | set(tmap))
             rc = np.array([ref_map.get(c, 0) for c in cats], dtype=np.float64)

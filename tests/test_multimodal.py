@@ -115,3 +115,28 @@ def test_embedding_near_duplicates(spark):
         if r["id_a"] < r["id_b"]
     }
     assert pairs <= true_pairs
+
+
+def test_ivf_index_recall(spark):
+    rng = np.random.RandomState(42)
+    from driftspark.ann import IVFIndex, cosine_topk
+
+    # clustered embeddings so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 3
+    vecs = np.vstack([c + rng.normal(scale=0.3, size=(50, 16)) for c in centers]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    idx = IVFIndex(n_centroids=8).fit(df, "embedding")
+    assigned = idx.assign(df, "embedding").cache()
+    # every vector gets a cell; cells partition the data
+    counts = assigned.groupBy("centroid_id").count().collect()
+    assert sum(r["count"] for r in counts) == 400
+    assert len(counts) >= 6
+    q = vecs[0].tolist()
+    exact = [r["vec_id"] for r in cosine_topk(df.where("vec_id <> 0"), "vec_id", "embedding", q, 10).collect()]
+    got = [r["vec_id"] for r in idx.search(assigned.where("vec_id <> 0"), "vec_id", "embedding", q, k=10, n_probe=2).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.9  # clustered data: nearest cell holds the neighbors
+    # determinism: refit gives identical centroids
+    idx2 = IVFIndex(n_centroids=8).fit(df, "embedding")
+    assert np.allclose(idx.centroids, idx2.centroids)
