@@ -80,7 +80,8 @@ class DomainClassifier(BaseDriftDetector):
             .na.fill(0.0)
         )
         assembler = VectorAssembler(inputCols=cols, outputCol="features")
-        data = assembler.transform(u).select("features", "label")
+        # cached: the CV fits + the final importance fit all iterate this
+        data = assembler.transform(u).select("features", "label").cache()
 
         rf = RandomForestClassifier(
             numTrees=self.n_estimators,
@@ -115,6 +116,7 @@ class DomainClassifier(BaseDriftDetector):
 
         # final fit on everything for importances (:141-147)
         self._classifier = rf.fit(data)
+        data.unpersist()
         importances = dict(zip(cols, self._classifier.featureImportances.toArray()))
         sorted_features = sorted(importances.items(), key=lambda x: x[1], reverse=True)[:10]
         sorted_features = [(f, float(v)) for f, v in sorted_features]
