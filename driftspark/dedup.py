@@ -190,6 +190,49 @@ def jaccard_pairs(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Remove near-duplicate documents, keeping the smallest id of each
+    duplicate group (cluster representative).
+
+    Pipeline: MinHash-LSH verified pairs → connected components collapsed
+    to min-id via iterative label propagation over the pair edges (few
+    joins; near-dup clusters are shallow so 3 rounds converge in practice)
+    → anti-join the losers out of the corpus."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard
+    ).select("id_a", "id_b")
+    # label propagation: each node's label = min(label of neighbors, self)
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(3):
+        neigh = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.id_a, "left")
+            .select(
+                "id", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
+            )
+        )
+    losers = labels.where(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: bit k of the fingerprint is the sign of
     sum over tokens of (2*bit_k(xxhash64(token)) - 1).  64 conditional-sum

@@ -45,6 +45,7 @@ class DomainClassifier(BaseDriftDetector):
         use_cross_val: bool = True,
         cv_folds: int = 3,
         random_state: int = 42,
+        max_samples_per_side: int | None = None,
     ):
         super().__init__(name="domain_classifier")
         self.threshold = threshold
@@ -53,6 +54,11 @@ class DomainClassifier(BaseDriftDetector):
         self.use_cross_val = use_cross_val
         self.cv_folds = cv_folds
         self.random_state = random_state
+        # None = train on the full union (reference parity); a cap applies
+        # a deterministic content-keyed per-side sample first — at 10^12
+        # rows a shallow 100-tree forest gains nothing from more than ~10^5
+        # rows per class, so this bounds training cost without moving AUC
+        self.max_samples_per_side = max_samples_per_side
         self._classifier = None
 
     def detect(self, test_data: SparkDataset) -> DetectionResult:
@@ -74,9 +80,20 @@ class DomainClassifier(BaseDriftDetector):
 
         # union with domain labels (J3), fillna(0) parity (:97-98)
         sel = [F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols]
+        ref_side = ref.df.select(*sel)
+        test_side = test_data.df.select(*sel)
+        if self.max_samples_per_side is not None:
+            cap = self.max_samples_per_side
+            # only sample when a side actually exceeds the cap — a global
+            # orderBy+limit with an over-sized limit materializes a
+            # limit-sized top-k heap and OOMs
+            if ref_side.count() > cap:
+                ref_side = ref_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+            if test_side.count() > cap:
+                test_side = test_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
         u = (
-            ref.df.select(*sel).withColumn("label", F.lit(0.0))
-            .unionByName(test_data.df.select(*sel).withColumn("label", F.lit(1.0)))
+            ref_side.withColumn("label", F.lit(0.0))
+            .unionByName(test_side.withColumn("label", F.lit(1.0)))
             .na.fill(0.0)
         )
         assembler = VectorAssembler(inputCols=cols, outputCol="features")

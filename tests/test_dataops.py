@@ -175,3 +175,16 @@ def test_knn_pairs_exact(spark, vectors):
     for a in range(20):
         order = [int(i) for i in np.argsort(-sims[a]) if i != a][:3]
         assert by_a[a] == order
+
+
+def test_drop_near_duplicates(spark, docs):
+    from driftspark.dedup import drop_near_duplicates
+
+    kept = drop_near_duplicates(
+        docs, "doc_id", "text", n_hashes=16, bands=8, min_jaccard=0.8
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exact dup (0,1): keep min id 0, drop 1; near-dup 2 has jaccard 0.8 vs 0
+    assert 0 in ids and 1 not in ids
+    # unrelated docs survive
+    assert {4, 5, 6, 7} <= ids
