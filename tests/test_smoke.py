@@ -180,3 +180,32 @@ def test_validator_compatibility(spark):
 
     with pytest.raises(ValueError, match="Feature count mismatch"):
         DataValidator.validate_compatibility(a, b)
+
+
+def test_slice_localizer(spark):
+    """Slice localizer attributes drift to the right (slice, feature) cell."""
+    rng = np.random.RandomState(42)
+    ref_pdf = pd.DataFrame(
+        {"x": rng.normal(0, 1, 2000), "y": rng.normal(0, 1, 2000),
+         "source": rng.choice(["web", "books"], 2000)}
+    )
+    test_pdf = pd.DataFrame(
+        {"x": rng.normal(0, 1, 2000), "y": rng.normal(0, 1, 2000),
+         "source": rng.choice(["web", "books"], 2000)}
+    )
+    # only the 'web' slice drifts, and only on feature x
+    test_pdf.loc[test_pdf["source"] == "web", "x"] += 2.0
+    ref = SparkDataset(spark.createDataFrame(ref_pdf), metadata_cols=["source"])
+    test = SparkDataset(spark.createDataFrame(test_pdf), metadata_cols=["source"])
+    loc = LocalizerRegistry.create("slice", slice_col="source").localize(ref, test)
+    sd = loc.slice_drifts
+    assert set(sd) == {"web", "books"}
+    assert sd["web"]["x"]["drift_detected"] is True
+    assert sd["web"]["x"]["severity"] == "critical"
+    assert sd["books"]["x"]["drift_detected"] is False
+    assert sd["web"]["y"]["drift_detected"] is False
+    assert sd["books"]["y"]["drift_detected"] is False
+    # most-drifted cell ranked first
+    assert loc.feature_drifts[0].feature_name == "x@web"
+    d = loc.to_dict()
+    assert d["slice_drifts"]["web"]["x"]["drift_detected"] is True
