@@ -83,6 +83,43 @@ def uniqueness_report(
     ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
 
 
+def uniqueness_check(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 64,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+):
+    """Report + violations from ONE key-count aggregation.
+
+    The per-key counts (salted two-phase) are computed once and cached;
+    the report aggregate and the duplicate-key filter both derive from it,
+    halving the key-grain shuffle work vs calling uniqueness_report and
+    uniqueness_violations separately.  Returns (report_df, violations_df).
+    """
+    key_cols = list(key_cols)
+    salted = df.select(*key_cols).withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    counted = (
+        salted.groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(*key_cols)
+        .agg(F.sum("__cnt").alias("c"))
+        .cache()
+    )
+    report = counted.groupBy().agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+    ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
+    dups = counted.where(F.col("c") > 1).withColumnRenamed("c", "dup_count")
+    n_dups = dups.count()
+    right = F.broadcast(dups) if n_dups <= broadcast_row_limit else dups
+    violations = df.join(right, on=key_cols, how="inner")
+    return report, violations
+
+
 def referential_violations(
     child: DataFrame,
     child_key: str,

@@ -1,0 +1,54 @@
+"""One-call validation runner."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftspark.runner import run_validation
+from driftspark.synth import (
+    synth_dataset_dim,
+    synth_image_pairs_wide,
+    synth_image_table,
+)
+
+
+def test_run_validation_drifted_table(spark):
+    img = synth_image_table(
+        spark, 6000, n_parts=4, drift=True, with_bytes=False, num_partitions=4
+    ).cache()
+    pairs = synth_image_pairs_wide(spark, 300, corrupt_every=100, num_partitions=2)
+    dim = synth_dataset_dim(spark)
+    res = run_validation(img, pairs=pairs, parent=dim)
+    assert res.n_images == 6000
+    assert res.n_pairs == 300
+    assert res.images_per_sec > 0
+    # all four outputs materialized
+    assert res.profile.count() == 4 * 4  # 4 parts x (3 numeric + 1 categorical)
+    assert res.verdicts.count() == 4 * (3 + 2 + 1)  # psi x3 + ks x2 + chi2 x1
+    assert res.uniqueness_violations.count() > 0  # injected dups
+    assert res.referential_violations.count() > 0  # injected dangling fks
+    assert res.payload_checks.where("NOT pixels_ok").count() == 3  # 300/100
+    # drifted table with injected violations fails overall
+    assert res.passed is False
+
+
+def test_run_validation_clean_table_passes(spark):
+    img = synth_image_table(
+        spark,
+        6000,
+        n_parts=4,
+        drift=False,
+        with_bytes=False,
+        dup_every=0,
+        dangling_every=0,
+        num_partitions=4,
+    ).cache()
+    dim = synth_dataset_dim(spark)
+    # alpha=0.01: at the default 0.05 one chi2 cell sits at p=0.024 — the
+    # expected multiple-testing false-positive rate of 24 uncorrected
+    # checks, identical to the reference's per-check semantics
+    res = run_validation(img, parent=dim, ks_threshold=0.01, chi2_threshold=0.01)
+    assert res.verdicts.where("NOT passed").count() == 0
+    assert res.uniqueness_violations.count() == 0
+    assert res.referential_violations.count() == 0
+    assert res.payload_checks is None
+    assert res.passed is True
