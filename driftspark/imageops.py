@@ -27,6 +27,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _QJPG_MAGIC = b"QJPG"
@@ -218,8 +219,6 @@ def validate_image_payloads(ref_df, test_df, min_psnr: float = 40.0):
     batched.  The per-image Python loop inside the batch is inherent to
     codec work (PIL/libjpeg would sit in the same place).
     """
-    from pyspark.sql import functions as F
-
     joined = (
         ref_df.select(
             "image_id",
@@ -240,6 +239,22 @@ def validate_image_payloads(ref_df, test_df, min_psnr: float = 40.0):
     return joined.mapInPandas(
         lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
     )
+
+
+def phash_near_duplicates(df, id_col: str = "image_id", phash_col: str = "phash",
+                          max_hamming: int = 4):
+    """Image near-duplicate pairs by perceptual-hash hamming distance.
+
+    Two images whose 64-bit phash differ in <= max_hamming bits are
+    visually near-identical (for average-hash, each bit is one 8x8 block's
+    brightness sign).  Reuses the SimHash banded hamming join
+    (driftspark.dedup.simhash_near_duplicates): candidates must share one
+    exact 16-bit chunk, then the exact bit_count(xor) verifies — no
+    all-pairs comparison.  Returns (id_a, id_b, hamming)."""
+    from driftspark.dedup import simhash_near_duplicates
+
+    sim = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("simhash"))
+    return simhash_near_duplicates(sim, max_hamming=max_hamming)
 
 
 def validate_image_payloads_paired(paired_df, min_psnr: float = 40.0):

@@ -124,3 +124,30 @@ def test_phash_histogram_detects_prefix_drift(spark):
     # drifted test side concentrates in the [96, 160) prefix band
     assert all(96 <= b < 160 for b in test_buckets)
     assert len(ref_buckets) > len(test_buckets)
+
+
+def test_phash_near_duplicates(spark):
+    from driftspark.imageops import phash_near_duplicates
+
+    t = synth_image_table(spark, 2000, with_bytes=True, dup_every=200, num_partitions=4)
+    ref = t.where("split='ref'")
+    pairs = phash_near_duplicates(ref, max_hamming=0).toPandas()
+    # injected duplicate keys share identical pixels → identical phash;
+    # every injected dup pair appears at hamming 0 under its shared id?
+    # duplicates share image_id, so dedupe by row: near-dup detection runs
+    # on distinct ids — check at least the known identical-pixel pairs hold
+    assert (pairs["hamming"] == 0).all()
+    # identical images (dup_every rows reuse predecessor pixels) collapse
+    # under the same image_id; synthesize two distinct ids with same pixels
+    import pandas as pd
+    from driftspark.imageops import average_hash64, encode_png
+    from driftspark.synth import _pixels_for
+    px = _pixels_for(42, 7, 16, 16, 0)
+    rows = pd.DataFrame({
+        "image_id": ["a", "b", "c"],
+        "phash": [average_hash64(px), average_hash64(px), average_hash64(255 - px)],
+    })
+    got = phash_near_duplicates(spark.createDataFrame(rows), max_hamming=2).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert ("a", "b") in found
+    assert ("a", "c") not in found and ("b", "c") not in found
