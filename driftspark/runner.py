@@ -25,6 +25,8 @@ class ValidationResult:
     """Handles to every output of a validation run (all DataFrames stay
     distributed; write them with driftspark.sinks.write_table)."""
 
+    schema_check: Optional[Any] = None  # SchemaCheckResult
+    expectations: Optional[DataFrame] = None
     profile: Optional[DataFrame] = None
     uniqueness: Optional[DataFrame] = None
     uniqueness_violations: Optional[DataFrame] = None
@@ -41,6 +43,10 @@ class ValidationResult:
     def passed(self) -> bool:
         """True when no verdict failed and no violation row exists."""
         ok = True
+        if self.schema_check is not None:
+            ok &= self.schema_check.ok
+        if self.expectations is not None:
+            ok &= self.expectations.where(~F.col("passed")).limit(1).count() == 0
         if self.verdicts is not None:
             ok &= self.verdicts.where(~F.col("passed")).limit(1).count() == 0
         if self.uniqueness_violations is not None:
@@ -73,6 +79,8 @@ def run_validation(
     checkpoint=None,
     run_id: Optional[str] = None,
     min_psnr: float = 40.0,
+    expected_schema=None,
+    expectations=None,
     **verdict_kwargs,
 ) -> ValidationResult:
     """Run the full constraint + drift (+ payload) validation concurrently.
@@ -93,6 +101,12 @@ def run_validation(
 
     res = ValidationResult()
     t0 = time.time()
+
+    if expected_schema is not None:
+        from driftspark.schema import check_schema
+
+        res.schema_check = check_schema(images, expected_schema)
+
     res.n_images = images.count()
 
     def pass_profile():
@@ -157,7 +171,15 @@ def run_validation(
             )
         res.n_pairs = res.payload_checks.count()
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    def pass_expectations():
+        if expectations is None:
+            return
+        from driftspark.schema import run_expectations
+
+        res.expectations = run_expectations(images, expectations, group_col=part_col)
+        res.expectations.count()
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futs = [
             pool.submit(f)
             for f in (
@@ -166,6 +188,7 @@ def run_validation(
                 pass_referential,
                 pass_verdicts,
                 pass_payload,
+                pass_expectations,
             )
         ]
         for f in futs:

@@ -52,3 +52,31 @@ def test_run_validation_clean_table_passes(spark):
     assert res.referential_violations.count() == 0
     assert res.payload_checks is None
     assert res.passed is True
+
+
+def test_run_validation_with_schema_and_expectations(spark):
+    from driftspark.schema import IMAGE_TABLE_DDL, image_table_expectations
+
+    img = synth_image_table(
+        spark, 2000, n_parts=2, drift=False, with_bytes=False,
+        dup_every=0, dangling_every=0, num_partitions=2,
+    ).cache()
+    res = run_validation(
+        img,
+        expected_schema=IMAGE_TABLE_DDL,
+        expectations=[
+            e for e in image_table_expectations() if "bytes" not in e.name
+        ],
+        ks_threshold=0.01,
+        chi2_threshold=0.01,
+    )
+    assert res.schema_check.ok
+    assert res.expectations.where("NOT passed").count() == 0
+    assert res.passed is True
+    # a broken schema fails the overall gate
+    res2 = run_validation(
+        img.drop("caption"), expected_schema=IMAGE_TABLE_DDL,
+        ks_threshold=0.01, chi2_threshold=0.01,
+    )
+    assert res2.schema_check.ok is False
+    assert res2.passed is False
