@@ -300,6 +300,21 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_expectations(spark, sf_dir):
+    """Schema/expectation layer: violation counts in one aggregation."""
+    from driftspark.schema import expect_in, expect_range, run_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    exps = [
+        expect_range("l_quantity", 1, 49),  # 50s violate (deliberate)
+        expect_range("l_discount", 0.0, 0.1),
+        expect_in("l_returnflag", ["A", "N"]),  # R violates (deliberate)
+    ]
+    return run_expectations(li, exps).select(
+        "expectation", "n_rows", "n_violations", "passed"
+    ).orderBy("expectation")
+
+
 def _q_null_counts(spark, sf_dir):
     """A3/validators: per-column null counts in one pass."""
     ev = _t(spark, sf_dir, "events")
@@ -418,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardups_exact": _q_embedding_neardups,
         "events_hourly": _q_events_hourly,
+        "expectation_counts": _q_expectations,
         "null_counts": _q_null_counts,
         # rows-only (non-SQL-expressible / synthetic-input)
         "simhash": _q_simhash,
@@ -691,6 +707,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
                    count(*) AS n, round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "expectation_counts": """
+            WITH base AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 49, FALSE)
+                         THEN 1 ELSE 0 END) AS v_qty,
+                     sum(CASE WHEN NOT coalesce(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)
+                         THEN 1 ELSE 0 END) AS v_disc,
+                     sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N'), FALSE)
+                         THEN 1 ELSE 0 END) AS v_flag
+              FROM lineitem
+            )
+            SELECT 'range(l_quantity,[1,49])' AS expectation, n AS n_rows,
+                   v_qty AS n_violations, v_qty = 0 AS passed FROM base
+            UNION ALL
+            SELECT 'range(l_discount,[0.0,0.1])', n, v_disc, v_disc = 0 FROM base
+            UNION ALL
+            SELECT 'in(l_returnflag)', n, v_flag, v_flag = 0 FROM base
+            ORDER BY expectation
         """,
         "null_counts": """
             SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,

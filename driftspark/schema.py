@@ -118,19 +118,21 @@ def run_expectations(
     (conditional sums, map-side combined).  Output: [group_col,]
     expectation, n_rows, n_violations, violation_rate, passed."""
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for e in expectations:
-        aggs.append(F.sum(e.violation().cast("long")).alias(f"v||{e.name}"))
+    for i, e in enumerate(expectations):
+        # positional aliases: expectation names may contain dots/brackets
+        # that F.col would parse as struct paths
+        aggs.append(F.sum(e.violation().cast("long")).alias(f"__v{i}"))
     gcols = [group_col] if group_col else []
     wide = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(e.name).alias("expectation"),
             F.col("__n").alias("n_rows"),
-            F.col(f"v||{e.name}").alias("n_violations"),
-            (F.col(f"v||{e.name}") / F.col("__n")).alias("violation_rate"),
-            (F.col(f"v||{e.name}") == 0).alias("passed"),
+            F.col(f"__v{i}").alias("n_violations"),
+            (F.col(f"__v{i}") / F.col("__n")).alias("violation_rate"),
+            (F.col(f"__v{i}") == 0).alias("passed"),
         )
-        for e in expectations
+        for i, e in enumerate(expectations)
     ]
     return wide.select(*gcols, F.explode(F.array(*structs)).alias("s")).select(
         *gcols, "s.*"
