@@ -29,12 +29,31 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from driftspark.runner import run_validation
+    from driftspark.schema import (
+        IMAGE_TABLE_DDL,
+        expect_in,
+        expect_not_null,
+        expect_range,
+        expect_regex,
+    )
 
     img = spark.read.parquet(images_path)
     pairs = spark.read.parquet(pairs_path)
     aq = float(os.environ.get("VALIDATE_APPROX_QUANTILE", "0") or 0) or None
 
-    res = run_validation(img, pairs=pairs, approx_quantile_error=aq)
+    res = run_validation(
+        img,
+        pairs=pairs,
+        approx_quantile_error=aq,
+        expected_schema=IMAGE_TABLE_DDL,
+        expectations=[
+            expect_not_null("image_id"),
+            expect_regex("image_id", r"^img_[0-9]+$"),
+            expect_in("fmt", ["png", "jpeg"]),
+            expect_range("w", 1, 65536),
+            expect_range("h", 1, 65536),
+        ],
+    )
 
     print(
         json.dumps(
