@@ -151,3 +151,22 @@ def test_phash_near_duplicates(spark):
     found = {(r["id_a"], r["id_b"]) for r in got}
     assert ("a", "b") in found
     assert ("a", "c") not in found and ("b", "c") not in found
+
+
+def test_uniqueness_check_shared_aggregation(spark):
+    from driftspark.constraints import uniqueness_check
+
+    t = synth_image_table(spark, 2000, with_bytes=False, dup_every=100)
+    ref = t.where(F.col("split") == "ref")
+    report, violations = uniqueness_check(ref, ["image_id"])
+    rep = report.first()
+    expected_dup_keys = {f"img_{i-1:010d}" for i in range(1000) if i % 100 == 99}
+    assert rep["n_rows"] == 1000
+    assert rep["n_dup_keys"] == len(expected_dup_keys)
+    assert rep["n_dup_rows"] == 2 * len(expected_dup_keys)
+    assert not rep["unique_ok"]
+    got = {r["image_id"] for r in violations.select("image_id").distinct().collect()}
+    assert got == expected_dup_keys
+    # matches the standalone implementations exactly
+    standalone = uniqueness_report(ref, ["image_id"]).first()
+    assert rep["n_distinct_keys"] == standalone["n_distinct_keys"]
