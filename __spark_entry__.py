@@ -489,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats": """
             SELECT l_returnflag,
                    count(*) AS n_rows,
-                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty,
                    round(avg(l_quantity), 6) AS mean_qty,
@@ -649,7 +649,8 @@ def oracle_sql() -> dict[str, str]:
                      length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
               FROM documents
             )
-            SELECT doc_id, n_chars, n_tokens,
+            SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
                    round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END, 6)
                      AS avg_token_len,
                    round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio
@@ -711,12 +712,12 @@ def oracle_sql() -> dict[str, str]:
         "expectation_counts": """
             WITH base AS (
               SELECT count(*) AS n,
-                     sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 49, FALSE)
-                         THEN 1 ELSE 0 END) AS v_qty,
-                     sum(CASE WHEN NOT coalesce(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)
-                         THEN 1 ELSE 0 END) AS v_disc,
-                     sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N'), FALSE)
-                         THEN 1 ELSE 0 END) AS v_flag
+                     CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 49, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                     CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                     CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N'), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
               FROM lineitem
             )
             SELECT 'range(l_quantity,[1,49])' AS expectation, n AS n_rows,
@@ -728,9 +729,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY expectation
         """,
         "null_counts": """
-            SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
-                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
+            SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
                    count(*) AS n_rows
             FROM events
         """,

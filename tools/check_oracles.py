@@ -31,6 +31,36 @@ def rowset(cols, rows):
     return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
 
 
+# Spark simpleString dtype -> acceptable pyarrow type names on the DuckDB
+# side.  The driver hashes raw values, so a DuckDB HUGEINT/DECIMAL where
+# Spark emits BIGINT hash-mismatches even when every value is equal
+# (VERDICT r01 "What's wrong" #1) — catch that locally.
+_TYPE_COMPAT = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "smallint": {"int16"},
+    "tinyint": {"int8"},
+    "double": {"double", "float64"},
+    "float": {"float", "float32"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]"},
+}
+
+
+def type_mismatches(sdf, arrow_table):
+    """Pairs (col, spark_type, duck_arrow_type) whose physical types differ."""
+    duck = {f.name: str(f.type) for f in arrow_table.schema}
+    bad = []
+    for col, styp in sdf.dtypes:
+        if col not in duck:
+            continue
+        ok = duck[col] in _TYPE_COMPAT.get(styp, {styp})
+        if not ok:
+            bad.append((col, styp, duck[col]))
+    return bad
+
+
 def main():
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -53,15 +83,18 @@ def main():
             continue
         res = con.sql(oq[name])
         dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        atab = res.arrow()
+        drows = [tuple(r.values()) for r in atab.to_pylist()]
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         sset, dset = rowset(scols, srows), rowset(dcols, drows)
         ok_vals = sset == dset
-        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        bad_types = type_mismatches(sdf, atab)
+        status = "OK" if (ok_cols and ok_count and ok_vals and not bad_types) else "FAIL"
         print(
             f"[{status}] {name}: spark={len(srows)} duck={len(drows)} "
-            f"cols={'ok' if ok_cols else (scols, dcols)} vals={'ok' if ok_vals else 'MISMATCH'} {took:.1f}s"
+            f"cols={'ok' if ok_cols else (scols, dcols)} vals={'ok' if ok_vals else 'MISMATCH'} "
+            f"types={'ok' if not bad_types else bad_types} {took:.1f}s"
         )
         if status == "FAIL":
             fails.append(name)
