@@ -197,36 +197,61 @@ def drop_near_duplicates(
     n_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.8,
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Remove near-duplicate documents, keeping the smallest id of each
     duplicate group (cluster representative).
 
     Pipeline: MinHash-LSH verified pairs → connected components collapsed
-    to min-id via iterative label propagation over the pair edges (few
-    joins; near-dup clusters are shallow so 3 rounds converge in practice)
-    → anti-join the losers out of the corpus."""
+    to min-id via label propagation iterated TO FIXPOINT (stop when no
+    label changes, ``max_rounds`` guard) → anti-join the losers out of the
+    corpus.  Each round combines a neighbor-min step with pointer-jumping
+    (label <- label's label), so chains of length L converge in O(log L)
+    rounds — a boilerplate mega-cluster at 100 TB scale collapses to one
+    representative instead of silently keeping every 2^rounds-th hop.
+    ``localCheckpoint`` truncates the per-round lineage."""
     pairs = minhash_near_duplicates(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard
     ).select("id_a", "id_b")
     # label propagation: each node's label = min(label of neighbors, self)
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    for _ in range(3):
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("label").alias("nl"))
         )
-        labels = (
-            labels.join(neigh, labels.id == neigh.id_a, "left")
-            .select(
-                "id", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
-            )
+        stepped = labels.join(neigh, labels.id == neigh.id_a, "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
         )
+        # pointer jumping: a label is always some node's id, so chase one
+        # hop of the label chain each round (halves chain depth)
+        chain = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(chain, stepped.label == chain.pid, "left")
+            .select("id", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     losers = labels.where(F.col("label") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

@@ -8,8 +8,10 @@ ROC-AUC (:114-127), top-10 feature importances (:141-154), AUC severity
 ladder .55/.65/.75/.85 (:159-170), drift when auc >= threshold (:157).
 
 Spark execution: where the reference trains sklearn in-process, this
-trains pyspark.ml RandomForestClassifier DISTRIBUTED on the full union —
-no subsampling needed at any scale.  Cross-validation folds are assigned
+trains pyspark.ml RandomForestClassifier DISTRIBUTED, by default on a
+deterministic content-keyed sample of <=100k rows per side (a shallow
+forest's AUC saturates well below that; ``max_samples_per_side=None``
+trains on the full union).  Cross-validation folds are assigned
 by a deterministic row hash (content-keyed, partitioning-invariant), AUC
 via BinaryClassificationEvaluator (areaUnderROC).  Model family and
 hyperparameters match; tree-level randomness necessarily differs from
@@ -45,7 +47,7 @@ class DomainClassifier(BaseDriftDetector):
         use_cross_val: bool = True,
         cv_folds: int = 3,
         random_state: int = 42,
-        max_samples_per_side: int | None = None,
+        max_samples_per_side: int | None = 100_000,
     ):
         super().__init__(name="domain_classifier")
         self.threshold = threshold
@@ -54,10 +56,10 @@ class DomainClassifier(BaseDriftDetector):
         self.use_cross_val = use_cross_val
         self.cv_folds = cv_folds
         self.random_state = random_state
-        # None = train on the full union (reference parity); a cap applies
-        # a deterministic content-keyed per-side sample first — at 10^12
-        # rows a shallow 100-tree forest gains nothing from more than ~10^5
-        # rows per class, so this bounds training cost without moving AUC
+        # default cap: deterministic content-keyed per-side sample — at
+        # 10^12 rows a shallow forest's AUC saturates at ~10^5 rows per
+        # class, so training on the full union is a scale-killer for zero
+        # statistical gain; None trains on everything (explicit opt-in)
         self.max_samples_per_side = max_samples_per_side
         self._classifier = None
 
@@ -86,10 +88,19 @@ class DomainClassifier(BaseDriftDetector):
             cap = self.max_samples_per_side
             # only sample when a side actually exceeds the cap — a global
             # orderBy+limit with an over-sized limit materializes a
-            # limit-sized top-k heap and OOMs
-            if ref_side.count() > cap:
+            # limit-sized top-k heap and OOMs.  Both side counts come from
+            # ONE column-pruned job instead of a count() job per side.
+            counted = (
+                ref_side.select(F.lit(0).alias("__side"))
+                .unionByName(test_side.select(F.lit(1).alias("__side")))
+                .groupBy("__side")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            n_by_side = {r["__side"]: r["n"] for r in counted}
+            if n_by_side.get(0, 0) > cap:
                 ref_side = ref_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
-            if test_side.count() > cap:
+            if n_by_side.get(1, 0) > cap:
                 test_side = test_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
         u = (
             ref_side.withColumn("label", F.lit(0.0))
@@ -112,6 +123,7 @@ class DomainClassifier(BaseDriftDetector):
         )
 
         auc_std = None
+        final_model = None
         if self.use_cross_val:
             # deterministic content-keyed folds (partitioning-invariant)
             folded = data.withColumn(
@@ -128,11 +140,12 @@ class DomainClassifier(BaseDriftDetector):
             auc = float(np.mean(scores))
             auc_std = float(np.std(scores))
         else:
-            model = rf.fit(data)
-            auc = float(evaluator.evaluate(model.transform(data)))
+            final_model = rf.fit(data)
+            auc = float(evaluator.evaluate(final_model.transform(data)))
 
-        # final fit on everything for importances (:141-147)
-        self._classifier = rf.fit(data)
+        # final fit on everything for importances (:141-147) — in the
+        # non-CV path the AUC model already IS the full-data fit, reuse it
+        self._classifier = final_model if final_model is not None else rf.fit(data)
         data.unpersist()
         importances = dict(zip(cols, self._classifier.featureImportances.toArray()))
         sorted_features = sorted(importances.items(), key=lambda x: x[1], reverse=True)[:10]

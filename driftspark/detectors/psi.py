@@ -7,12 +7,14 @@ missing/empty bins effectively clamped to ``min_bin_size`` (psi.py:102-103,
 157, 186), PSI = sum((a - e) * ln(a / e)) after renormalization
 (psi.py:105-110), absolute severity ladder 0.1/0.2/0.3/0.5 (psi.py:218-227).
 
-Spark execution: the fitted edges are tiny driver state; detect() is ONE
-conditional-sum aggregation job over union(ref, test) for every numeric
-feature x bin (map-side partial aggregation, no row shuffle), plus one
-small groupBy per categorical feature.  The scalar PSI over the aligned
+Spark execution: fit() is one Greenwald-Khanna sketch pass by default
+(``exact_edges=True`` restores the exact weighted-percentile plan for
+bit-level qcut parity); detect() is ONE explode-melt aggregation job over
+union(ref, test) covering every numeric feature x bin AND every
+categorical column (map-side partial aggregation — the shuffle carries
+only O(features x bins) state).  The scalar PSI over the aligned
 ~n_features x n_bins histogram runs on the driver via the identical numpy
-formula — bit-equal to the reference.
+formula — bit-equal to the reference given the same edges.
 """
 
 from __future__ import annotations
@@ -28,8 +30,8 @@ from driftspark.numerics import psi_from_proportions, severity_from_psi
 from driftspark.registry import DetectorRegistry
 from driftspark.results import DetectionResult, DriftSeverity
 from driftspark.stats import (
-    categorical_proportions,
-    histogram_proportions,
+    approx_quantile_edges,
+    psi_counts_fused,
     quantile_edges,
 )
 
@@ -50,17 +52,29 @@ class PSI(BaseDriftDetector):
         n_bins: int = 10,
         min_bin_size: float = 0.001,
         aggregate_method: str = "max",
+        exact_edges: bool = False,
+        quantile_relative_error: float = 1e-4,
     ):
         super().__init__(name="psi")
         self.threshold = threshold
         self.n_bins = n_bins
         self.min_bin_size = min_bin_size
         self.aggregate_method = aggregate_method
+        # scale default: Greenwald-Khanna approximate edges (one sketch
+        # pass, no value shuffle); exact_edges=True restores bit-level
+        # pd.qcut parity via the exact weighted-percentile plan
+        self.exact_edges = exact_edges
+        self.quantile_relative_error = quantile_relative_error
         self._bin_edges: Dict[str, np.ndarray] = {}
 
     def fit(self, reference_data: SparkDataset) -> None:
         super().fit(reference_data)
-        self._bin_edges = quantile_edges(
+        fit_edges = quantile_edges if self.exact_edges else (
+            lambda df, cols, q: approx_quantile_edges(
+                df, cols, q, self.quantile_relative_error
+            )
+        )
+        self._bin_edges = fit_edges(
             reference_data.df, reference_data.numeric_features, self.n_bins
         )
         logger.info("PSI fitted: %d binned features", len(self._bin_edges))
@@ -71,11 +85,15 @@ class PSI(BaseDriftDetector):
         psi_values = []
         feature_results: Dict[str, dict] = {}
 
-        # numeric features: one aggregation job for all features/bins/sides
+        # ONE job for everything: numeric histograms (all features x bins)
+        # and every categorical column's aligned counts
         edges_map = {
             c: e for c, e in self._bin_edges.items() if c in test_data.df.columns
         }
-        hists = histogram_proportions(ref.df, test_data.df, edges_map)
+        cat_cols = [
+            c for c in ref.categorical_features if c in test_data.df.columns
+        ]
+        hists, cat_counts = psi_counts_fused(ref.df, test_data.df, edges_map, cat_cols)
         for col, (ref_p, test_p) in hists.items():
             if ref_p.sum() == 0 or test_p.sum() == 0:
                 logger.warning("Skipping feature '%s': insufficient data", col)
@@ -87,15 +105,15 @@ class PSI(BaseDriftDetector):
                 "n_bins": len(edges_map[col]) - 1,
             }
 
-        # categorical features: small groupBy per column
-        for col in ref.categorical_features:
-            if col not in test_data.df.columns:
+        for col in cat_cols:
+            rc, tc = cat_counts[col]
+            if len(rc) == 0:
                 continue
-            ref_p, test_p = categorical_proportions(
-                ref.df, test_data.df, col, self.min_bin_size
-            )
-            if len(ref_p) == 0:
-                continue
+            # `.align(fill_value=min_bin_size)` parity (psi.py:182-186):
+            # categories missing on a side enter at min_bin_size
+            rn, tn = rc.sum(), tc.sum()
+            ref_p = np.where(rc > 0, rc / (rn if rn else 1.0), self.min_bin_size)
+            test_p = np.where(tc > 0, tc / (tn if tn else 1.0), self.min_bin_size)
             psi = psi_from_proportions(ref_p, test_p, self.min_bin_size)
             psi_values.append(psi)
             feature_results[col] = {"psi": float(psi), "n_categories": len(ref_p)}

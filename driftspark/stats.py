@@ -96,6 +96,36 @@ def quantile_edges(
     return out
 
 
+def approx_quantile_edges(
+    df: DataFrame, cols: Sequence[str], q: int, relative_error: float = 1e-4
+) -> Dict[str, np.ndarray]:
+    """Greenwald-Khanna approximate quantile edges — the scale path.
+
+    ONE pass, map-side mergeable sketches, no melt/shuffle of values: at
+    10^12 rows an exact percentile sort is not realistic, and PSI is
+    insensitive to edge placement at relative_error=1e-4 (a bin boundary
+    moves by <=0.01% of the mass).  Exact pd.qcut-parity edges remain
+    available via ``quantile_edges`` (detector flag ``exact_edges``).
+
+    Same post-processing as the exact path: duplicate edges dropped,
+    constant columns fall back to uniform linspace edges (GK summaries keep
+    exact min/max, so edges[0]/edges[-1] are the true extremes).
+    """
+    if not cols:
+        return {}
+    probs = [i / q for i in range(q + 1)]
+    raw = df.approxQuantile(list(cols), probs, relative_error)
+    out: Dict[str, np.ndarray] = {}
+    for c, e in zip(cols, raw):
+        if len(e) == 0:  # all-null column
+            continue
+        edges = np.unique(np.asarray(e, dtype=np.float64))
+        if len(edges) < 2:
+            edges = np.linspace(e[0], e[-1], q + 1)
+        out[c] = edges
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Bucketization expressions
 # ---------------------------------------------------------------------------
@@ -184,6 +214,88 @@ def histogram_proportions(
             props.append(counts / total if total > 0 else counts)
         out[c] = (props[0], props[1])
     return out
+
+
+def psi_counts_fused(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    edges_map: Dict[str, np.ndarray],
+    cat_cols: Sequence[str] = (),
+) -> Tuple[
+    Dict[str, Tuple[np.ndarray, np.ndarray]], Dict[str, Tuple[np.ndarray, np.ndarray]]
+]:
+    """Numeric bin proportions AND categorical side-counts in ONE job.
+
+    Each row explodes into (feature, key) pairs — numeric features emit the
+    pd.cut bucket index, categoricals their raw value — and a single
+    groupBy(feature, key) with conditional side-sums aggregates everything.
+    Map-side partial aggregation shrinks the shuffle to O(features x
+    (bins+categories)) state per task regardless of row count; versus one
+    wide-aggregation job for numerics plus one groupBy job PER categorical
+    column, this runs the whole detect() phase as one scan + one tiny
+    shuffle.
+
+    Returns ``(numeric_props, cat_counts)``: numeric_props matches
+    ``histogram_proportions`` exactly (every fitted bin present, in-range
+    denominator); cat_counts is {col: (ref_counts, test_counts)} over the
+    sorted union of observed categories (``categorical_counts`` alignment).
+    """
+    num_cols = list(edges_map)
+    if not num_cols and not cat_cols:
+        return {}, {}
+    # "#c:" namespace keeps a categorical named like a numeric distinct
+    structs = [
+        F.struct(
+            F.lit("#n:" + c).alias("feature"),
+            bucket_expr(c, edges_map[c]).cast("string").alias("key"),
+        )
+        for c in num_cols
+    ] + [
+        F.struct(F.lit("#c:" + c).alias("feature"), F.col(c).cast("string").alias("key"))
+        for c in cat_cols
+    ]
+
+    def melt_side(df: DataFrame, is_ref: bool) -> DataFrame:
+        return (
+            df.select(F.explode(F.array(*structs)).alias("fk"))
+            .select("fk.feature", "fk.key")
+            .where(F.col("key").isNotNull())
+            .withColumn("r", F.lit(1 if is_ref else 0))
+            .withColumn("t", F.lit(0 if is_ref else 1))
+        )
+
+    cols_needed = list(dict.fromkeys(list(num_cols) + list(cat_cols)))
+    agg = (
+        melt_side(ref_df.select(*cols_needed), True)
+        .unionByName(melt_side(test_df.select(*cols_needed), False))
+        .groupBy("feature", "key")
+        .agg(F.sum("r").alias("r"), F.sum("t").alias("t"))
+        .collect()
+    )
+    num_rows: Dict[str, Dict[int, Tuple[int, int]]] = {c: {} for c in num_cols}
+    cat_rows: Dict[str, Dict[str, Tuple[int, int]]] = {c: {} for c in cat_cols}
+    for row in agg:
+        kind, name = row["feature"][:3], row["feature"][3:]
+        if kind == "#n:":
+            num_rows[name][int(row["key"])] = (row["r"], row["t"])
+        else:
+            cat_rows[name][row["key"]] = (row["r"], row["t"])
+
+    numeric_props: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for c in num_cols:
+        n_bins = len(edges_map[c]) - 1
+        rc = np.array([num_rows[c].get(i, (0, 0))[0] for i in range(n_bins)], float)
+        tc = np.array([num_rows[c].get(i, (0, 0))[1] for i in range(n_bins)], float)
+        rn, tn = rc.sum(), tc.sum()
+        numeric_props[c] = (rc / rn if rn > 0 else rc, tc / tn if tn > 0 else tc)
+    cat_counts: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for c in cat_cols:
+        cats = sorted(cat_rows[c])
+        cat_counts[c] = (
+            np.array([cat_rows[c][k][0] for k in cats], dtype=np.float64),
+            np.array([cat_rows[c][k][1] for k in cats], dtype=np.float64),
+        )
+    return numeric_props, cat_counts
 
 
 # ---------------------------------------------------------------------------

@@ -288,54 +288,61 @@ def chi2_by_partition(
     """Per-(part, feature) chi-square of test category counts vs global
     reference proportions (univariate.py:71-122 semantics, per-partition).
 
-    Counts aggregate distributed; the chi-square over O(parts x features x
-    categories) count rows runs on the driver."""
-    out: List[dict] = []
-    for col in cat_cols:
-        # both sides in ONE job: ref rows tagged with a NULL part
-        u = (
-            ref_df.where(F.col(col).isNotNull())
-            .select(
-                F.lit(None).cast("long").alias("part"),
-                F.col(col).alias("v"),
-            )
-            .unionByName(
-                test_df.where(F.col(col).isNotNull()).select(
-                    F.col(part_col).cast("long").alias("part"), F.col(col).alias("v")
-                )
-            )
+    ALL categorical columns melt into one (part, feature, value)
+    aggregation — ONE Spark job regardless of column count (ref rows carry
+    a NULL part).  The chi-square over O(parts x features x categories)
+    count rows runs on the driver."""
+    if not cat_cols:
+        return []
+
+    def melted(df: DataFrame, part_expr) -> DataFrame:
+        structs = [
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("v"))
+            for c in cat_cols
+        ]
+        return (
+            df.select(part_expr.alias("part"), F.explode(F.array(*structs)).alias("fv"))
+            .select("part", "fv.feature", "fv.v")
+            .where(F.col("v").isNotNull())
         )
-        counts = u.groupBy("part", "v").agg(F.count(F.lit(1)).alias("c")).collect()
-        ref_map: Dict = {}
-        by_part: Dict = {}
-        for r in counts:
-            if r["part"] is None:
-                ref_map[r["v"]] = r["c"]
-            else:
-                by_part.setdefault(int(r["part"]), {})[r["v"]] = r["c"]
-        for part, tmap in by_part.items():
-            cats = sorted(set(ref_map) | set(tmap))
-            rc = np.array([ref_map.get(c, 0) for c in cats], dtype=np.float64)
-            tc = np.array([tmap.get(c, 0) for c in cats], dtype=np.float64)
-            valid = (rc >= min_samples) | (tc >= min_samples)
-            if valid.sum() < 2:
-                stat, p = 0.0, 1.0
-            else:
-                rv, tv = rc[valid], tc[valid]
-                expected = rv / rv.sum() * tv.sum()
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    stat = float(np.sum((tv - expected) ** 2 / expected))
-                p = chi2_sf(stat, int(valid.sum()) - 1)
-            out.append(
-                {
-                    "part": part,
-                    "feature": col,
-                    "stat": stat,
-                    "p": p,
-                    "n_ref": int(rc.sum()),
-                    "n_test": int(tc.sum()),
-                }
-            )
+
+    u = melted(ref_df, F.lit(None).cast("long")).unionByName(
+        melted(test_df, F.col(part_col).cast("long"))
+    )
+    counts = u.groupBy("part", "feature", "v").agg(F.count(F.lit(1)).alias("c")).collect()
+    ref_map: Dict[str, Dict] = {c: {} for c in cat_cols}
+    by_part: Dict[tuple, Dict] = {}
+    for r in counts:
+        if r["part"] is None:
+            ref_map[r["feature"]][r["v"]] = r["c"]
+        else:
+            by_part.setdefault((int(r["part"]), r["feature"]), {})[r["v"]] = r["c"]
+
+    out: List[dict] = []
+    for (part, col), tmap in sorted(by_part.items()):
+        rmap = ref_map[col]
+        cats = sorted(set(rmap) | set(tmap))
+        rc = np.array([rmap.get(c, 0) for c in cats], dtype=np.float64)
+        tc = np.array([tmap.get(c, 0) for c in cats], dtype=np.float64)
+        valid = (rc >= min_samples) | (tc >= min_samples)
+        if valid.sum() < 2:
+            stat, p = 0.0, 1.0
+        else:
+            rv, tv = rc[valid], tc[valid]
+            expected = rv / rv.sum() * tv.sum()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                stat = float(np.sum((tv - expected) ** 2 / expected))
+            p = chi2_sf(stat, int(valid.sum()) - 1)
+        out.append(
+            {
+                "part": part,
+                "feature": col,
+                "stat": stat,
+                "p": p,
+                "n_ref": int(rc.sum()),
+                "n_test": int(tc.sum()),
+            }
+        )
     return out
 
 

@@ -148,3 +148,36 @@ def test_mode_tie_break(spark):
     df = spark.createDataFrame(pdf)
     # pandas mode()[0] returns the smallest among ties
     assert st.mode_of(df, "c") == pdf["c"].mode()[0] == "a"
+
+
+def test_psi_counts_fused_matches_separate_paths(frame, spark):
+    """The single-job fused detect path (numeric hists + all categoricals
+    in one explode-melt aggregation) is value-identical to the original
+    histogram_proportions + categorical_counts pair."""
+    pdf, df = frame
+    ref = df.where("c < 3")
+    test = df.where("c >= 3")
+    edges = st.quantile_edges(ref, ["a", "b"], 10)
+    old = st.histogram_proportions(ref, test, edges)
+    fused_num, fused_cat = st.psi_counts_fused(ref, test, edges, ["cat"])
+    for col in ("a", "b"):
+        assert np.allclose(old[col][0], fused_num[col][0], atol=0, rtol=0)
+        assert np.allclose(old[col][1], fused_num[col][1], atol=0, rtol=0)
+    _, rc, tc = st.categorical_counts(ref, test, "cat")
+    assert np.array_equal(rc, fused_cat["cat"][0])
+    assert np.array_equal(tc, fused_cat["cat"][1])
+
+
+def test_approx_quantile_edges_close_to_exact(frame):
+    """GK edges at relative_error=1e-4 coincide with exact pd.qcut edges
+    on a 4k-row sample (every quantile's rank error < 1 row)."""
+    pdf, df = frame
+    exact = st.quantile_edges(df, ["a", "b"], 10)
+    approx = st.approx_quantile_edges(df, ["a", "b"], 10, relative_error=1e-4)
+    for col in ("a", "b"):
+        assert len(exact[col]) == len(approx[col])
+        # rank-space agreement: each approx edge within one data point
+        vals = np.sort(pdf[col].dropna().values)
+        r_exact = np.searchsorted(vals, exact[col])
+        r_approx = np.searchsorted(vals, approx[col])
+        assert np.max(np.abs(r_exact - r_approx)) <= 1
