@@ -330,10 +330,13 @@ def _q_null_counts(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """SimHash fingerprints, md5-hash variant so DuckDB reproduces them
+    bit-exactly (the xxhash64 scale variant is property-tested in pytest —
+    same bit-majority machinery, different token hash)."""
     from driftspark.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash64(docs, "doc_id", "text").orderBy("id")
+    return simhash64(docs, "doc_id", "text", hash_fn="md5").orderBy("id")
 
 
 def _q_lsh_candidates(spark, sf_dir):
@@ -463,7 +466,158 @@ def _bucket_sql(col: str, edges) -> str:
     )
 
 
+def _plane_sig_sql(vec_expr: str, planes) -> str:
+    """Random-hyperplane sign-signature as a DuckDB expression: the plane
+    constants are driver-side literals (driftspark.ann._hyperplanes is
+    deterministic), so the oracle reproduces the Spark signature exactly."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        )
+    return " | ".join(terms)
+
+
+def _simhash_md5_sql() -> str:
+    """60-bit md5 SimHash (matches dedup.simhash64 hash_fn='md5')."""
+    sums = ", ".join(
+        f"sum(((hv >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(60)
+    )
+    fp = " | ".join(
+        f"(CASE WHEN s{k} > 0 THEN (1::BIGINT << {k}) ELSE 0::BIGINT END)"
+        for k in range(60)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id AS id, t.token
+          FROM documents,
+               unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> ''
+        ), h AS (
+          SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok
+        ), s AS (SELECT id, {sums} FROM h GROUP BY id)
+        SELECT id, {fp} AS simhash FROM s ORDER BY id
+    """
+
+
+def _minhash_lsh_sql(n_hashes: int = 16, bands: int = 4,
+                     max_bucket: int = 200, min_jaccard: float = 0.5) -> str:
+    """Full MinHash-LSH near-dup pipeline (dedup.minhash_near_duplicates):
+    md5 signatures -> banded md5 buckets (hot-bucket cap) -> candidate
+    equi-join -> exact token-Jaccard verification."""
+    rpb = n_hashes // bands
+    mh_cols = ", ".join(
+        f"min(md5(token || ':{k}')) AS mh{k}" for k in range(n_hashes)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN " + " || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    band_vals = ",".join(f"({b})" for b in range(bands))
+    return rf"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id AS id, t.token
+          FROM documents,
+               unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> ''
+        ), sigs AS (SELECT id, {mh_cols} FROM tok GROUP BY id),
+        bnd AS (
+          SELECT id, b.band, md5(CASE b.band {band_cases} END) AS bucket
+          FROM sigs, (VALUES {band_vals}) AS b(band)
+        ),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS sz FROM bnd),
+        keep AS (SELECT * FROM sized WHERE sz <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keep a JOIN keep b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+        shared AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN tok ta ON ta.id = c.id_a
+          JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {min_jaccard}
+        ORDER BY id_a, id_b
+    """
+
+
+def _ann_lsh_sql(planes, bands: int = 4) -> str:
+    """LSH-pruned cosine top-10 (ann.cosine_topk_lsh against vec_id 0)."""
+    bits_per_band = len(planes) // bands
+    mask = (1 << bits_per_band) - 1
+    sig = _plane_sig_sql("e", planes)
+    band_match = " OR ".join(
+        f"((s.sig >> {b * bits_per_band}) & {mask}) = "
+        f"((q.qsig >> {b * bits_per_band}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (SELECT vec_id, e, ({sig}) AS sig FROM v),
+        q AS (SELECT sig AS qsig, e AS qe FROM s WHERE vec_id = 0),
+        cand AS (
+          SELECT s.vec_id, s.e, q.qe FROM s, q
+          WHERE s.vec_id <> 0 AND ({band_match})
+        ), c AS (
+          SELECT vec_id,
+                 list_dot_product(e, qe)
+                   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+                   AS cosine
+          FROM cand
+        )
+        SELECT vec_id, round(c.cosine, 6) AS cosine
+        FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _embedding_lsh_sql(planes, bands: int = 8, max_bucket: int = 500,
+                       min_cosine: float = 0.4) -> str:
+    """Hyperplane-LSH near-dup pairs (ann.embedding_near_duplicates)."""
+    bits_per_band = len(planes) // bands
+    mask = (1 << bits_per_band) - 1
+    sig = _plane_sig_sql("e", planes)
+    band_vals = ",".join(f"({b})" for b in range(bands))
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (SELECT vec_id, ({sig}) AS sig FROM v),
+        bnd AS (
+          SELECT vec_id, b.band, (sig >> (b.band * {bits_per_band})) & {mask} AS bucket
+          FROM s, (VALUES {band_vals}) AS b(band)
+        ),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS sz FROM bnd),
+        keep AS (SELECT * FROM sized WHERE sz <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keep a JOIN keep b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        cc AS (
+          SELECT id_a, id_b,
+                 list_dot_product(va.e, vb.e)
+                   / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
+                   AS cosine
+          FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM cc WHERE cosine >= {min_cosine} ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from driftspark.ann import _hyperplanes
+
+    planes16 = _hyperplanes(64, 16, 42)
     price_bucket = _bucket_sql("l_extendedprice", PRICE_EDGES)
     digitize = " + ".join(
         f"(CASE WHEN __conf >= {c!r} THEN 1 ELSE 0 END)" for c in CONF_CUTOFFS
@@ -735,4 +889,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM events
         """,
+        "simhash": _simhash_md5_sql(),
+        "minhash_lsh_neardups": _minhash_lsh_sql(),
+        "ann_cosine_topk_lsh": _ann_lsh_sql(planes16, bands=4),
+        "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
     }

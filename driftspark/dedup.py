@@ -258,21 +258,33 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: bit k of the fingerprint is the sign of
-    sum over tokens of (2*bit_k(xxhash64(token)) - 1).  64 conditional-sum
-    aggregates, all JVM-side (xxhash64 + bit ops), one groupBy(doc)."""
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document: bit k of the fingerprint is the sign of
+    sum over tokens of (2*bit_k(hash(token)) - 1).  Conditional-sum
+    aggregates, all JVM-side (hash + bit ops), one groupBy(doc).
+
+    hash_fn="xxhash64" (default): 64-bit fingerprint, JVM-intrinsic hash —
+    the scale path.  hash_fn="md5": 60-bit fingerprint from the first 15
+    hex chars of md5 — engine-portable, so an external SQL engine (the
+    DuckDB driver oracle) reproduces fingerprints exactly."""
     tok = tokens(df, id_col, text_col)
-    h = F.xxhash64("token")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+        bits = 60
+    else:
+        h = F.xxhash64("token")
+        bits = 64
     aggs = [
         F.sum(
             (F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
         ).alias(f"s{k}")
-        for k in range(64)
+        for k in range(bits)
     ]
     sums = tok.groupBy("id").agg(*aggs)
     fp = F.lit(0).cast("long")
-    for k in range(64):
+    for k in range(bits):
         # bit 63 is the sign bit of the signed long
         bit_val = F.lit(1 << k).cast("long") if k < 63 else F.lit(-(1 << 63)).cast("long")
         fp = fp.bitwiseOR(F.when(F.col(f"s{k}") > 0, bit_val).otherwise(F.lit(0).cast("long")))

@@ -216,3 +216,27 @@ def test_drop_near_duplicates_long_chain(spark):
         chain, "doc_id", "text", n_hashes=16, bands=16, min_jaccard=0.8
     )
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_simhash_md5_variant(spark, docs):
+    """md5-hash SimHash (60-bit, engine-portable oracle variant): exact
+    duplicates share a fingerprint, near-identical docs land within a few
+    bits, and every fingerprint matches a hand-rolled python oracle."""
+    import hashlib as _hl
+
+    from driftspark.dedup import simhash64
+
+    fps = {r["id"]: r["simhash"] for r in
+           simhash64(docs, "doc_id", "text", hash_fn="md5").collect()}
+    assert fps[0] == fps[1]  # exact dup
+    assert bin(fps[0] ^ fps[2]).count("1") <= 12  # near dup of 0
+
+    for doc_id, text in DOCS:
+        toks = set(t for t in text.lower().split() if t)
+        sums = [0] * 60
+        for t in toks:
+            hv = int(_hl.md5(t.encode()).hexdigest()[:15], 16)
+            for k in range(60):
+                sums[k] += 2 * ((hv >> k) & 1) - 1
+        expected = sum(1 << k for k in range(60) if sums[k] > 0)
+        assert fps[doc_id] == expected, doc_id
