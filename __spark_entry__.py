@@ -401,6 +401,26 @@ def _q_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def _q_audio_features(spark, sf_dir):
+    """Multimodal: decode + feature-extract REAL WAV payloads (stdlib
+    RIFF codec; synthetic deterministic input, so rows+schema check only —
+    numeric parity vs hand-computed numpy is locked in pytest)."""
+    from driftspark.multimodal import audio_features
+    from driftspark.synth import synth_audio_table
+
+    t = synth_audio_table(spark, 400, num_partitions=4)
+    return audio_features(t).select(
+        "audio_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+        "decode_error",
+    ).orderBy("audio_id")
+
+
 def _q_image_payload_check(spark, sf_dir):
     """PSNR>=40dB + caption equality on synthetic payload pairs."""
     from driftspark.imageops import validate_image_payloads
@@ -446,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "image_partition_verdicts": _q_image_verdicts,
         "image_payload_check": _q_image_payload_check,
+        "audio_features": _q_audio_features,
     }
 
 

@@ -10,11 +10,13 @@ UDF signatures) is real and tested for every modality.
 Codec availability: this container carries no PIL/libjpeg/ffmpeg, so
 - IMAGE ops are REAL against the engine's own codecs (zlib PNG + the
   deterministic QJPG lossy stand-in from driftspark.imageops);
-- AUDIO decode and VIDEO frame extraction are STUBS behind
-  ``NotImplementedError`` with a deterministic fake-decoder escape hatch
-  (``fake=True``) so the distributed plumbing stays testable — swap the
-  `_decode_audio` / `_decode_video_frame` internals for soundfile/PyAV in
-  production.
+- AUDIO decode is REAL for RIFF/WAVE (PCM uint8/int16/int32 + IEEE float,
+  stdlib struct parser — ``decode_wav``/``encode_wav``); compressed audio
+  (mp3/ogg/flac) would need soundfile and raises NotImplementedError;
+- VIDEO frame extraction is a STUB behind ``NotImplementedError`` with a
+  deterministic fake-decoder escape hatch (``fake=True``) so the
+  distributed plumbing stays testable — swap `_decode_video_frame` for
+  PyAV/ffmpeg in production.
 """
 
 from __future__ import annotations
@@ -108,8 +110,76 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio (stubbed decode, real plumbing)
+# Audio — REAL RIFF/WAVE codec (stdlib struct; no external audio libs)
 # ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] as a RIFF/WAVE payload.
+
+    bits=16 -> PCM int16 (fmt 1), bits=32 -> IEEE float32 (fmt 3).
+    Multi-channel input as (n, ch); 1-D input is mono."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if bits == 16:
+        fmt_code, data = 1, (np.clip(x, -1.0, 1.0) * 32767.0).round().astype("<i2")
+    elif bits == 32:
+        fmt_code, data = 3, x.astype("<f4")
+    else:
+        raise ValueError(f"unsupported encode bit depth: {bits}")
+    raw = data.tobytes()
+    bytes_per = bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * ch * bytes_per,
+        ch * bytes_per, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(raw))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+
+
+def decode_wav(data: bytes) -> tuple:
+    """Decode a RIFF/WAVE payload -> (mono float64 samples in [-1, 1],
+    sample_rate).  Supports PCM uint8/int16/int32 (fmt 1) and IEEE
+    float32/float64 (fmt 3); multi-channel is mixed down to the channel
+    mean.  Pure stdlib chunk walk — unknown chunks are skipped."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    fmt_code, ch, sr, _, _, bits = fmt
+    if fmt_code == 1 and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif fmt_code == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif fmt_code == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif fmt_code == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif fmt_code == 3 and bits == 64:
+        x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format: code={fmt_code} bits={bits}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, int(sr)
+
 
 _FAKE_AUDIO_MAGIC = b"FAKA"
 
@@ -124,13 +194,16 @@ def encode_fake_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def _decode_audio(data: bytes, fake: bool):
+    if data[:4] == b"RIFF":
+        return decode_wav(data)  # REAL path: PCM/float WAV, stdlib-only
     if data[:4] == _FAKE_AUDIO_MAGIC and fake:
         sr, n = struct.unpack(">II", data[4:12])
         return np.frombuffer(zlib.decompress(data[12:]), dtype=np.float32), sr
-    # swap in soundfile/librosa here in production
+    # compressed codecs (mp3/ogg/flac) would need soundfile/librosa
     raise NotImplementedError(
-        "real audio codecs (soundfile/librosa) are not available in this "
-        "container; pass payloads from encode_fake_audio with fake=True"
+        "only RIFF/WAVE payloads are decodable without external audio "
+        "libs; pass WAV bytes (encode_wav) or fake-codec payloads with "
+        "fake=True"
     )
 
 AUDIO_FEATURE_SCHEMA = (
@@ -140,12 +213,12 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode + feature-extract audio payloads.
+    """Decode + feature-extract audio payloads (REAL path for WAV).
 
-    Input columns: audio_id, bytes.  The decode itself is a STUB (no audio
-    libs in this container) unless the payloads are fake-codec encoded and
-    ``fake=True``; everything around it (Arrow batching, schema, feature
-    math) is the production shape."""
+    Input columns: audio_id, bytes.  RIFF/WAVE payloads (PCM 8/16/32-bit
+    and IEEE float) decode for real via the stdlib codec; compressed
+    formats (mp3/ogg) would need soundfile and surface as decode_error
+    rows.  One Arrow pass, vectorized numpy feature math per clip."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

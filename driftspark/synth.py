@@ -342,3 +342,47 @@ def synth_dataset_dim(spark: SparkSession, n: int = 100) -> DataFrame:
         }
     )
     return spark.createDataFrame(pdf)
+
+
+AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int, caption string"
+
+
+def synth_audio_table(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    sample_rate: int = 8000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic WAV clips (counter-based like the image tables):
+    clip i is a sine at 110*(1 + i%8) Hz with amplitude/duration/bit-depth
+    drawn from the SplitMix64 streams — same bytes for the same (seed, i)
+    regardless of partitioning.  Every payload is a real RIFF/WAVE file
+    (PCM16 or float32) decodable by driftspark.multimodal.decode_wav."""
+    from driftspark.multimodal import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].values
+            amp = 0.1 + 0.8 * _u(seed, 101, ids)
+            dur = 0.05 + 0.15 * _u(seed, 102, ids)
+            use_float = _u(seed, 103, ids) < 0.25
+            rows = {"audio_id": [], "bytes": [], "sample_rate": [], "caption": []}
+            for r in range(len(ids)):
+                i = int(ids[r])
+                freq = 110.0 * (1 + i % 8)
+                n = max(int(dur[r] * sample_rate), 8)
+                t = np.arange(n, dtype=np.float64) / sample_rate
+                samples = amp[r] * np.sin(2 * np.pi * freq * t)
+                bits = 32 if use_float[r] else 16
+                rows["audio_id"].append(f"aud_{i:08d}")
+                rows["bytes"].append(encode_wav(samples, sample_rate, bits=bits))
+                rows["sample_rate"].append(sample_rate)
+                rows["caption"].append(f"sine {freq:.0f}Hz clip {i}")
+            out = pd.DataFrame(rows)
+            out["bytes"] = out["bytes"].astype(object)
+            out["sample_rate"] = out["sample_rate"].astype(np.int32)
+            yield out
+
+    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)

@@ -63,13 +63,19 @@ def test_audio_features_fake_codec(spark):
     assert feats["peak"].iloc[0] == pytest.approx(1.0, abs=0.01)
 
 
-def test_audio_stub_without_codec(spark):
+def test_audio_error_surfaces(spark):
     df = spark.createDataFrame(
-        pd.DataFrame([("a0", b"RIFF....WAVE")], columns=["audio_id", "bytes"])
+        pd.DataFrame(
+            [
+                ("a0", b"RIFF....WAVE"),        # RIFF but malformed → real decode error
+                ("a1", b"\xff\xfb\x90mp3data"),  # compressed format → stub error
+            ],
+            columns=["audio_id", "bytes"],
+        )
     )
-    feats = audio_features(df).toPandas()  # fake=False → stub error surface
-    assert len(feats) == 1
-    assert "not available" in feats["decode_error"].iloc[0]
+    feats = audio_features(df).toPandas().set_index("audio_id")
+    assert "ValueError" in feats.loc["a0", "decode_error"]
+    assert "RIFF/WAVE" in feats.loc["a1", "decode_error"]
 
 
 def test_video_frame_sampling_fake_codec(spark):
@@ -140,3 +146,93 @@ def test_ivf_index_recall(spark):
     # determinism: refit gives identical centroids
     idx2 = IVFIndex(n_centroids=8).fit(df, "embedding")
     assert np.allclose(idx.centroids, idx2.centroids)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (VERDICT r01 next-round #4: de-stub audio)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_pcm16_and_float32():
+    from driftspark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    x = (rng.rand(1000) * 1.8 - 0.9).astype(np.float64)
+    y16, sr = decode_wav(encode_wav(x, 8000, bits=16))
+    assert sr == 8000 and len(y16) == 1000
+    # encode scales by 32767, decode by 32768 (WAV convention):
+    # |error| <= (0.5 + |x|) / 32768
+    assert np.allclose(y16, x, atol=1.5 / 32768)
+    y32, sr = decode_wav(encode_wav(x, 44100, bits=32))
+    assert sr == 44100
+    assert np.allclose(y32, x, atol=1e-7)
+
+
+def test_wav_decode_uint8_int32_and_stereo_mixdown():
+    import struct as st
+
+    from driftspark.multimodal import decode_wav
+
+    def wav(fmt_code, ch, sr, bits, raw):
+        fmt = st.pack("<HHIIHH", fmt_code, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+        return (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+                + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(raw)) + raw)
+
+    # uint8 PCM: 128 -> 0.0, 255 -> ~0.99, 0 -> -1.0
+    y, sr = decode_wav(wav(1, 1, 8000, 8, bytes([128, 255, 0])))
+    assert np.allclose(y, [(128 - 128) / 128, (255 - 128) / 128, (0 - 128) / 128])
+    # int32 PCM
+    y, _ = decode_wav(wav(1, 1, 8000, 32, np.array([2**30, -(2**31)], dtype="<i4").tobytes()))
+    assert np.allclose(y, [0.5, -1.0])  # 2^30 / 2^31, -2^31 / 2^31
+    # stereo float32 mixes down to channel mean
+    stereo = np.array([0.5, -0.5, 1.0, 0.0], dtype="<f4").tobytes()
+    y, _ = decode_wav(wav(3, 2, 8000, 32, stereo))
+    assert np.allclose(y, [0.0, 0.5])
+
+
+def test_wav_rejects_garbage_and_unknown_chunks_skipped():
+    import struct as st
+
+    from driftspark.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    # inject an unknown chunk between fmt and data — decoder must skip it
+    wav = encode_wav(np.array([0.25, -0.25]), 8000, bits=32)
+    fmt_end = 12 + 8 + 16
+    injected = wav[:fmt_end] + b"LIST" + st.pack("<I", 4) + b"INFO" + wav[fmt_end:]
+    y, sr = decode_wav(injected)
+    assert sr == 8000 and np.allclose(y, [0.25, -0.25], atol=1e-7)
+
+
+def test_audio_features_real_wav(spark):
+    """audio_features over synth WAV table matches a hand numpy oracle."""
+    from driftspark.multimodal import audio_features, decode_wav
+    from driftspark.synth import synth_audio_table
+
+    t = synth_audio_table(spark, 30, num_partitions=3)
+    payloads = {r["audio_id"]: bytes(r["bytes"]) for r in t.collect()}
+    feats = {r["audio_id"]: r for r in audio_features(t).collect()}
+    assert len(feats) == 30
+    for aid, data in payloads.items():
+        r = feats[aid]
+        assert r["decode_error"] is None, r["decode_error"]
+        x, sr = decode_wav(data)
+        assert r["sample_rate"] == sr == 8000
+        assert r["n_samples"] == len(x)
+        assert abs(r["duration_sec"] - len(x) / sr) < 1e-12
+        assert abs(r["rms"] - float(np.sqrt(np.mean(x**2)))) < 1e-12
+        assert abs(r["peak"] - float(np.abs(x).max())) < 1e-12
+        zcr = float((np.diff(np.signbit(x)) != 0).mean())
+        assert abs(r["zero_crossing_rate"] - zcr) < 1e-12
+
+
+def test_synth_audio_deterministic(spark):
+    from driftspark.synth import synth_audio_table
+
+    a = {r["audio_id"]: bytes(r["bytes"])
+         for r in synth_audio_table(spark, 20, num_partitions=2).collect()}
+    b = {r["audio_id"]: bytes(r["bytes"])
+         for r in synth_audio_table(spark, 20, num_partitions=5).collect()}
+    assert a == b  # partitioning-invariant generation
