@@ -359,16 +359,28 @@ def _q_ann_lsh(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+ORACLE_IMG_PATH = "/tmp/driftspark_oracle_images.parquet"
+
+
 def _q_image_verdicts(spark, sf_dir):
-    """North-rule flagship on the deterministic synthetic image table."""
+    """North-rule flagship on the deterministic synthetic image table.
+
+    The synth table is persisted to parquet so the DuckDB oracle re-derives
+    every per-partition statistic (PSI with exact decile edges, KS D,
+    chi-square) from the identical bytes.  severity/passed are driver-side
+    functions of (statistic, p) locked by pytest severity-ladder tests —
+    p-values need the exact KS path-counting DP, which SQL can't express."""
     from driftspark.synth import synth_image_table
     from driftspark.verdicts import partition_verdicts
 
-    t = synth_image_table(spark, 6000, n_parts=4, drift=True, with_bytes=False)
-    v = partition_verdicts(t, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"])
+    synth_image_table(
+        spark, 6000, n_parts=4, drift=True, with_bytes=False
+    ).write.mode("overwrite").parquet(ORACLE_IMG_PATH)
+    img = spark.read.parquet(ORACLE_IMG_PATH)
+    v = partition_verdicts(img, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"])
     return v.select(
         "part", "feature", "check", F.round("statistic", 6).alias("statistic"),
-        "severity", "passed",
+        "n_ref", "n_test",
     ).orderBy("part", "feature", "check")
 
 
@@ -632,6 +644,143 @@ def _embedding_lsh_sql(planes, bands: int = 8, max_bucket: int = 500,
         )
         SELECT id_a, id_b, round(cosine, 6) AS cosine
         FROM cc WHERE cosine >= {min_cosine} ORDER BY id_a, id_b
+    """
+
+
+def _image_verdicts_sql(path: str) -> str:
+    """Per-partition PSI / KS-D / chi-square re-derived in pure SQL from
+    the parquet the Spark query persisted (verdicts.partition_verdicts
+    semantics: global reference, exact decile edges with duplicate-drop,
+    pd.cut bucketing, 0.001 clamp + renormalize; KS as the cumulative
+    max-|ECDF diff| over pooled distinct values; chi-square on the >=5
+    validity-filtered aligned counts)."""
+    probs = "[" + ",".join(str(i / 10) for i in range(11)) + "]"
+    num_melt_ref = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c}::DOUBLE AS value FROM ref" for c in ("w", "h", "phash")
+    )
+    num_melt_test = " UNION ALL ".join(
+        f"SELECT part, '{c}' AS feature, {c}::DOUBLE AS value FROM test"
+        for c in ("w", "h", "phash")
+    )
+    return f"""
+        WITH img AS (SELECT * FROM '{path}/*.parquet'),
+        ref AS (SELECT * FROM img WHERE split = 'ref'),
+        test AS (SELECT * FROM img WHERE split = 'test'),
+        parts AS (SELECT DISTINCT part FROM test),
+        mref AS ({num_melt_ref}),
+        mtest AS ({num_melt_test}),
+        edges AS (
+          SELECT feature,
+                 list_sort(list_distinct(quantile_cont(value, {probs}))) AS e
+          FROM mref WHERE value IS NOT NULL GROUP BY feature
+        ),
+        rbin AS (
+          SELECT m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mref m JOIN edges USING (feature)
+        ),
+        tbin AS (
+          SELECT m.part, m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mtest m JOIN edges USING (feature)
+        ),
+        rcnt AS (SELECT feature, bin, count(*) AS c FROM rbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2),
+        tcnt AS (SELECT part, feature, bin, count(*) AS c FROM tbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
+        featbins AS (
+          SELECT feature, unnest(generate_series(0, len(e) - 2)) AS bin FROM edges
+        ),
+        grid AS (SELECT p.part, f.feature, f.bin FROM parts p, featbins f),
+        psi_j AS (
+          SELECT g.part, g.feature, g.bin,
+                 coalesce(rc.c, 0) AS r, coalesce(tc.c, 0) AS t
+          FROM grid g
+          LEFT JOIN rcnt rc ON rc.feature = g.feature AND rc.bin = g.bin
+          LEFT JOIN tcnt tc ON tc.part = g.part AND tc.feature = g.feature
+                            AND tc.bin = g.bin
+        ),
+        psi_p AS (
+          SELECT part, feature,
+                 greatest(r * 1.0 / sum(r) OVER w, 0.001) AS e_,
+                 greatest(t * 1.0 / sum(t) OVER w, 0.001) AS a_,
+                 sum(r) OVER w AS n_ref, sum(t) OVER w AS n_test
+          FROM psi_j WINDOW w AS (PARTITION BY part, feature)
+        ),
+        psi_n AS (
+          SELECT *, sum(e_) OVER w AS esum, sum(a_) OVER w AS asum
+          FROM psi_p WINDOW w AS (PARTITION BY part, feature)
+        ),
+        psi AS (
+          SELECT part, feature, 'psi' AS chk,
+                 sum((a_ / asum - e_ / esum) * ln((a_ / asum) / (e_ / esum))) AS stat,
+                 max(n_ref) AS n_ref, max(n_test) AS n_test
+          FROM psi_n GROUP BY part, feature
+        ),
+        ks_u AS (
+          SELECT p.part, m.feature, m.value, 1 AS r, 0 AS t FROM mref m, parts p
+          UNION ALL
+          SELECT part, feature, value, 0, 1 FROM mtest WHERE value IS NOT NULL
+        ),
+        ks_g AS (SELECT part, feature, value, sum(r) AS r, sum(t) AS t
+                 FROM ks_u GROUP BY 1, 2, 3),
+        ks_c AS (
+          SELECT part, feature,
+                 sum(r) OVER (PARTITION BY part, feature ORDER BY value) AS cr,
+                 sum(t) OVER (PARTITION BY part, feature ORDER BY value) AS ct,
+                 sum(r) OVER (PARTITION BY part, feature) AS n,
+                 sum(t) OVER (PARTITION BY part, feature) AS m
+          FROM ks_g
+        ),
+        ks AS (
+          SELECT part, feature, 'ks' AS chk,
+                 max(abs(cr * 1.0 / n - ct * 1.0 / m)) AS stat,
+                 max(n) AS n_ref, max(m) AS n_test
+          FROM ks_c GROUP BY part, feature
+        ),
+        c_ref AS (SELECT fmt AS v, count(*) AS r FROM ref
+                  WHERE fmt IS NOT NULL GROUP BY 1),
+        c_test AS (SELECT part, fmt AS v, count(*) AS t FROM test
+                   WHERE fmt IS NOT NULL GROUP BY 1, 2),
+        c_grid AS (
+          SELECT DISTINCT part, v FROM (
+            SELECT p.part, c.v FROM parts p, c_ref c
+            UNION ALL SELECT part, v FROM c_test
+          )
+        ),
+        c_j AS (
+          SELECT g.part, g.v, coalesce(cr.r, 0) AS r, coalesce(ct.t, 0) AS t
+          FROM c_grid g
+          LEFT JOIN c_ref cr ON cr.v = g.v
+          LEFT JOIN c_test ct ON ct.part = g.part AND ct.v = g.v
+        ),
+        c_tot AS (SELECT part, sum(r) AS nr, sum(t) AS nt FROM c_j GROUP BY part),
+        c_valid AS (SELECT * FROM c_j WHERE r >= 5 OR t >= 5),
+        c_sums AS (SELECT part, sum(r) AS sr, sum(t) AS st_, count(*) AS nv
+                   FROM c_valid GROUP BY part),
+        c_stat AS (
+          SELECT v.part,
+                 sum((v.t - v.r * 1.0 / s.sr * s.st_) * (v.t - v.r * 1.0 / s.sr * s.st_)
+                     / (v.r * 1.0 / s.sr * s.st_)) AS stat
+          FROM c_valid v JOIN c_sums s ON s.part = v.part
+          WHERE s.nv >= 2 GROUP BY v.part
+        ),
+        chi AS (
+          SELECT t.part, 'fmt' AS feature, 'chi2' AS chk,
+                 coalesce(cs.stat, 0.0) AS stat, t.nr AS n_ref, t.nt AS n_test
+          FROM c_tot t LEFT JOIN c_stat cs ON cs.part = t.part
+        ),
+        allrows AS (
+          SELECT * FROM psi UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM chi
+        )
+        SELECT CAST(part AS INTEGER) AS part, feature, chk AS "check",
+               round(stat, 6) AS statistic,
+               CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test
+        FROM allrows ORDER BY part, feature, chk
     """
 
 
@@ -910,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM events
         """,
+        "image_partition_verdicts": _image_verdicts_sql(ORACLE_IMG_PATH),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),
         "ann_cosine_topk_lsh": _ann_lsh_sql(planes16, bands=4),
