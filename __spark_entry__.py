@@ -216,12 +216,20 @@ def _q_minhash(spark, sf_dir):
     return minhash_signatures(docs, "doc_id", "text", n_hashes=MINHASH_K).orderBy("id")
 
 
+JACCARD_MAX_TOKEN_DF = 390  # stop-token ceiling (78% of the 500-doc corpus)
+
+
 def _q_jaccard(spark, sf_dir):
-    """Dedup (n-gram Jaccard): all-pairs token-set similarity >= 0.3."""
+    """Dedup (n-gram Jaccard): all-pairs token-set similarity >= 0.3 with
+    the stop-token scale guard ON (tokens in more than JACCARD_MAX_TOKEN_DF
+    docs are suppressed from pairing but still count toward set sizes) —
+    the production configuration, reflected identically in the oracle."""
     from driftspark.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    p = jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.3, max_token_df=10**9)
+    p = jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.3, max_token_df=JACCARD_MAX_TOKEN_DF
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
@@ -944,16 +952,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, {mh_cols}
             FROM tok GROUP BY id ORDER BY id
         """,
-        "jaccard_pairs": """
+        "jaccard_pairs": f"""
             WITH tok AS (
               SELECT DISTINCT doc_id AS id, t.token
               FROM documents,
                    unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
               WHERE t.token <> ''
             ), sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+            rare AS (
+              SELECT id, token FROM tok
+              WHERE token IN (
+                SELECT token FROM tok GROUP BY token
+                HAVING count(*) <= {JACCARD_MAX_TOKEN_DF}
+              )
+            ),
             shared AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-              FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+              FROM rare a JOIN rare b ON a.token = b.token AND a.id < b.id
               GROUP BY a.id, b.id
             )
             SELECT id_a, id_b,

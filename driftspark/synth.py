@@ -386,3 +386,55 @@ def synth_audio_table(
 
     rng = spark.range(0, n_rows, numPartitions=num_partitions)
     return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+ACS_FEATURES = [
+    "AGEP", "COW", "SCHL", "MAR", "OCCP", "POBP", "RELP", "WKHP", "SEX", "RAC1P"
+]
+ACS_SCHEMA = ", ".join(f"{c} double" for c in ACS_FEATURES) + ", label int"
+
+
+def synth_acs_table(
+    spark: SparkSession,
+    n_rows: int,
+    year: int = 2014,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ACS-income-shaped synthetic batch (the reference's folktables
+    workload substitute, SURVEY §2.1 S3): ten numeric features named after
+    the ACS income columns plus a binary label.  ``year`` applies
+    progressive covariate drift relative to the 2014 reference batch (AGEP
+    and SCHL shift up, WKHP shifts down, COW reweights) so a yearly loop
+    reproduces the reference demo's growing-drift sequence.  Counter-based
+    (SplitMix64) — identical rows for identical (seed, year, n_rows)
+    regardless of partitioning."""
+    d = max(year - 2014, 0)
+    yseed = seed * 1000 + year
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf["id"].values
+            agep = 18.0 + 50.0 * _u(yseed, 1, i) + 1.5 * d
+            cow = np.floor(1 + 8 * _u(yseed, 2, i) ** (1.0 + 0.08 * d))
+            schl = np.floor(1 + 24 * _u(yseed, 3, i)) + 0.6 * d
+            mar = np.floor(1 + 5 * _u(yseed, 4, i))
+            occp = np.floor(10 + 9790 * _u(yseed, 5, i))
+            pobp = np.floor(1 + 500 * _u(yseed, 6, i))
+            relp = np.floor(18 * _u(yseed, 7, i))
+            wkhp = 40.0 + 12.0 * (_u(yseed, 8, i) + _u(yseed, 9, i) - 1.0) - 0.8 * d
+            sex = np.floor(1 + 2 * _u(yseed, 10, i))
+            rac1p = np.floor(1 + 9 * _u(yseed, 11, i))
+            noise = 4.0 * (_u(yseed, 12, i) - 0.5)
+            z = 0.06 * agep + 0.22 * schl + 0.09 * wkhp - 0.45 * mar - 9.2 + noise
+            label = (z > 0).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "AGEP": agep, "COW": cow, "SCHL": schl, "MAR": mar,
+                    "OCCP": occp, "POBP": pobp, "RELP": relp, "WKHP": wkhp,
+                    "SEX": sex, "RAC1P": rac1p, "label": label,
+                }
+            )
+
+    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=ACS_SCHEMA)
