@@ -192,6 +192,119 @@ def ks_d_by_partition(
     )
 
 
+def _ref_ecdf_points(
+    ref_g: DataFrame,
+    max_points: int,
+    n_buckets: int = 64,
+) -> Dict[str, tuple]:
+    """{feature: (sorted values, exact cumulative counts, n)} from a
+    (feature, value, c) distinct-count frame, with DISTRIBUTED thinning.
+
+    Features whose distinct count fits ``max_points`` collect exactly.
+    Larger features never reach the driver unthinned: values are coarsely
+    bucketed by approx-quantile edges (so each feature's cumulative window
+    runs over ``n_buckets`` independent groups — no single-task
+    feature-wide sort), exact within-bucket cumulative counts get their
+    bucket-prefix offsets added via a broadcast join, and a global-rank
+    stride keeps ~max_points rows per feature (always retaining the last
+    point, so n stays exact).  Retained points carry EXACT cumulative
+    counts; the only approximation is the ECDF's value-resolution between
+    retained points."""
+    totals = ref_g.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("c").alias("n")
+    ).collect()
+    nd_by_feat = {r["feature"]: int(r["nd"]) for r in totals}
+    small = [f for f, nd in nd_by_feat.items() if nd <= max_points]
+    big = [f for f, nd in nd_by_feat.items() if nd > max_points]
+
+    ecdf: Dict[str, tuple] = {}
+    if small:
+        pdf = ref_g.where(F.col("feature").isin(small)).toPandas()
+        for feat, g in pdf.groupby("feature"):
+            g = g.sort_values("value")
+            vals = g["value"].values.astype(np.float64)
+            cums = np.cumsum(g["c"].values.astype(np.int64))
+            ecdf[feat] = (vals, cums, int(cums[-1]))
+    if not big:
+        return ecdf
+
+    spark = ref_g.sparkSession
+    bg = ref_g.where(F.col("feature").isin(big)).persist()
+    try:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        edge_rows = bg.groupBy("feature").agg(
+            F.percentile_approx(
+                "value", F.array(*[F.lit(p) for p in probs]), 10_000
+            ).alias("edges")
+        ).collect()
+        bucket = F.lit(0)
+        for r in edge_rows:
+            b = F.lit(0)
+            for e in r["edges"]:
+                b = b + (F.col("value") > F.lit(float(e))).cast("int")
+            bucket = F.when(F.col("feature") == r["feature"], b).otherwise(bucket)
+        bucketed = bg.withColumn("bkt", bucket)
+
+        # bucket prefix offsets (counts + distinct ranks), tiny driver state
+        offs_rows = bucketed.groupBy("feature", "bkt").agg(
+            F.sum("c").alias("cnt"), F.count(F.lit(1)).alias("ndb")
+        ).collect()
+        offs: List[tuple] = []
+        per_feat: Dict[str, list] = {}
+        for r in offs_rows:
+            per_feat.setdefault(r["feature"], []).append(r)
+        for feat, rows in per_feat.items():
+            coff = roff = 0
+            for r in sorted(rows, key=lambda x: x["bkt"]):
+                offs.append((feat, int(r["bkt"]), coff, roff))
+                coff += int(r["cnt"])
+                roff += int(r["ndb"])
+        offs_df = spark.createDataFrame(
+            pd.DataFrame(offs, columns=["feature", "bkt", "coff", "roff"])
+        )
+
+        w_cum = (
+            Window.partitionBy("feature", "bkt")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_rk = Window.partitionBy("feature", "bkt").orderBy("value")
+        scored = (
+            bucketed.select(
+                "feature", "bkt", "value",
+                F.sum("c").over(w_cum).alias("lcum"),
+                F.row_number().over(w_rk).alias("lrk"),
+            )
+            .join(F.broadcast(offs_df), ["feature", "bkt"])
+            .select(
+                "feature", "value",
+                (F.col("lcum") + F.col("coff")).alias("cum"),
+                (F.col("lrk") + F.col("roff")).alias("rk"),
+            )
+        )
+        nd_df = spark.createDataFrame(
+            pd.DataFrame(
+                [(f, nd_by_feat[f], max(nd_by_feat[f] // max_points + 1, 1))
+                 for f in big],
+                columns=["feature", "nd", "stride"],
+            )
+        )
+        kept = scored.join(F.broadcast(nd_df), "feature").where(
+            (F.col("rk") % F.col("stride") == 0) | (F.col("rk") == F.col("nd"))
+        )
+        pdf = kept.select("feature", "value", "cum").toPandas()
+        for feat, g in pdf.groupby("feature"):
+            g = g.sort_values("value")
+            ecdf[feat] = (
+                g["value"].values.astype(np.float64),
+                g["cum"].values.astype(np.int64),
+                int(g["cum"].values[-1]),
+            )
+    finally:
+        bg.unpersist()
+    return ecdf
+
+
 def ks_d_by_partition_broadcast(
     ref_df: DataFrame,
     test_df: DataFrame,
@@ -217,8 +330,17 @@ def ks_d_by_partition_broadcast(
     test ECDF is constant and R is monotone, so interval suprema are
     attained at the R(t_i^-) endpoints; negative-side interval extrema are
     dominated by the test-point terms).  Per-group work is O(m_part log
-    distinct_ref); ref distinct values above ``max_ref_ecdf_points`` are
-    quantile-thinned (error bound 1/points on R-resolution)."""
+    distinct_ref).
+
+    Thinning happens DISTRIBUTED, before anything reaches the driver: when
+    a feature's distinct-value count exceeds ``max_ref_ecdf_points``, a
+    per-feature cumulative window computes exact (value, cum_count) pairs
+    and an ntile-style rank filter keeps ~max points per feature (always
+    including the last = exact n).  The driver only ever collects
+    O(features x max_points) rows — at 10^12 rows the unthinned distinct
+    set would not fit on any driver.  Retained points keep their EXACT
+    cumulative counts, so the only error is R's value-resolution between
+    retained points (<= 1/max_points of mass)."""
     spark = ref_df.sparkSession
 
     def melt(df, with_part):
@@ -233,23 +355,10 @@ def ks_d_by_partition_broadcast(
             .where(F.col("value").isNotNull() & ~F.isnan("value"))
         )
 
-    ref_counts = (
-        melt(ref_df, False)
-        .groupBy("feature", "value")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .toPandas()  # Arrow batches — orders faster than Row collect()
+    ref_g = melt(ref_df, False).groupBy("feature", "value").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    ecdf: Dict[str, tuple] = {}
-    for feat, g in ref_counts.groupby("feature"):
-        g = g.sort_values("value")
-        vals = g["value"].values.astype(np.float64)
-        cums = np.cumsum(g["c"].values.astype(np.int64))
-        if len(vals) > max_ref_ecdf_points:
-            idx = np.unique(
-                np.linspace(0, len(vals) - 1, max_ref_ecdf_points).astype(np.int64)
-            )
-            vals, cums = vals[idx], cums[idx]
-        ecdf[feat] = (vals, cums, int(cums[-1]))
+    ecdf = _ref_ecdf_points(ref_g, max_ref_ecdf_points)
     b_ecdf = spark.sparkContext.broadcast(ecdf)
 
     def compute(key, pdf):

@@ -50,3 +50,85 @@ def test_broadcast_ks_with_ties_and_duplicates(spark):
             test_pdf[test_pdf["part"] == part][feat].values.astype(float),
         )
         assert d == pytest.approx(oracle, abs=1e-12)
+
+
+def test_distributed_ecdf_thinning(spark):
+    """_ref_ecdf_points thins features above the cap WITHOUT collecting
+    the full distinct set: retained points stay <= cap (+ exact last
+    point), every retained cumulative count equals the exact ECDF at that
+    value, and features under the cap come back bit-exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from driftspark.verdicts import _ref_ecdf_points
+
+    rng = np.random.RandomState(3)
+    big_vals = rng.normal(0, 1, 5000)           # ~5000 distinct > cap
+    small_vals = rng.randint(0, 50, 5000)       # 50 distinct < cap
+    pdf = pd.concat([
+        pd.DataFrame({"feature": "big", "value": big_vals}),
+        pd.DataFrame({"feature": "small", "value": small_vals.astype(float)}),
+    ])
+    ref_g = (
+        spark.createDataFrame(pdf)
+        .groupBy("feature", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cap = 500
+    ecdf = _ref_ecdf_points(ref_g, cap, n_buckets=8)
+
+    # exact oracle
+    def exact(vals):
+        v, c = np.unique(vals, return_counts=True)
+        return v, np.cumsum(c)
+
+    ev, ec = exact(small_vals.astype(float))
+    assert np.array_equal(ecdf["small"][0], ev)
+    assert np.array_equal(ecdf["small"][1], ec)
+    assert ecdf["small"][2] == 5000
+
+    bv, bc = exact(big_vals)
+    tv, tc, n = ecdf["big"]
+    assert n == 5000
+    assert len(tv) <= cap + 1
+    assert tv[-1] == bv[-1] and tc[-1] == 5000
+    assert np.all(np.diff(tv) > 0)
+    # every retained point carries the EXACT cumulative count
+    idx = np.searchsorted(bv, tv)
+    assert np.array_equal(bc[idx], tc)
+    # thinning is uniform in rank: gaps bounded by the stride
+    stride = len(bv) // cap + 1
+    assert np.max(np.diff(np.concatenate([[0], idx]))) <= stride
+
+
+def test_broadcast_ks_exact_under_cap_and_close_when_thinned(spark):
+    """KS D with a thinned reference ECDF stays within the documented
+    resolution bound of the exact D."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    ref = rng.normal(0, 1, 8000)
+    test = rng.normal(0.3, 1, 4000)
+    rows = pd.concat([
+        pd.DataFrame({"split": "ref", "part": 0, "x": ref}),
+        pd.DataFrame({"split": "test", "part": 0, "x": test}),
+    ])
+    df = spark.createDataFrame(rows)
+    rdf = df.where(F.col("split") == "ref")
+    tdf = df.where(F.col("split") == "test")
+
+    exact_d = ks_d_by_partition_broadcast(rdf, tdf, ["x"]).first()["d"]
+    # numpy oracle
+    allv = np.sort(np.concatenate([ref, test]))
+    d_np = np.max(np.abs(
+        np.searchsorted(np.sort(ref), allv, side="right") / len(ref)
+        - np.searchsorted(np.sort(test), allv, side="right") / len(test)
+    ))
+    assert exact_d == pytest.approx(d_np, abs=1e-12)
+
+    thin_d = ks_d_by_partition_broadcast(
+        rdf, tdf, ["x"], max_ref_ecdf_points=400
+    ).first()["d"]
+    stride = len(np.unique(ref)) // 400 + 1
+    assert abs(thin_d - exact_d) <= stride / len(ref) + 1e-12
