@@ -45,13 +45,13 @@ VERDICT_SCHEMA = (
 )
 
 
-def _melt_binned(df: DataFrame, edges_map: Dict[str, np.ndarray], part_col: str):
+def _melt_binned(df: DataFrame, edges_map: Dict[str, np.ndarray], part_expr):
     structs = [
         F.struct(F.lit(c).alias("feature"), bucket_expr(c, e).alias("bin"))
         for c, e in edges_map.items()
     ]
     return (
-        df.select(F.col(part_col).alias("part"), F.explode(F.array(*structs)).alias("fb"))
+        df.select(part_expr.alias("part"), F.explode(F.array(*structs)).alias("fb"))
         .select("part", "fb.feature", "fb.bin")
         .where(F.col("bin").isNotNull())
     )
@@ -75,16 +75,29 @@ def psi_by_partition(
         raise ValueError("edges_map is empty")
     spark = ref_df.sparkSession
 
-    # reference histogram is global: one row per (feature, bin)
-    ref_cnt = (
-        _melt_binned(ref_df, edges_map, part_col)
-        .groupBy("feature", "bin")
-        .agg(F.count(F.lit(1)).alias("r"))
+    # BOTH sides histogram in ONE scan: ref rows carry a NULL part; the
+    # aggregated counts are O(parts x features x bins) — localCheckpoint
+    # materializes them once so the two branches below don't re-scan
+    u = _melt_binned(
+        ref_df, edges_map, F.lit(None).cast("long")
+    ).unionByName(
+        _melt_binned(
+            test_df.where(F.col(part_col).isNotNull()),
+            edges_map,
+            F.col(part_col).cast("long"),
+        )
     )
-    test_cnt = (
-        _melt_binned(test_df, edges_map, part_col)
-        .groupBy("part", "feature", "bin")
-        .agg(F.count(F.lit(1)).alias("t"))
+    counts = (
+        u.groupBy("part", "feature", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    # reference histogram is global: one row per (feature, bin)
+    ref_cnt = counts.where(F.col("part").isNull()).select(
+        "feature", "bin", F.col("c").alias("r")
+    )
+    test_cnt = counts.where(F.col("part").isNotNull()).select(
+        "part", "feature", "bin", F.col("c").alias("t")
     )
 
     # dense (part, feature, bin) grid so empty bins participate in the
@@ -93,7 +106,11 @@ def psi_by_partition(
         (c, b) for c, e in edges_map.items() for b in range(len(e) - 1)
     ]
     grid_fb = spark.createDataFrame(pd.DataFrame(bins_rows, columns=["feature", "bin"]))
-    parts = test_df.select(F.col(part_col).alias("part")).distinct()
+    parts = (
+        test_df.where(F.col(part_col).isNotNull())
+        .select(F.col(part_col).cast("long").alias("part"))
+        .distinct()
+    )
     grid = parts.crossJoin(F.broadcast(grid_fb))
 
     j = (
@@ -210,6 +227,9 @@ def _ref_ecdf_points(
     point, so n stays exact).  Retained points carry EXACT cumulative
     counts; the only approximation is the ECDF's value-resolution between
     retained points."""
+    # the distinct set feeds 2-4 jobs below (totals, small collect, big
+    # bucketing/offsets/window) — persist so the raw data is scanned once
+    ref_g = ref_g.persist()
     totals = ref_g.groupBy("feature").agg(
         F.count(F.lit(1)).alias("nd"), F.sum("c").alias("n")
     ).collect()
@@ -226,10 +246,11 @@ def _ref_ecdf_points(
             cums = np.cumsum(g["c"].values.astype(np.int64))
             ecdf[feat] = (vals, cums, int(cums[-1]))
     if not big:
+        ref_g.unpersist()
         return ecdf
 
     spark = ref_g.sparkSession
-    bg = ref_g.where(F.col("feature").isin(big)).persist()
+    bg = ref_g.where(F.col("feature").isin(big))
     try:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         edge_rows = bg.groupBy("feature").agg(
@@ -301,7 +322,7 @@ def _ref_ecdf_points(
                 int(g["cum"].values[-1]),
             )
     finally:
-        bg.unpersist()
+        ref_g.unpersist()
     return ecdf
 
 
