@@ -4,13 +4,15 @@ with salted aggregations and broadcast/sort-merge joins to defeat skew").
 
 Design notes for 10^12-row scale:
 
-* Uniqueness counting is a two-phase aggregation: phase 1 groups by
-  (key, salt) so a pathologically hot key is split across ``salt_buckets``
-  reducers and partially combined; phase 2 merges the per-salt partial
-  counts by key.  (Spark's hash aggregate already does map-side partial
-  combine; the explicit salt additionally bounds the per-reducer row count
-  for a hot key in the FIRST shuffle, which partial combine alone cannot
-  when a single map task's hash table overflows on one key.)
+* Uniqueness counting defaults to a single groupBy: for COUNT-shaped
+  aggregation, Spark's map-side partial combine already neutralizes hot
+  keys — a hot key emits at most one partial row per map task, so no
+  reducer ever receives more than n_map_tasks rows for it, and an extra
+  salt level only doubles the key-grain shuffle.  The explicit salted
+  two-phase variant (``salt_buckets=N``) remains for aggregates whose
+  per-key STATE grows with rows (collect-style payload gathering) or when
+  a downstream join on the key is what skews — there the salt genuinely
+  bounds per-reducer memory.
 * The violation-row join back to the base table broadcasts the duplicate
   key set when it is small (the common case — violations are rare), else
   falls back to a shuffle join with AQE skew splitting.
@@ -29,29 +31,33 @@ BROADCAST_ROW_LIMIT = 2_000_000
 
 
 def duplicate_keys(
-    df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 64
+    df: DataFrame, key_cols: Sequence[str], salt_buckets: Optional[int] = None
 ) -> DataFrame:
     """Keys occurring more than once → (key_cols..., dup_count).
 
-    Two-phase salted aggregation (see module docstring)."""
+    Default: single groupBy (map-side partial combine bounds hot keys —
+    see module docstring).  ``salt_buckets=N`` opts into the explicit
+    two-phase salted aggregation."""
     key_cols = list(key_cols)
-    salted = df.select(*key_cols).withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    )
-    partial = salted.groupBy(*key_cols, "__salt").agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
-    return (
-        partial.groupBy(*key_cols)
-        .agg(F.sum("__cnt").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-    )
+    if salt_buckets:
+        salted = df.select(*key_cols).withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy(*key_cols, "__salt").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        counted = partial.groupBy(*key_cols).agg(F.sum("__cnt").alias("dup_count"))
+    else:
+        counted = df.select(*key_cols).groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("dup_count")
+        )
+    return counted.where(F.col("dup_count") > 1)
 
 
 def uniqueness_violations(
     df: DataFrame,
     key_cols: Sequence[str],
-    salt_buckets: int = 64,
+    salt_buckets: Optional[int] = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """All base rows whose key is duplicated, with the key's dup_count.
@@ -86,27 +92,35 @@ def uniqueness_report(
 def uniqueness_check(
     df: DataFrame,
     key_cols: Sequence[str],
-    salt_buckets: int = 64,
+    salt_buckets: Optional[int] = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ):
     """Report + violations from ONE key-count aggregation.
 
-    The per-key counts (salted two-phase) are computed once and cached;
+    The per-key counts are computed once and cached;
     the report aggregate and the duplicate-key filter both derive from it,
     halving the key-grain shuffle work vs calling uniqueness_report and
     uniqueness_violations separately.  Returns (report_df, violations_df).
     """
     key_cols = list(key_cols)
-    salted = df.select(*key_cols).withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    )
-    counted = (
-        salted.groupBy(*key_cols, "__salt")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .groupBy(*key_cols)
-        .agg(F.sum("__cnt").alias("c"))
-        .cache()
-    )
+    if salt_buckets:
+        salted = df.select(*key_cols).withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        )
+        counted = (
+            salted.groupBy(*key_cols, "__salt")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy(*key_cols)
+            .agg(F.sum("__cnt").alias("c"))
+            .cache()
+        )
+    else:
+        counted = (
+            df.select(*key_cols)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .cache()
+        )
     report = counted.groupBy().agg(
         F.sum("c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct_keys"),
