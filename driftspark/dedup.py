@@ -136,10 +136,21 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact token-Jaccard verification of candidates only.  Returns
-    (id_a, id_b, jaccard >= min_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    (id_a, id_b, jaccard >= min_jaccard).
+
+    The token table feeds the signatures, the sizes, and both sides of the
+    intersection join; the signature table feeds both sides of the bucket
+    self-join — both are cached so each expensive explode/distinct/agg
+    runs once instead of 3x/2x (at 10^12 scale these spill to disk, which
+    still beats recomputing the distinct-token shuffle)."""
+    tok = tokens(df, id_col, text_col).cache()
+    sigs = tok.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("token"), F.lit(f":{k}")))).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]
+    ).cache()
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
-    tok = tokens(df, id_col, text_col)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     # count shared tokens by joining token lists through the candidate pair
     shared = (
