@@ -91,39 +91,53 @@ class MMD(BaseDriftDetector):
         self.max_samples = max_samples
         self.perm_seed = perm_seed
 
-    def _sample_matrix(self, ds: SparkDataset, cols) -> tuple[np.ndarray, int]:
-        """Deterministic content-keyed sample of the numeric feature matrix
-        (fillna(0) — mmd.py:214-215), collected as Arrow batches."""
-        df = ds.df.select([F.col(c).cast("double").alias(c) for c in cols]).na.fill(0.0)
-        total = df.count()
-        if total > self.max_samples:
-            df = df.orderBy(F.xxhash64(*cols), *cols).limit(self.max_samples)
-        pdf = df.toPandas()
-        return np.nan_to_num(pdf.values.astype(np.float64)), total
+    def _sample_matrices(self, ref_ds: SparkDataset, test_ds: SparkDataset, cols):
+        """Deterministic content-keyed samples of both feature matrices
+        (fillna(0) — mmd.py:214-215), collected as Arrow batches.  Both
+        side counts come from ONE column-pruned job (the count guards the
+        over-sized orderBy+limit top-k heap)."""
 
-    def _permutation_pvalue(self, X: np.ndarray, Y: np.ndarray, mmd_obs: float) -> float:
+        def prep(ds):
+            return ds.df.select(
+                [F.col(c).cast("double").alias(c) for c in cols]
+            ).na.fill(0.0)
+
+        a, b = prep(ref_ds), prep(test_ds)
+        counts = {
+            r["__side"]: r["n"]
+            for r in a.select(F.lit(0).alias("__side"))
+            .unionByName(b.select(F.lit(1).alias("__side")))
+            .groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        def take(df, total):
+            if total > self.max_samples:
+                df = df.orderBy(F.xxhash64(*cols), *cols).limit(self.max_samples)
+            return np.nan_to_num(df.toPandas().values.astype(np.float64))
+
+        n_ref, n_test = counts.get(0, 0), counts.get(1, 0)
+        return take(a, n_ref), n_ref, take(b, n_test), n_test
+
+    def _median_gamma(self, X: np.ndarray, Y: np.ndarray) -> float:
+        """Median-heuristic gamma over the first 100 rows/side (mmd.py:108-115)."""
+        head = np.vstack([X[: min(100, len(X))], Y[: min(100, len(Y))]])
+        sq = np.sum((head[:, None, :] - head[None, :, :]) ** 2, axis=2)
+        med = np.median(sq[sq > 0]) if (sq > 0).any() else 0.0
+        return 1.0 / (2 * med) if med > 0 else 1.0
+
+    def _permutation_pvalue(self, K: np.ndarray, n: int, m: int, mmd_obs: float) -> float:
         """Permutation-test p = (#null >= obs + 1)/(N + 1) (mmd.py:141-170).
 
-        Fast path: the kernel matrix over the pooled sample is computed
-        ONCE and each permutation only re-slices it — O(N * n^2) index
-        work instead of N full kernel computations.  The permutation gamma
-        is fixed to the observed statistic's median-heuristic value
-        (the reference recomputes the heuristic per permutation, but its
+        Fast path: reuses the pooled kernel matrix (computed once for the
+        observed statistic) — each permutation is O(N^2) mat-vec index
+        work instead of a full kernel build.  The permutation gamma is
+        fixed to the observed statistic's median-heuristic value (the
+        reference recomputes the heuristic per permutation, but its
         permutations are also unseeded, so no reproducible parity exists
         to preserve; fixed-gamma permutation testing is the standard
         formulation)."""
-        n, m = len(X), len(Y)
-        combined = np.vstack([X, Y])
-        gamma = self.gamma
-        if gamma is None and self.kernel == "rbf":
-            head = np.vstack([X[: min(100, n)], Y[: min(100, m)]])
-            sq = np.sum((head[:, None, :] - head[None, :, :]) ** 2, axis=2)
-            med = np.median(sq[sq > 0]) if (sq > 0).any() else 0.0
-            gamma = 1.0 / (2 * med) if med > 0 else 1.0
-        if self.kernel == "rbf":
-            K = _rbf_kernel(combined, combined, gamma)
-        else:
-            K = combined @ combined.T
         rng = (
             np.random.RandomState(self.perm_seed)
             if self.perm_seed is not None
@@ -168,14 +182,33 @@ class MMD(BaseDriftDetector):
                 threshold=self.threshold,
             )
 
-        X, n_ref_total = self._sample_matrix(ref, cols)
-        Y, n_test_total = self._sample_matrix(test_data, cols)
+        X, n_ref_total, Y, n_test_total = self._sample_matrices(ref, test_data, cols)
+        n, m = len(X), len(Y)
 
-        mmd_value = mmd_unbiased(X, Y, self.kernel, self.gamma)
+        # pooled kernel ONCE; the observed MMD^2 reads its blocks and the
+        # permutation test re-slices it — mmd_unbiased's per-block kernels
+        # would recompute the same exp() work a second time
+        gamma = self.gamma
+        if gamma is None and self.kernel == "rbf":
+            gamma = self._median_gamma(X, Y)
+        combined = np.vstack([X, Y])
+        if self.kernel == "rbf":
+            K = _rbf_kernel(combined, combined, gamma)
+        elif self.kernel == "linear":
+            K = combined @ combined.T
+        else:
+            raise ValueError(f"Unknown kernel: {self.kernel}")
+        K_XX, K_YY, K_XY = K[:n, :n], K[n:, n:], K[:n, n:]
+        mmd_sq = (
+            (K_XX.sum() - np.trace(K_XX)) / (n * (n - 1))
+            + (K_YY.sum() - np.trace(K_YY)) / (m * (m - 1))
+            - 2 * K_XY.sum() / (n * m)
+        )
+        mmd_value = float(np.sqrt(max(0, mmd_sq)))
 
         p_value = None
         if self.n_permutations > 0:
-            p_value = self._permutation_pvalue(X, Y, mmd_value)
+            p_value = self._permutation_pvalue(K, n, m, mmd_value)
 
         drift_detected = mmd_value >= self.threshold
         severity = DriftSeverity(severity_from_mmd(mmd_value, self.threshold))
