@@ -175,6 +175,27 @@ def _q_referential(spark, sf_dir):
     return v.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")).orderBy("o_custkey")
 
 
+def _q_supplier_rollup(spark, sf_dir):
+    """Dimension-chain rollup over the three otherwise-unexercised tables:
+    supplier -> nation -> region broadcast joins + grouped aggregates (the
+    dims are small by construction — Catalyst broadcasts both joins; the
+    plan test suite asserts BroadcastHashJoin for dimension joins)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def _q_topk(spark, sf_dir):
     """T2/T3: top-k sort."""
     p = _t(spark, sf_dir, "part")
@@ -465,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
+        "supplier_rollup": _q_supplier_rollup,
         "topk_parts": _q_topk,
         "cbpe_confidence_hist": _q_cbpe_hist,
         "dedup_exact": _q_dedup_exact,
@@ -923,6 +945,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             )
             GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "supplier_rollup": """
+            SELECT r_name,
+                   count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 6) AS avg_acctbal,
+                   count(DISTINCT n_nationkey) AS n_nations
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "topk_parts": """
             SELECT p_partkey, p_retailprice FROM part
