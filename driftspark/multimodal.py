@@ -13,10 +13,11 @@ Codec availability: this container carries no PIL/libjpeg/ffmpeg, so
 - AUDIO decode is REAL for RIFF/WAVE (PCM uint8/int16/int32 + IEEE float,
   stdlib struct parser — ``decode_wav``/``encode_wav``); compressed audio
   (mp3/ogg/flac) would need soundfile and raises NotImplementedError;
-- VIDEO frame extraction is a STUB behind ``NotImplementedError`` with a
-  deterministic fake-decoder escape hatch (``fake=True``) so the
-  distributed plumbing stays testable — swap `_decode_video_frame` for
-  PyAV/ffmpeg in production.
+- VIDEO frame extraction is REAL for uncompressed AVI (RIFF 'DIB '
+  24-bit streams, stdlib struct demuxer — ``decode_avi_frame``/
+  ``encode_avi``); compressed containers (mp4/h264) would need
+  PyAV/ffmpeg and raise NotImplementedError (deterministic fake-codec
+  escape hatch ``fake=True`` kept for plumbing tests).
 """
 
 from __future__ import annotations
@@ -254,8 +255,101 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Video (stubbed frame extraction, real plumbing)
+# Video — REAL uncompressed-AVI codec (stdlib struct; no PyAV/ffmpeg)
 # ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a standard uncompressed AVI
+    (RIFF 'AVI ', 'DIB ' video stream, 24-bit bottom-up BGR with 4-byte
+    row padding) — plays in any mainstream player."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("frames must be (n, h, w, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    frame_payloads = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+        if pad:
+            rows = np.zeros((h, row_bytes), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            frame_payloads.append(rows.tobytes())
+        else:
+            frame_payloads.append(bgr.tobytes())
+    size_image = row_bytes * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, size_image * fps, 0, 0x10, n, 0, 1,
+        size_image, w, h, 0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER: flags, priority, language, initial_frames, scale,
+    # rate, start, length, suggested_buffer, quality, sample_size, rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<I2H8I", 0, 0, 0, 0, 1, fps, 0, n,
+                      size_image, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in frame_payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Decode one frame of an uncompressed ('DIB '/24-bit) AVI payload to
+    (h, w, 3) uint8 RGB.  Stdlib RIFF walk; only the requested frame's
+    bytes are touched.  Indices past the end clamp to the last frame
+    (matching the fake codec's behavior)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    dims = {}
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"strf" and not dims:
+                bi = struct.unpack("<I2i2H2I", buf[body_start : body_start + 24])
+                dims["w"], dims["h"], dims["bits"], dims["comp"] = (
+                    bi[1], bi[2], bi[4], bi[5],
+                )
+            elif cid in (b"00db", b"00dc"):
+                frames.append((body_start, size))
+            pos = body_start + size + (size & 1)
+
+    walk(data, 12, len(data))
+    if not dims or not frames:
+        raise ValueError("AVI missing strf/frame chunks")
+    if dims["bits"] != 24 or dims["comp"] != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit AVI decodable without PyAV/ffmpeg "
+            f"(got bits={dims['bits']} compression={dims['comp']})"
+        )
+    w, h = dims["w"], abs(dims["h"])
+    top_down = dims["h"] < 0
+    start, size = frames[min(frame_idx, len(frames) - 1)]
+    row_bytes = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=start)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows if top_down else rows[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
 
 _FAKE_VIDEO_MAGIC = b"FAKV"
 
@@ -271,14 +365,17 @@ def encode_fake_video(frames: np.ndarray) -> bytes:
 
 
 def _decode_video_frame(data: bytes, frame_idx: int, fake: bool) -> np.ndarray:
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_frame(data, frame_idx)  # REAL path: raw-DIB AVI
     if data[:4] == _FAKE_VIDEO_MAGIC and fake:
         f, h, w = struct.unpack(">III", data[4:16])
         raw = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
         return raw.reshape(f, h, w, 3)[min(frame_idx, f - 1)]
-    # swap in PyAV/ffmpeg here in production
+    # compressed containers (mp4/h264/vp9) would need PyAV/ffmpeg
     raise NotImplementedError(
-        "real video demuxers (PyAV/ffmpeg) are not available in this "
-        "container; pass payloads from encode_fake_video with fake=True"
+        "only uncompressed RIFF/AVI payloads are decodable without "
+        "external video libs; pass AVI bytes (encode_avi) or fake-codec "
+        "payloads with fake=True"
     )
 
 FRAME_SAMPLE_SCHEMA = (
@@ -288,8 +385,8 @@ FRAME_SAMPLE_SCHEMA = (
 
 def sample_frames(df: DataFrame, frame_indices, fake: bool = False) -> DataFrame:
     """Extract the given frame indices from each video payload as PNG rows
-    (one output row per (video, frame)).  Frame decode is a STUB unless
-    fake-codec payloads are used; the fan-out/batching is production shape."""
+    (one output row per (video, frame)).  REAL for uncompressed AVI
+    payloads; compressed containers surface as decode_error rows."""
     idx_list = list(frame_indices)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

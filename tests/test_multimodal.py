@@ -90,9 +90,9 @@ def test_video_frame_sampling_fake_codec(spark):
     # extracted frame 5 decodes back to the original pixels
     f5 = out[out["frame_idx"] == 5].iloc[0]
     assert np.array_equal(io.decode_png(bytes(f5["bytes"])), frames[5])
-    # stub path without fake flag
+    # fake-codec payload without the fake flag hits the compressed-stub path
     stub = sample_frames(df, [0]).toPandas()
-    assert "not available" in stub["decode_error"].iloc[0]
+    assert "RIFF/AVI" in stub["decode_error"].iloc[0]
 
 
 def test_embedding_near_duplicates(spark):
@@ -236,3 +236,56 @@ def test_synth_audio_deterministic(spark):
     b = {r["audio_id"]: bytes(r["bytes"])
          for r in synth_audio_table(spark, 20, num_partitions=5).collect()}
     assert a == b  # partitioning-invariant generation
+
+
+# ---------------------------------------------------------------------------
+# Real uncompressed-AVI video codec
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_exact():
+    from driftspark.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (7, 12, 16, 3)).astype(np.uint8)
+    avi = encode_avi(frames, fps=10)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    for k in (0, 3, 6):
+        assert np.array_equal(decode_avi_frame(avi, k), frames[k])
+    # past-the-end clamps to the last frame (fake-codec parity)
+    assert np.array_equal(decode_avi_frame(avi, 99), frames[6])
+
+
+def test_avi_row_padding_odd_width():
+    """w=5 -> 15-byte rows pad to 16; pixels must survive exactly."""
+    from driftspark.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (2, 3, 5, 3)).astype(np.uint8)
+    avi = encode_avi(frames)
+    assert np.array_equal(decode_avi_frame(avi, 0), frames[0])
+    assert np.array_equal(decode_avi_frame(avi, 1), frames[1])
+
+
+def test_avi_rejects_non_avi_and_compressed():
+    from driftspark.multimodal import decode_avi_frame
+
+    with pytest.raises(ValueError):
+        decode_avi_frame(b"RIFF\x00\x00\x00\x00WAVE", 0)
+    with pytest.raises(ValueError):
+        decode_avi_frame(b"nonsense bytes here!", 0)
+
+
+def test_sample_frames_real_avi(spark):
+    from driftspark.multimodal import encode_avi
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (10, 16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([("v0", encode_avi(frames))], columns=["video_id", "bytes"])
+    )
+    out = sample_frames(df, [0, 5, 9]).toPandas()  # no fake flag: REAL path
+    assert len(out) == 3
+    assert out["decode_error"].isna().all()
+    f5 = out[out["frame_idx"] == 5].iloc[0]
+    assert np.array_equal(io.decode_png(bytes(f5["bytes"])), frames[5])
