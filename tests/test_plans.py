@@ -136,3 +136,65 @@ def test_detectors_never_use_row_udfs(spark, li):
     plan = _plan(res.rows)
     assert "BatchEvalPython" not in plan
     assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
+
+
+def test_fused_psi_melt_single_scan_partial_agg(spark, li):
+    """The fused detect plan (numeric bins + categoricals in one
+    explode-melt aggregation) keeps map-side partial aggregation and
+    never leaves whole-stage codegen for a Python UDF."""
+    from driftspark.stats import bucket_expr as be  # noqa: F401
+
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    test = li.where(F.col("l_orderkey") % 2 == 1)
+    edges = {"l_quantity": np.linspace(1, 50, 11)}
+    structs = [
+        F.struct(F.lit("#n:l_quantity").alias("feature"),
+                 be("l_quantity", edges["l_quantity"]).cast("string").alias("key")),
+        F.struct(F.lit("#c:l_returnflag").alias("feature"),
+                 F.col("l_returnflag").cast("string").alias("key")),
+    ]
+
+    def melt(df, is_ref):
+        return (df.select(F.explode(F.array(*structs)).alias("fk"))
+                .select("fk.feature", "fk.key")
+                .where(F.col("key").isNotNull())
+                .withColumn("r", F.lit(1 if is_ref else 0))
+                .withColumn("t", F.lit(0 if is_ref else 1)))
+
+    agg = (melt(ref, True).unionByName(melt(test, False))
+           .groupBy("feature", "key")
+           .agg(F.sum("r").alias("r"), F.sum("t").alias("t")))
+    plan = _plan(agg)
+    # partial aggregation before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan  # AQE wraps codegen pre-execution
+
+
+def test_supplier_rollup_broadcasts_dimensions(spark):
+    s = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    j = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name").agg(F.count(F.lit(1)).alias("c")))
+    plan = _plan(j)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_thinned_ecdf_offsets_join_broadcasts(spark):
+    """The over-cap branch of _ref_ecdf_points joins tiny offset frames
+    in broadcast — the distinct-value side must never shuffle for them."""
+    import pandas as pd
+
+    from driftspark.verdicts import _ref_ecdf_points
+
+    rng = np.random.RandomState(1)
+    pdf = pd.DataFrame({"feature": "f", "value": rng.normal(size=3000)})
+    ref_g = (spark.createDataFrame(pdf)
+             .groupBy("feature", "value").agg(F.count(F.lit(1)).alias("c")))
+    # run it (over-cap) — correctness covered elsewhere; here we only
+    # assert it completes with the bounded driver collect
+    ecdf = _ref_ecdf_points(ref_g, 200, n_buckets=8)
+    assert len(ecdf["f"][0]) <= 201
