@@ -29,6 +29,10 @@ PRICE_EDGES = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50000.0,
                60000.0, 70000.0, 80000.0, 90000.0, 110000.0]
 CONF_CUTOFFS = [float(x) for x in np.linspace(0, 1, 11)[:-1]]  # digitize cutoffs
 MINHASH_K = 4
+EMB_DIM = 64  # embeddings-table dimension; the LSH oracles inline
+# hyperplanes generated for THIS dim — the queries check it loudly so a
+# test-table change fails with a clear message instead of a silent
+# signature divergence
 LANG_PATTERNS = {
     "en": r"(?i)\b(the|and|of|to|is|in|that|it|was|for)\b",
     "de": r"(?i)\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b",
@@ -377,10 +381,20 @@ def _q_lsh_candidates(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 
+def _check_emb_dim(emb):
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    if dim != EMB_DIM:
+        raise ValueError(
+            f"embeddings dim {dim} != EMB_DIM {EMB_DIM}: the LSH oracles "
+            "inline hyperplanes for EMB_DIM — update the constant"
+        )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from driftspark.ann import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
+    _check_emb_dim(emb)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     top = cosine_topk_lsh(
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding", qvec, k=10
@@ -419,6 +433,7 @@ def _q_embedding_neardups_lsh(spark, sf_dir):
     from driftspark.ann import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
+    _check_emb_dim(emb)
     p = embedding_near_duplicates(
         emb, "vec_id", "embedding", min_cosine=0.4, bands=8, n_planes=16
     )
@@ -752,9 +767,12 @@ def _image_verdicts_sql(path: str) -> str:
           FROM psi_n GROUP BY part, feature
         ),
         ks_u AS (
-          SELECT p.part, m.feature, m.value, 1 AS r, 0 AS t FROM mref m, parts p
+          SELECT p.part, m.feature, m.value, 1 AS r, 0 AS t
+          FROM mref m, parts p
+          WHERE m.value IS NOT NULL AND NOT isnan(m.value)
           UNION ALL
-          SELECT part, feature, value, 0, 1 FROM mtest WHERE value IS NOT NULL
+          SELECT part, feature, value, 0, 1 FROM mtest
+          WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         ks_g AS (SELECT part, feature, value, sum(r) AS r, sum(t) AS t
                  FROM ks_u GROUP BY 1, 2, 3),
@@ -817,7 +835,7 @@ def _image_verdicts_sql(path: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from driftspark.ann import _hyperplanes
 
-    planes16 = _hyperplanes(64, 16, 42)
+    planes16 = _hyperplanes(EMB_DIM, 16, 42)
     price_bucket = _bucket_sql("l_extendedprice", PRICE_EDGES)
     digitize = " + ".join(
         f"(CASE WHEN __conf >= {c!r} THEN 1 ELSE 0 END)" for c in CONF_CUTOFFS

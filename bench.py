@@ -247,8 +247,9 @@ def main():
 
         def validation_pass():
             nonlocal n_pairs
-            # constraint pass
-            uniqueness_report(img, ["image_id", "split"]).count()
+            # constraint pass (collect, NOT count — Catalyst prunes agg
+            # expressions under count(), under-measuring the real work)
+            uniqueness_report(img, ["image_id", "split"]).collect()
             # drift pass (per-partition verdicts on all drift axes)
             pv(
                 img,

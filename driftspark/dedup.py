@@ -85,11 +85,18 @@ def minhash_signatures(
             .where(F.col("token") != "")
             .distinct()
         )
+    return _signatures_from_tokens(sh, n_hashes)
+
+
+def _signatures_from_tokens(tok: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, token) -> (id, mh0..mh{n-1}) — the single definition of the
+    md5 min-hash signature, shared by minhash_signatures and the
+    near-duplicate pipeline (and mirrored by the DuckDB oracle)."""
     aggs = [
         F.min(F.md5(F.concat(F.col("token"), F.lit(f":{k}")))).alias(f"mh{k}")
         for k in range(n_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return tok.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -142,14 +149,12 @@ def minhash_near_duplicates(
     intersection join; the signature table feeds both sides of the bucket
     self-join — both are cached so each expensive explode/distinct/agg
     runs once instead of 3x/2x (at 10^12 scale these spill to disk, which
-    still beats recomputing the distinct-token shuffle)."""
+    still beats recomputing the distinct-token shuffle).  The caches stay
+    registered on the returned DataFrame's lineage (Spark evicts LRU);
+    callers looping over many corpora in one session can reclaim storage
+    early with ``spark.catalog.clearCache()``."""
     tok = tokens(df, id_col, text_col).cache()
-    sigs = tok.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("token"), F.lit(f":{k}")))).alias(f"mh{k}")
-            for k in range(n_hashes)
-        ]
-    ).cache()
+    sigs = _signatures_from_tokens(tok, n_hashes).cache()
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     # count shared tokens by joining token lists through the candidate pair

@@ -77,14 +77,19 @@ def psi_by_partition(
 
     # BOTH sides histogram in ONE scan: ref rows carry a NULL part; the
     # aggregated counts are O(parts x features x bins) — localCheckpoint
-    # materializes them once so the two branches below don't re-scan
+    # materializes them once so the two branches below don't re-scan.
+    # The part travels through the union as its ORIGINAL type (string,
+    # date, int, ...) — casting to a fixed type would NULL out
+    # non-castable partition values and silently merge those test rows
+    # into the reference histogram.
+    part_type = test_df.schema[part_col].dataType
     u = _melt_binned(
-        ref_df, edges_map, F.lit(None).cast("long")
+        ref_df, edges_map, F.lit(None).cast(part_type)
     ).unionByName(
         _melt_binned(
             test_df.where(F.col(part_col).isNotNull()),
             edges_map,
-            F.col(part_col).cast("long"),
+            F.col(part_col),
         )
     )
     counts = (
@@ -108,7 +113,7 @@ def psi_by_partition(
     grid_fb = spark.createDataFrame(pd.DataFrame(bins_rows, columns=["feature", "bin"]))
     parts = (
         test_df.where(F.col(part_col).isNotNull())
-        .select(F.col(part_col).cast("long").alias("part"))
+        .select(F.col(part_col).alias("part"))
         .distinct()
     )
     grid = parts.crossJoin(F.broadcast(grid_fb))
@@ -222,11 +227,15 @@ def _ref_ecdf_points(
     bucketed by approx-quantile edges (so each feature's cumulative window
     runs over ``n_buckets`` independent groups — no single-task
     feature-wide sort), exact within-bucket cumulative counts get their
-    bucket-prefix offsets added via a broadcast join, and a global-rank
-    stride keeps ~max_points rows per feature (always retaining the last
-    point, so n stays exact).  Retained points carry EXACT cumulative
-    counts; the only approximation is the ECDF's value-resolution between
-    retained points."""
+    bucket-prefix offsets added via a broadcast join, and a MASS-quantum
+    filter keeps every point whose cumulative count crosses a multiple of
+    ceil(n / max_points) (plus the last point, so n stays exact).
+    Retention is therefore uniform in probability mass, not rank: heavy
+    values (zero-inflation, mode spikes) are always retained wherever
+    they sit, and the ECDF gap between consecutive retained points is
+    strictly below one quantum — the KS-D error from thinning is bounded
+    by 1/max_points regardless of frequency skew.  Retained points carry
+    EXACT cumulative counts."""
     # the distinct set feeds 2-4 jobs below (totals, small collect, big
     # bucketing/offsets/window) — persist so the raw data is scanned once
     ref_g = ref_g.persist()
@@ -292,26 +301,34 @@ def _ref_ecdf_points(
         w_rk = Window.partitionBy("feature", "bkt").orderBy("value")
         scored = (
             bucketed.select(
-                "feature", "bkt", "value",
+                "feature", "bkt", "value", "c",
                 F.sum("c").over(w_cum).alias("lcum"),
                 F.row_number().over(w_rk).alias("lrk"),
             )
             .join(F.broadcast(offs_df), ["feature", "bkt"])
             .select(
-                "feature", "value",
+                "feature", "value", "c",
                 (F.col("lcum") + F.col("coff")).alias("cum"),
                 (F.col("lrk") + F.col("roff")).alias("rk"),
             )
         )
+        n_by_feat = {r["feature"]: int(r["n"]) for r in totals}
         nd_df = spark.createDataFrame(
             pd.DataFrame(
-                [(f, nd_by_feat[f], max(nd_by_feat[f] // max_points + 1, 1))
-                 for f in big],
-                columns=["feature", "nd", "stride"],
+                [
+                    (f, nd_by_feat[f],
+                     max(-(-n_by_feat[f] // max_points), 1))  # ceil(n/max)
+                    for f in big
+                ],
+                columns=["feature", "nd", "mass_stride"],
             )
         )
+        # keep a point iff its cumulative count crosses a mass quantum —
+        # floor(cum/ms) > floor((cum - c)/ms) — plus the exact last point
+        ms = F.col("mass_stride")
         kept = scored.join(F.broadcast(nd_df), "feature").where(
-            (F.col("rk") % F.col("stride") == 0) | (F.col("rk") == F.col("nd"))
+            (F.floor(F.col("cum") / ms) > F.floor((F.col("cum") - F.col("c")) / ms))
+            | (F.col("rk") == F.col("nd"))
         )
         pdf = kept.select("feature", "value", "cum").toPandas()
         for feat, g in pdf.groupby("feature"):

@@ -132,3 +132,33 @@ def test_broadcast_ks_exact_under_cap_and_close_when_thinned(spark):
     ).first()["d"]
     stride = len(np.unique(ref)) // 400 + 1
     assert abs(thin_d - exact_d) <= stride / len(ref) + 1e-12
+
+
+def test_thinned_ecdf_mass_aware_zero_inflated(spark):
+    """Retention is uniform in MASS: a zero-inflated feature (one value
+    holding 50% of rows) keeps its heavy head point, so the thinned KS-D
+    error stays within 1/max_points even under frequency skew."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from driftspark.verdicts import _ref_ecdf_points
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([np.zeros(5000), rng.uniform(1, 2, 5000)])
+    ref_g = (
+        spark.createDataFrame(pd.DataFrame({"feature": "z", "value": vals}))
+        .groupBy("feature", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cap = 100
+    tv, tc, n = _ref_ecdf_points(ref_g, cap, n_buckets=8)["z"]
+    assert n == 10000
+    assert len(tv) <= cap + 1
+    assert tv[0] == 0.0 and tc[0] == 5000  # the heavy head IS retained
+    # exact cum at every retained point + mass gaps below one quantum
+    uv, uc = np.unique(vals, return_counts=True)
+    exact_cum = np.cumsum(uc)
+    idx = np.searchsorted(uv, tv)
+    assert np.array_equal(exact_cum[idx], tc)
+    gaps = np.diff(np.concatenate([[0], tc]))
+    assert gaps.max() <= -(-n // cap) + uc.max() - 1  # quantum + own mass

@@ -129,3 +129,28 @@ def test_checkpoint_resume(spark, drifted):
         assert summary["parts_done"] == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_psi_by_partition_string_partitions(spark):
+    """Partition ids keep their original type through the fused one-scan
+    plan: string parts (e.g. '2024-01') must NOT be cast-to-NULL and
+    merged into the reference histogram."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from driftspark.verdicts import psi_by_partition
+
+    rng = np.random.RandomState(0)
+    ref = pd.DataFrame({"x": rng.normal(0, 1, 4000), "part": "REF"})
+    t1 = pd.DataFrame({"x": rng.normal(0, 1, 2000), "part": "eu-west"})
+    t2 = pd.DataFrame({"x": rng.normal(2, 1, 2000), "part": "us-east"})
+    ref_df = spark.createDataFrame(ref)
+    test_df = spark.createDataFrame(pd.concat([t1, t2]))
+    edges = {"x": np.quantile(ref["x"].values, np.linspace(0, 1, 11))}
+    rows = {r["part"]: r for r in
+            psi_by_partition(ref_df, test_df, edges).collect()}
+    assert set(rows) == {"eu-west", "us-east"}
+    assert rows["eu-west"]["n_ref"] == 4000  # ref histogram uncorrupted
+    assert rows["eu-west"]["psi"] < 0.1     # same distribution
+    assert rows["us-east"]["psi"] > 0.5     # shifted distribution
