@@ -398,6 +398,8 @@ def ks_d_by_partition_broadcast(
     )
     ecdf = _ref_ecdf_points(ref_g, max_ref_ecdf_points)
     b_ecdf = spark.sparkContext.broadcast(ecdf)
+    # output schema preserves the partition column's original type
+    part_sql_type = test_df.schema[part_col].dataType.simpleString()
 
     def compute(key, pdf):
         part, feat = key
@@ -421,7 +423,10 @@ def ks_d_by_partition_broadcast(
     return (
         melt(test_df, True)
         .groupBy("part", "feature")
-        .applyInPandas(compute, schema="part int, feature string, d double, n long, m long")
+        .applyInPandas(
+            compute,
+            schema=f"part {part_sql_type}, feature string, d double, n long, m long",
+        )
     )
 
 
@@ -453,8 +458,10 @@ def chi2_by_partition(
             .where(F.col("v").isNotNull())
         )
 
-    u = melted(ref_df, F.lit(None).cast("long")).unionByName(
-        melted(test_df, F.col(part_col).cast("long"))
+    # ref rows carry a NULL part of the test table's ORIGINAL part type
+    part_type = test_df.schema[part_col].dataType
+    u = melted(ref_df, F.lit(None).cast(part_type)).unionByName(
+        melted(test_df.where(F.col(part_col).isNotNull()), F.col(part_col))
     )
     counts = u.groupBy("part", "feature", "v").agg(F.count(F.lit(1)).alias("c")).collect()
     ref_map: Dict[str, Dict] = {c: {} for c in cat_cols}
@@ -463,7 +470,7 @@ def chi2_by_partition(
         if r["part"] is None:
             ref_map[r["feature"]][r["v"]] = r["c"]
         else:
-            by_part.setdefault((int(r["part"]), r["feature"]), {})[r["v"]] = r["c"]
+            by_part.setdefault((r["part"], r["feature"]), {})[r["v"]] = r["c"]
 
     out: List[dict] = []
     for (part, col), tmap in sorted(by_part.items()):

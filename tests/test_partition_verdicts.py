@@ -154,3 +154,38 @@ def test_psi_by_partition_string_partitions(spark):
     assert rows["eu-west"]["n_ref"] == 4000  # ref histogram uncorrupted
     assert rows["eu-west"]["psi"] < 0.1     # same distribution
     assert rows["us-east"]["psi"] > 0.5     # shifted distribution
+
+
+def test_chi2_and_ks_string_partitions(spark):
+    """chi2_by_partition and ks_d_by_partition_broadcast also preserve
+    non-integer partition id types."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from driftspark.verdicts import chi2_by_partition, ks_d_by_partition_broadcast
+
+    rng = np.random.RandomState(1)
+    ref = pd.DataFrame({
+        "x": rng.normal(0, 1, 3000),
+        "cat": rng.choice(["a", "b", "c"], 3000),
+        "part": "REF",
+    })
+    test = pd.concat([
+        pd.DataFrame({"x": rng.normal(0, 1, 1500),
+                      "cat": rng.choice(["a", "b", "c"], 1500), "part": "p-one"}),
+        pd.DataFrame({"x": rng.normal(1.5, 1, 1500),
+                      "cat": rng.choice(["a", "b", "c"], 1500, p=[0.8, 0.1, 0.1]),
+                      "part": "p-two"}),
+    ])
+    ref_df = spark.createDataFrame(ref)
+    test_df = spark.createDataFrame(test)
+
+    chi = {r["part"]: r for r in chi2_by_partition(ref_df, test_df, ["cat"])}
+    assert set(chi) == {"p-one", "p-two"}
+    assert chi["p-two"]["stat"] > chi["p-one"]["stat"]
+
+    ks = {r["part"]: r for r in
+          ks_d_by_partition_broadcast(ref_df, test_df, ["x"]).collect()}
+    assert set(ks) == {"p-one", "p-two"}
+    assert ks["p-two"]["d"] > 0.3 and ks["p-one"]["d"] < 0.1
