@@ -90,3 +90,57 @@ def test_severity_total_order(xs):
         idx = order.index(s)
         assert idx >= last
         last = idx
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (pure-python paths — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=400),   # n samples
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([16, 32]),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, sr, bits, seed):
+    from driftspark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed % 2**31)
+    x = rng.uniform(-1, 1, n)
+    y, sr_out = decode_wav(encode_wav(x, sr, bits=bits))
+    assert sr_out == sr and len(y) == n
+    tol = 1.5 / 32768 if bits == 16 else 1e-7
+    assert np.max(np.abs(y - x)) <= tol
+
+
+@given(
+    st.integers(min_value=1, max_value=5),     # frames
+    st.integers(min_value=1, max_value=12),    # h
+    st.integers(min_value=1, max_value=13),    # w (odd widths hit padding)
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_property(f, h, w, seed):
+    from driftspark.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(seed % 2**31)
+    frames = rng.randint(0, 256, (f, h, w, 3)).astype(np.uint8)
+    avi = encode_avi(frames)
+    for k in range(f):
+        assert np.array_equal(decode_avi_frame(avi, k), frames[k])
+
+
+@given(
+    st.integers(min_value=2, max_value=30),    # h
+    st.integers(min_value=2, max_value=30),    # w
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    from driftspark.imageops import decode_png, encode_png
+
+    rng = np.random.RandomState(seed % 2**31)
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
