@@ -241,20 +241,21 @@ def _q_minhash(spark, sf_dir):
     return minhash_signatures(docs, "doc_id", "text", n_hashes=MINHASH_K).orderBy("id")
 
 
-JACCARD_MAX_TOKEN_DF = 390  # stop-token ceiling (78% of the 500-doc corpus)
+JACCARD_DF_FRAC = 0.78  # stop-token ceiling as a fraction of corpus size
 
 
 def _q_jaccard(spark, sf_dir):
     """Dedup (n-gram Jaccard): all-pairs token-set similarity >= 0.3 with
-    the stop-token scale guard ON (tokens in more than JACCARD_MAX_TOKEN_DF
-    docs are suppressed from pairing but still count toward set sizes) —
-    the production configuration, reflected identically in the oracle."""
+    the stop-token scale guard ON (tokens in more than 78% of the corpus
+    are suppressed from pairing but still count toward set sizes) — the
+    production configuration; the ceiling is corpus-relative so the check
+    stays meaningful at every scale factor, and the oracle computes the
+    same floor(frac * n_docs) ceiling in SQL."""
     from driftspark.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    p = jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.3, max_token_df=JACCARD_MAX_TOKEN_DF
-    )
+    ceiling = int(JACCARD_DF_FRAC * docs.count())
+    p = jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.3, max_token_df=ceiling)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
@@ -1013,7 +1014,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, token FROM tok
               WHERE token IN (
                 SELECT token FROM tok GROUP BY token
-                HAVING count(*) <= {JACCARD_MAX_TOKEN_DF}
+                HAVING count(*) <= CAST({JACCARD_DF_FRAC}
+                  * (SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
               )
             ),
             shared AS (
