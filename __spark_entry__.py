@@ -261,6 +261,21 @@ def _q_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_neardup_drop(spark, sf_dir):
+    """Dedup (near-dup corpus removal): LSH pairs -> min-id label
+    propagation to FIXPOINT -> anti-join; keeps one representative per
+    connected component.  bands = n_hashes makes candidate generation
+    deterministic-complete (any shared min-hash pairs up), so the DuckDB
+    oracle reproduces the component structure with a recursive CTE."""
+    from driftspark.dedup import drop_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = drop_near_duplicates(
+        docs, "doc_id", "text", n_hashes=16, bands=16, min_jaccard=0.8
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def _q_text_quality(spark, sf_dir):
     """Text analysis: char/token counts + average token length."""
     from driftspark.textops import with_text_stats
@@ -508,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "jaccard_pairs": _q_jaccard,
+        "dedup_neardup_drop": _q_dedup_neardup_drop,
         "text_quality": _q_text_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -628,6 +644,67 @@ def _minhash_lsh_sql(n_hashes: int = 16, bands: int = 4,
         JOIN sizes sb ON sb.id = id_b
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {min_jaccard}
         ORDER BY id_a, id_b
+    """
+
+
+def _neardup_drop_sql(n_hashes: int = 16, max_bucket: int = 200,
+                      min_jaccard: float = 0.8) -> str:
+    """dedup.drop_near_duplicates with bands == n_hashes: the md5 LSH is
+    fully deterministic, so candidates/edges match the Spark side exactly;
+    min-id connected components run as a recursive CTE (the Spark side
+    iterates label propagation + pointer jumping to fixpoint)."""
+    mh_cols = ", ".join(
+        f"min(md5(token || ':{k}')) AS mh{k}" for k in range(n_hashes)
+    )
+    band_cases = " ".join(f"WHEN {b} THEN mh{b}" for b in range(n_hashes))
+    band_vals = ",".join(f"({b})" for b in range(n_hashes))
+    return rf"""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id AS id, t.token
+          FROM documents,
+               unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> ''
+        ),
+        sigs AS (SELECT id, {mh_cols} FROM tok GROUP BY id),
+        bnd AS (
+          SELECT id, b.band, md5(CASE b.band {band_cases} END) AS bucket
+          FROM sigs, (VALUES {band_vals}) AS b(band)
+        ),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS sz FROM bnd),
+        keep AS (SELECT * FROM sized WHERE sz <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keep a JOIN keep b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+        shared AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN tok ta ON ta.id = c.id_a
+          JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+          GROUP BY c.id_a, c.id_b
+        ),
+        edges AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {min_jaccard}
+        ),
+        sym AS (
+          SELECT id_a, id_b FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges
+        ),
+        cc AS (
+          SELECT id_a AS id, id_a AS label FROM sym
+          UNION
+          SELECT e.id_a, c.label FROM sym e JOIN cc c ON c.id = e.id_b
+        ),
+        final AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+        losers AS (SELECT id FROM final WHERE label <> id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id
     """
 
 
@@ -1129,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "image_partition_verdicts": _image_verdicts_sql(ORACLE_IMG_PATH),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),
+        "dedup_neardup_drop": _neardup_drop_sql(),
         "ann_cosine_topk_lsh": _ann_lsh_sql(planes16, bands=4),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
     }
