@@ -518,7 +518,8 @@ def partition_verdicts(
 ) -> DataFrame:
     """Run the per-partition drift suite over one split-tagged table.
 
-    Returns a verdict DataFrame (VERDICT_SCHEMA): one row per
+    Returns a verdict DataFrame (VERDICT_SCHEMA with the part column typed
+    as the input's partition column — int, string, date, ...): one row per
     (partition, feature, check) with statistic, p-value (where defined),
     reference severity ladder, and pass/fail.  ``parts`` restricts the run
     to a subset of partitions (the checkpoint/resume hook).
@@ -526,6 +527,8 @@ def partition_verdicts(
     from concurrent.futures import ThreadPoolExecutor
 
     spark = df.sparkSession
+    part_sql_type = df.schema[part_col].dataType.simpleString()
+    out_schema = VERDICT_SCHEMA.replace("part int", f"part {part_sql_type}", 1)
     ref_df = df.where(F.col(split_col) == ref_value)
     test_df = df.where(F.col(split_col) == test_value)
     if parts is not None:
@@ -621,5 +624,5 @@ def partition_verdicts(
         )
 
     if not rows:
-        return spark.createDataFrame([], VERDICT_SCHEMA)
-    return spark.createDataFrame(rows, VERDICT_SCHEMA)
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(rows, out_schema)

@@ -189,3 +189,33 @@ def test_chi2_and_ks_string_partitions(spark):
           ks_d_by_partition_broadcast(ref_df, test_df, ["x"]).collect()}
     assert set(ks) == {"p-one", "p-two"}
     assert ks["p-two"]["d"] > 0.3 and ks["p-one"]["d"] < 0.1
+
+
+def test_partition_verdicts_string_partitions_end_to_end(spark):
+    """The public verdict API carries non-integer partition ids through
+    all three check families and types the output accordingly."""
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.verdicts import partition_verdicts
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for part, shift in [("2024-01", 0.0), ("2024-02", 2.0)]:
+        frames.append(pd.DataFrame({
+            "x": rng.normal(shift, 1, 1500),
+            "cat": rng.choice(["a", "b"], 1500),
+            "part": part, "split": "test",
+        }))
+    frames.append(pd.DataFrame({
+        "x": rng.normal(0, 1, 3000),
+        "cat": rng.choice(["a", "b"], 3000),
+        "part": "REF", "split": "ref",
+    }))
+    df = spark.createDataFrame(pd.concat(frames))
+    v = partition_verdicts(df, numeric_cols=["x"], cat_cols=["cat"])
+    assert dict(v.dtypes)["part"] == "string"
+    rows = {(r["part"], r["check"]): r for r in v.collect()}
+    assert ("2024-01", "psi") in rows and ("2024-02", "ks") in rows
+    assert rows[("2024-02", "psi")]["passed"] is False  # shifted month fails
+    assert rows[("2024-01", "psi")]["passed"] is True
