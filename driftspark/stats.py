@@ -366,15 +366,28 @@ def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 
 def ks_d_all(
-    ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    bucketed_threshold: int = 4_000_000,
+    n_buckets: int = 64,
 ) -> Dict[str, Tuple[float, int, int]]:
-    """KS D per feature, fully distributed, in ONE job for all features.
+    """Exact KS D per feature, fully distributed.
 
     Plan: melt both sides → union → groupBy(feature, value) pre-aggregate
     side counts (partial agg map-side) → per-feature cumulative window over
     distinct values → max |cdf_ref - cdf_test|.  D is attained at sample
     points, and the cumulative count at a distinct value equals
     searchsorted(..., side='right'), so this is exactly scipy's statistic.
+
+    A per-feature window puts ALL of a feature's distinct values in ONE
+    task — fine below ``bucketed_threshold`` distinct values, a
+    single-task sort bottleneck at 10^12 rows.  Features above the
+    threshold switch to a bucketed decomposition that yields the SAME
+    exact D: values are coarse-bucketed by approx-quantile edges, the
+    cumulative window runs per (feature, bucket) — ``n_buckets``-way
+    parallel — and each bucket's prefix offsets (exact side totals of all
+    earlier buckets) join in broadcast before the max.
 
     Returns {feature: (d, n_ref, m_test)}.
     """
@@ -385,7 +398,31 @@ def ks_d_all(
     )
     g = u.groupBy("feature", "value").agg(
         F.sum("r").alias("r"), F.sum("t").alias("t")
-    )
+    ).persist()
+    try:
+        totals = g.groupBy("feature").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("r").alias("n"),
+            F.sum("t").alias("m"),
+        ).collect()
+        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
+        small = [r["feature"] for r in totals if r["nd"] <= bucketed_threshold]
+        big = [r["feature"] for r in totals if r["nd"] > bucketed_threshold]
+
+        out: Dict[str, Tuple[float, int, int]] = {}
+        if small:
+            out.update(_ks_d_window(g.where(F.col("feature").isin(small)), nm))
+        if big:
+            out.update(
+                _ks_d_bucketed(g.where(F.col("feature").isin(big)), nm, n_buckets)
+            )
+        return out
+    finally:
+        g.unpersist()
+
+
+def _ks_d_window(g: DataFrame, nm: Dict[str, Tuple[int, int]]) -> Dict:
+    """Per-feature cumulative window over the distinct-value counts."""
     w_cum = (
         Window.partitionBy("feature")
         .orderBy("value")
@@ -400,13 +437,78 @@ def ks_d_all(
                 - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
             )
         ).alias("diff"),
-        F.sum("r").over(w_all).alias("n"),
-        F.sum("t").over(w_all).alias("m"),
     )
-    rows = scored.groupBy("feature").agg(
-        F.max("diff").alias("d"), F.first("n").alias("n"), F.first("m").alias("m")
+    rows = scored.groupBy("feature").agg(F.max("diff").alias("d")).collect()
+    return {r["feature"]: (float(r["d"]), *nm[r["feature"]]) for r in rows}
+
+
+def _ks_d_bucketed(
+    g: DataFrame, nm: Dict[str, Tuple[int, int]], n_buckets: int
+) -> Dict:
+    """Exact D via coarse value-buckets: within-bucket cumulative windows
+    run ``n_buckets``-way parallel per feature; exact prefix offsets of
+    earlier buckets are added through a broadcast join."""
+    import pandas as pd
+
+    spark = g.sparkSession
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_rows = g.groupBy("feature").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in probs]), 10_000
+        ).alias("edges")
     ).collect()
-    return {r["feature"]: (float(r["d"]), int(r["n"]), int(r["m"])) for r in rows}
+    bucket = F.lit(0)
+    for r in edge_rows:
+        b = F.lit(0)
+        for e in r["edges"]:
+            b = b + (F.col("value") > F.lit(float(e))).cast("int")
+        bucket = F.when(F.col("feature") == r["feature"], b).otherwise(bucket)
+    bucketed = g.withColumn("bkt", bucket)
+
+    offs_rows = bucketed.groupBy("feature", "bkt").agg(
+        F.sum("r").alias("rs"), F.sum("t").alias("ts")
+    ).collect()
+    per_feat: Dict[str, list] = {}
+    for r in offs_rows:
+        per_feat.setdefault(r["feature"], []).append(r)
+    offs = []
+    for feat, rows in per_feat.items():
+        roff = toff = 0
+        for r in sorted(rows, key=lambda x: x["bkt"]):
+            offs.append((feat, int(r["bkt"]), roff, toff))
+            roff += int(r["rs"])
+            toff += int(r["ts"])
+    offs_df = spark.createDataFrame(
+        pd.DataFrame(offs, columns=["feature", "bkt", "roff", "toff"])
+    )
+    nm_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(f, n, m) for f, (n, m) in nm.items()], columns=["feature", "n", "m"]
+        )
+    )
+    w_cum = (
+        Window.partitionBy("feature", "bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        bucketed.select(
+            "feature", "bkt",
+            F.sum("r").over(w_cum).alias("lcr"),
+            F.sum("t").over(w_cum).alias("lct"),
+        )
+        .join(F.broadcast(offs_df), ["feature", "bkt"])
+        .join(F.broadcast(nm_df), "feature")
+        .select(
+            "feature",
+            F.abs(
+                (F.col("lcr") + F.col("roff")) / F.col("n")
+                - (F.col("lct") + F.col("toff")) / F.col("m")
+            ).alias("diff"),
+        )
+    )
+    rows = scored.groupBy("feature").agg(F.max("diff").alias("d")).collect()
+    return {r["feature"]: (float(r["d"]), *nm[r["feature"]]) for r in rows}
 
 
 # ---------------------------------------------------------------------------
