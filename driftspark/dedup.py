@@ -308,12 +308,19 @@ def simhash64(
 
 
 def simhash_near_duplicates(
-    sim: DataFrame, max_hamming: int = 3, chunks: int = 4
+    sim: DataFrame, max_hamming: int = 3, chunks: int = 4,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Hamming-near pairs from simhash fingerprints via the chunk trick:
     two 64-bit hashes within hamming distance < chunks must share at least
     one exact 16-bit chunk → equi-join per chunk, verify hamming exactly
-    (bit_count of xor)."""
+    (bit_count of xor).
+
+    ``max_bucket_size`` caps each (chunk, value) bucket before the
+    self-join — without it a popular chunk value (boilerplate corpora,
+    near-constant bit regions) makes the join quadratic in the hottest
+    bucket at 10^12-doc scale.  Pairs inside a dropped bucket can still
+    pair through one of their other ``chunks - 1`` chunks."""
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -326,6 +333,9 @@ def simhash_near_duplicates(
     e = sim.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", "cc.chunk", "cc.v")
+    e = e.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("chunk", "v"))
+    ).where(F.col("__sz") <= max_bucket_size).drop("__sz")
     a = e.select("chunk", "v", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = e.select("chunk", "v", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     return (

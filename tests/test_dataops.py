@@ -240,3 +240,26 @@ def test_simhash_md5_variant(spark, docs):
                 sums[k] += 2 * ((hv >> k) & 1) - 1
         expected = sum(1 << k for k in range(60) if sums[k] > 0)
         assert fps[doc_id] == expected, doc_id
+
+
+def test_simhash_neardup_hot_bucket_guard(spark):
+    """Oversized (chunk, value) buckets are dropped before the self-join
+    (quadratic-blowup guard); pairs still form through their other chunks."""
+    from driftspark.dedup import simhash_near_duplicates
+
+    # 40 identical fingerprints + 2 within hamming 1 of each other
+    rows = [(i, 0x1234_5678_9ABC_DEF0) for i in range(40)]
+    rows += [(100, 0x0F0F_0F0F_0F0F_0F0F), (101, 0x0F0F_0F0F_0F0F_0F0E)]
+    sim = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "simhash"]))
+
+    # tiny cap: the 40-identical cluster exceeds every bucket -> dropped,
+    # the hamming-1 pair survives (its buckets have size 2)
+    got = simhash_near_duplicates(sim, max_hamming=3, max_bucket_size=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 101) in pairs
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+    # default cap: everything pairs
+    got_all = simhash_near_duplicates(sim, max_hamming=3).collect()
+    pairs_all = {(r["id_a"], r["id_b"]) for r in got_all}
+    assert (0, 1) in pairs_all and (100, 101) in pairs_all
