@@ -124,6 +124,7 @@ class HallucinationRiskDetector(BaseDriftDetector):
         kde_bandwidth="scott",
         random_state: Optional[int] = 42,
         max_ref_sample: int = 20000,
+        exact_distance_percentile: bool = False,
     ):
         super().__init__(name="hallucination_risk")
         self.density_method = density_method
@@ -135,6 +136,11 @@ class HallucinationRiskDetector(BaseDriftDetector):
         self.kde_bandwidth = kde_bandwidth
         self.random_state = random_state
         self.max_ref_sample = max_ref_sample
+        # scale default: GK-sketch percentile of the reference distances
+        # (exact percentile buffers the full distinct multiset into one
+        # final agg task — not viable at 10^12 rows); True restores the
+        # np.percentile-exact parity path
+        self.exact_distance_percentile = exact_distance_percentile
         self._state: Optional[Dict] = None
         self._impute_means: Optional[Dict[str, float]] = None
         self._cols: Optional[list] = None
@@ -250,14 +256,20 @@ class HallucinationRiskDetector(BaseDriftDetector):
         else:
             raise ValueError(f"Unknown density_method: {self.density_method}")
 
-        # exact distributed percentile of reference distances
+        # distributed percentile of reference distances (exact behind the
+        # parity flag, GK sketch by default — see __init__)
         scored = self._imputed(df).withColumn(
             "__dist", self._dist_udf()(*[F.col(c) for c in self._cols])
         )
         p = self.distance_percentile / 100.0
-        self._ref_distance_percentile = float(
-            scored.agg(F.percentile("__dist", F.lit(p)).alias("p")).first()["p"]
-        )
+        if self.exact_distance_percentile:
+            self._ref_distance_percentile = float(
+                scored.agg(F.percentile("__dist", F.lit(p)).alias("p")).first()["p"]
+            )
+        else:
+            self._ref_distance_percentile = float(
+                scored.approxQuantile("__dist", [p], 1e-4)[0]
+            )
 
     # -- detect -------------------------------------------------------------
 

@@ -142,7 +142,7 @@ def test_hallucination_mahalanobis_oracle(spark):
     test_pdf = pd.DataFrame(test_arr, columns=[f"feature_{i}" for i in range(4)])
     test_pdf["proba"] = 0.9
     test_pdf["row_id"] = np.arange(100)
-    det = DetectorRegistry.create("hallucination_risk")
+    det = DetectorRegistry.create("hallucination_risk", exact_distance_percentile=True)
     det.fit(_sds(spark, ref_arr))
     res = det.detect(
         SparkDataset(
@@ -168,7 +168,7 @@ def test_hallucination_binary_confidence(spark):
     pdf = pd.DataFrame(arr, columns=["feature_0", "feature_1"])
     pdf["proba"] = 0.25  # binary → confidence = max(p, 1-p) = 0.75
     ds = SparkDataset(spark.createDataFrame(pdf), proba_col="proba")
-    det = DetectorRegistry.create("hallucination_risk")
+    det = DetectorRegistry.create("hallucination_risk", exact_distance_percentile=True)
     det.fit(ds)
     res = det.detect(ds)
     assert res.metadata["mean_confidence"] == pytest.approx(0.75, abs=1e-9)
