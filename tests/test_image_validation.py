@@ -170,3 +170,23 @@ def test_uniqueness_check_shared_aggregation(spark):
     # matches the standalone implementations exactly
     standalone = uniqueness_report(ref, ["image_id"]).first()
     assert rep["n_distinct_keys"] == standalone["n_distinct_keys"]
+
+
+def test_salted_uniqueness_equals_plain(spark):
+    """The opt-in salted two-phase aggregation (explicit-skew mode) returns
+    exactly the same duplicate keys and counts as the default groupBy."""
+    import pandas as pd
+
+    from driftspark.constraints import duplicate_keys, uniqueness_violations
+
+    rows = [("hot", i % 3) for i in range(3000)] + [(f"k{i}", i) for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "sub"]))
+    plain = {(r["k"], r["sub"]): r["dup_count"]
+             for r in duplicate_keys(df, ["k", "sub"]).collect()}
+    salted = {(r["k"], r["sub"]): r["dup_count"]
+              for r in duplicate_keys(df, ["k", "sub"], salt_buckets=8).collect()}
+    assert plain == salted
+    assert plain[("hot", 0)] == 1000  # skewed key counted correctly
+    v_plain = uniqueness_violations(df, ["k", "sub"]).count()
+    v_salted = uniqueness_violations(df, ["k", "sub"], salt_buckets=8).count()
+    assert v_plain == v_salted == 3000
