@@ -770,6 +770,31 @@ def _embedding_lsh_sql(planes, bands: int = 8, max_bucket: int = 500,
     """
 
 
+def _ensure_oracle_img_table(path: str) -> None:
+    """Materialize the deterministic synth image table at ``path`` if it
+    does not exist yet — the generator is counter-based pure pandas, so a
+    driver-side pyarrow write produces VALUE-identical rows to the Spark
+    query's own write (whichever engine runs first, both sides read the
+    same data).  Guards against a harness that runs the oracle SQL before
+    the Spark query."""
+    import glob
+
+    if glob.glob(f"{path}/*.parquet"):
+        return
+    import numpy as np_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftspark.synth import _gen_rows
+
+    pdf = _gen_rows(
+        np_.arange(6000), seed=42, n_rows=6000, n_parts=4, drift=True,
+        with_bytes=False, dup_every=1000, dangling_every=2000,
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
 def _image_verdicts_sql(path: str) -> str:
     """Per-partition PSI / KS-D / chi-square re-derived in pure SQL from
     the parquet the Spark query persisted (verdicts.partition_verdicts
@@ -1203,7 +1228,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM events
         """,
-        "image_partition_verdicts": _image_verdicts_sql(ORACLE_IMG_PATH),
+        "image_partition_verdicts": (
+            _ensure_oracle_img_table(ORACLE_IMG_PATH)
+            or _image_verdicts_sql(ORACLE_IMG_PATH)
+        ),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),
         "dedup_neardup_drop": _neardup_drop_sql(),
