@@ -142,3 +142,84 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def cumulative_psi_stream(
+    stream_df: DataFrame,
+    edges_map: Dict[str, np.ndarray],
+    ref_props: Dict[str, np.ndarray],
+    psi_threshold: float = 0.2,
+    min_bin_size: float = 0.001,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    cumulative test-side histogram per feature persists in group state
+    across micro-batches, so every trigger emits the PSI of ALL data seen
+    so far vs the fitted reference — unlike the per-batch foreachBatch
+    monitor, slow drift that no single micro-batch exposes accumulates
+    until it crosses the threshold.
+
+    State per feature is just the bin-count vector (n_bins longs) — the
+    checkpointed state store stays O(features x bins) forever regardless
+    of stream volume.  Returns a streaming DataFrame
+    (feature, n_seen, psi, severity, passed) in update mode.
+    """
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from driftspark.stats import bucket_expr
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("feature"),
+            bucket_expr(c, e).cast("int").alias("bin"),
+        )
+        for c, e in edges_map.items()
+    ]
+    binned = (
+        stream_df.select(F.explode(F.array(*structs)).alias("fb"))
+        .select("fb.feature", "fb.bin")
+        .where(F.col("bin").isNotNull())
+    )
+    n_bins_by_feat = {c: len(e) - 1 for c, e in edges_map.items()}
+    ref_props_plain = {c: [float(x) for x in p] for c, p in ref_props.items()}
+
+    def update(key, pdfs, state: GroupState):
+        feature = key[0]
+        n_bins = n_bins_by_feat[feature]
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_bins, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            vc = pdf["bin"].value_counts()
+            for b, c in vc.items():
+                counts[int(b)] += int(c)
+        state.update((counts.tolist(),))
+        total = int(counts.sum())
+        test_p = counts / total if total > 0 else counts.astype(float)
+        psi = (
+            psi_from_proportions(
+                np.array(ref_props_plain[feature]), test_p, min_bin_size
+            )
+            if total > 0
+            else 0.0
+        )
+        yield pd_.DataFrame(
+            {
+                "feature": [feature],
+                "n_seen": [total],
+                "psi": [float(psi)],
+                "severity": [severity_from_psi(psi)],
+                "passed": [bool(psi < psi_threshold)],
+            }
+        )
+
+    return binned.groupBy("feature").applyInPandasWithState(
+        update,
+        outputStructType="feature string, n_seen long, psi double, "
+                         "severity string, passed boolean",
+        stateStructType="counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -71,3 +71,66 @@ def test_windowed_event_counts_batch_semantics(spark):
     out = windowed_event_counts(df, "ts", "1 hour", "2 hours", ["kind"]).toPandas()
     assert len(out) == 2
     assert sorted(out["n"].tolist()) == [1, 2]
+
+
+def test_cumulative_psi_stateful_stream(spark):
+    """applyInPandasWithState operator: state accumulates across
+    micro-batches — the emitted PSI after batch 2 equals the BATCH psi of
+    batch1+batch2 together, catching slow drift no single batch shows."""
+    import tempfile as _tf
+
+    from driftspark.numerics import psi_from_proportions
+    from driftspark.stats import histogram_proportions, quantile_edges
+    from driftspark.streaming import cumulative_psi_stream
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(7)
+        ref_pdf = pd.DataFrame({"x": rng.normal(0, 1, 4000)})
+        ref_df = spark.createDataFrame(ref_pdf)
+        edges = quantile_edges(ref_df, ["x"], 10)
+        ref_props = {
+            c: p[0] for c, p in histogram_proportions(ref_df, ref_df, edges).items()
+        }
+
+        # two mildly-drifted batches: each alone is weak, together stronger
+        b0 = pd.DataFrame({"x": rng.normal(0.5, 1, 1500)})
+        b1 = pd.DataFrame({"x": rng.normal(0.5, 1, 1500)})
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        out_stream = cumulative_psi_stream(stream, edges, ref_props)
+        q = (
+            out_stream.writeStream.format("memory")
+            .queryName("cumpsi")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        updates = spark.sql("SELECT * FROM cumpsi").toPandas()
+        # one update row per trigger; the final one has seen everything
+        final = updates.sort_values("n_seen").iloc[-1]
+
+        # oracle: batch PSI over the union of both batches; n_seen counts
+        # IN-RANGE values only (pd.cut parity — out-of-edges rows are
+        # excluded from counts and denominator alike)
+        from driftspark.stats import bucket_expr
+
+        both = spark.createDataFrame(pd.concat([b0, b1]))
+        in_range = both.where(bucket_expr("x", edges["x"]).isNotNull()).count()
+        assert final["n_seen"] == in_range
+        assert in_range >= 2990  # nearly everything lands in the fitted range
+        test_p = histogram_proportions(both, both, edges)["x"][0]
+        expect = psi_from_proportions(ref_props["x"], test_p)
+        assert final["psi"] == pytest.approx(expect, abs=1e-12)
+        assert final["severity"] in {"none", "low", "medium", "high", "critical"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
