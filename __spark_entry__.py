@@ -1116,8 +1116,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, token FROM tok
               WHERE token IN (
                 SELECT token FROM tok GROUP BY token
-                HAVING count(*) <= CAST({JACCARD_DF_FRAC}
-                  * (SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT)
+                HAVING count(*) <= CAST(floor({JACCARD_DF_FRAC}
+                  * (SELECT count(*) FROM documents)) AS BIGINT)
               )
             ),
             shared AS (

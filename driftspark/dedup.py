@@ -316,11 +316,28 @@ def simhash_near_duplicates(
     one exact 16-bit chunk → equi-join per chunk, verify hamming exactly
     (bit_count of xor).
 
-    ``max_bucket_size`` caps each (chunk, value) bucket before the
-    self-join — without it a popular chunk value (boilerplate corpora,
-    near-constant bit regions) makes the join quadratic in the hottest
-    bucket at 10^12-doc scale.  Pairs inside a dropped bucket can still
-    pair through one of their other ``chunks - 1`` chunks."""
+    Hamming-0 groups (identical fingerprints — boilerplate mega-clusters,
+    the most common real near-dup shape) are handled FIRST as star pairs
+    to each group's min id: O(group) rows instead of the chunk join's
+    O(group^2), so a million-document duplicate cluster still collapses.
+    The remaining hamming 1..max pairs go through the chunk join with
+    ``max_bucket_size`` capping each (chunk, value) bucket — without the
+    cap a popular chunk value makes the join quadratic in the hottest
+    bucket at 10^12-doc scale.  Dropped hot buckets lose only
+    CROSS-fingerprint near-pairs whose every chunk is hot (documented
+    recall bound; hamming-0 recall is total via the star path)."""
+    sim = sim.select("id", "simhash")
+    w0 = Window.partitionBy("simhash")
+    star = (
+        sim.withColumn("__min", F.min("id").over(w0))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w0))
+        .where((F.col("__cnt") > 1) & (F.col("id") != F.col("__min")))
+        .select(
+            F.col("__min").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -338,10 +355,13 @@ def simhash_near_duplicates(
     ).where(F.col("__sz") <= max_bucket_size).drop("__sz")
     a = e.select("chunk", "v", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = e.select("chunk", "v", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
-    return (
+    near = (
         a.join(b, ["chunk", "v"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    # star pairs first so hamming-0 duplicates survive even when every
+    # chunk bucket of a mega-cluster exceeds the cap
+    return star.unionByName(near).dropDuplicates(["id_a", "id_b"])

@@ -389,6 +389,13 @@ def ks_d_all(
     parallel — and each bucket's prefix offsets (exact side totals of all
     earlier buckets) join in broadcast before the max.
 
+    Routing needs the per-feature distinct counts before a plan can be
+    chosen, so the distinct-value aggregate is persisted and one totals
+    job runs first — one extra cheap action vs the old single-action
+    window plan (any routing signal requires a scan; running the window
+    to discover the count would execute the very single-task sort the
+    routing exists to avoid).
+
     Returns {feature: (d, n_ref, m_test)}.
     """
     if not cols:

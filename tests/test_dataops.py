@@ -242,9 +242,11 @@ def test_simhash_md5_variant(spark, docs):
         assert fps[doc_id] == expected, doc_id
 
 
-def test_simhash_neardup_hot_bucket_guard(spark):
-    """Oversized (chunk, value) buckets are dropped before the self-join
-    (quadratic-blowup guard); pairs still form through their other chunks."""
+def test_simhash_neardup_hot_bucket_guard_and_star_pairs(spark):
+    """Identical fingerprints pair via O(group) star pairs to the min id
+    even when EVERY chunk bucket of the cluster exceeds the hot-bucket
+    cap; the quadratic chunk join only handles hamming 1..max and drops
+    oversized buckets."""
     from driftspark.dedup import simhash_near_duplicates
 
     # 40 identical fingerprints + 2 within hamming 1 of each other
@@ -252,14 +254,18 @@ def test_simhash_neardup_hot_bucket_guard(spark):
     rows += [(100, 0x0F0F_0F0F_0F0F_0F0F), (101, 0x0F0F_0F0F_0F0F_0F0E)]
     sim = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "simhash"]))
 
-    # tiny cap: the 40-identical cluster exceeds every bucket -> dropped,
-    # the hamming-1 pair survives (its buckets have size 2)
+    # tiny cap: the 40-identical cluster exceeds every chunk bucket, but
+    # the star path still links every member to id 0 (hamming 0);
+    # non-star in-cluster pairs are NOT emitted (no quadratic blowup)
     got = simhash_near_duplicates(sim, max_hamming=3, max_bucket_size=10).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}
-    assert (100, 101) in pairs
-    assert not any(a < 40 and b < 40 for a, b in pairs)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert {(0, k) for k in range(1, 40)} <= pairs  # full star
+    assert all(ham[(0, k)] == 0 for k in range(1, 40))
+    assert (100, 101) in pairs and ham[(100, 101)] == 1
+    assert not any(1 <= a < 40 and b < 40 for a, b in pairs)  # star only
 
-    # default cap: everything pairs
+    # default cap: star + chunk-join near pairs
     got_all = simhash_near_duplicates(sim, max_hamming=3).collect()
     pairs_all = {(r["id_a"], r["id_b"]) for r in got_all}
-    assert (0, 1) in pairs_all and (100, 101) in pairs_all
+    assert (0, 1) in pairs_all and (1, 2) in pairs_all and (100, 101) in pairs_all
