@@ -98,15 +98,26 @@ class DomainClassifier(BaseDriftDetector):
                 .collect()
             )
             n_by_side = {r["__side"]: r["n"] for r in counted}
+            capped = False
             if n_by_side.get(0, 0) > cap:
                 ref_side = ref_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+                capped = True
             if n_by_side.get(1, 0) > cap:
                 test_side = test_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+                capped = True
+        else:
+            capped = False
         u = (
             ref_side.withColumn("label", F.lit(0.0))
             .unionByName(test_side.withColumn("label", F.lit(1.0)))
             .na.fill(0.0)
         )
+        if capped:
+            # a global orderBy+limit collapses each capped side to ONE
+            # partition, which serializes every RF split-finding pass (each
+            # tree-depth iteration becomes a 1-task job).  Spread the
+            # bounded sample back across the cluster before fitting.
+            u = u.repartition(u.sparkSession.sparkContext.defaultParallelism)
         assembler = VectorAssembler(inputCols=cols, outputCol="features")
         # cached: the CV fits + the final importance fit all iterate this
         data = assembler.transform(u).select("features", "label").cache()
@@ -123,29 +134,47 @@ class DomainClassifier(BaseDriftDetector):
         )
 
         auc_std = None
-        final_model = None
         if self.use_cross_val:
+            from concurrent.futures import ThreadPoolExecutor
+
             # deterministic content-keyed folds (partitioning-invariant)
             folded = data.withColumn(
                 "fold",
                 F.pmod(F.xxhash64("features", F.lit(self.random_state)), self.cv_folds),
             ).cache()
-            scores = []
-            for k in range(self.cv_folds):
-                train = folded.where(F.col("fold") != k)
-                held = folded.where(F.col("fold") == k)
-                model = rf.fit(train)
-                scores.append(evaluator.evaluate(model.transform(held)))
+            # materialize ONCE so the concurrent fits below share the
+            # cached blocks instead of racing to compute them
+            folded.count()
+
+            def fit_fold(k: int) -> float:
+                est = rf.copy()
+                model = est.fit(folded.where(F.col("fold") != k))
+                return float(
+                    evaluator.evaluate(model.transform(folded.where(F.col("fold") == k)))
+                )
+
+            def fit_full():
+                # importance fit (:141-147) — RF ignores the extra fold
+                # column, so reuse the cached folded table directly
+                return rf.copy().fit(folded)
+
+            # the k fold fits and the full-data importance fit are
+            # independent Spark jobs — submit them concurrently (all
+            # JVM-side pyspark.ml work, same pattern as
+            # verdicts.partition_verdicts); wall time drops from 4 serial
+            # fits to ~max(one fit)
+            with ThreadPoolExecutor(max_workers=self.cv_folds + 1) as pool:
+                fold_futs = [pool.submit(fit_fold, k) for k in range(self.cv_folds)]
+                full_fut = pool.submit(fit_full)
+                scores = [f.result() for f in fold_futs]
+                self._classifier = full_fut.result()
             folded.unpersist()
             auc = float(np.mean(scores))
             auc_std = float(np.std(scores))
         else:
-            final_model = rf.fit(data)
-            auc = float(evaluator.evaluate(final_model.transform(data)))
-
-        # final fit on everything for importances (:141-147) — in the
-        # non-CV path the AUC model already IS the full-data fit, reuse it
-        self._classifier = final_model if final_model is not None else rf.fit(data)
+            # the AUC model already IS the full-data fit, reuse it
+            self._classifier = rf.fit(data)
+            auc = float(evaluator.evaluate(self._classifier.transform(data)))
         data.unpersist()
         importances = dict(zip(cols, self._classifier.featureImportances.toArray()))
         sorted_features = sorted(importances.items(), key=lambda x: x[1], reverse=True)[:10]
