@@ -24,6 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -39,20 +40,26 @@ from driftspark.numerics import (
 )
 from driftspark.stats import bucket_expr, quantile_edges
 
+logger = logging.getLogger(__name__)
+
 VERDICT_SCHEMA = (
     "part int, feature string, check string, statistic double, p_value double, "
     "severity string, passed boolean, n_ref long, n_test long"
 )
 
 
-def _melt_binned(df: DataFrame, edges_map: Dict[str, np.ndarray], part_expr):
+def _melt_binned(df: DataFrame, edges_map: Dict[str, np.ndarray], part_expr, is_ref: bool):
     structs = [
         F.struct(F.lit(c).alias("feature"), bucket_expr(c, e).alias("bin"))
         for c, e in edges_map.items()
     ]
     return (
-        df.select(part_expr.alias("part"), F.explode(F.array(*structs)).alias("fb"))
-        .select("part", "fb.feature", "fb.bin")
+        df.select(
+            F.lit(is_ref).alias("is_ref"),
+            part_expr.alias("part"),
+            F.explode(F.array(*structs)).alias("fb"),
+        )
+        .select("is_ref", "part", "fb.feature", "fb.bin")
         .where(F.col("bin").isNotNull())
     )
 
@@ -75,33 +82,43 @@ def psi_by_partition(
         raise ValueError("edges_map is empty")
     spark = ref_df.sparkSession
 
-    # BOTH sides histogram in ONE scan: ref rows carry a NULL part; the
-    # aggregated counts are O(parts x features x bins) — localCheckpoint
-    # materializes them once so the two branches below don't re-scan.
-    # The part travels through the union as its ORIGINAL type (string,
-    # date, int, ...) — casting to a fixed type would NULL out
+    # BOTH sides histogram in ONE scan: an explicit is_ref tag marks the
+    # reference rows (NULL part is no longer overloaded as the marker, so
+    # null-part test rows stay observable instead of silently vanishing);
+    # the aggregated counts are O(parts x features x bins) —
+    # localCheckpoint materializes them once so the branches below don't
+    # re-scan.  The part travels through the union as its ORIGINAL type
+    # (string, date, int, ...) — casting to a fixed type would NULL out
     # non-castable partition values and silently merge those test rows
     # into the reference histogram.
     part_type = test_df.schema[part_col].dataType
     u = _melt_binned(
-        ref_df, edges_map, F.lit(None).cast(part_type)
+        ref_df, edges_map, F.lit(None).cast(part_type), True
     ).unionByName(
-        _melt_binned(
-            test_df.where(F.col(part_col).isNotNull()),
-            edges_map,
-            F.col(part_col),
-        )
+        _melt_binned(test_df, edges_map, F.col(part_col), False)
     )
     counts = (
-        u.groupBy("part", "feature", "bin")
+        u.groupBy("is_ref", "part", "feature", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
+    dropped = (
+        counts.where(~F.col("is_ref") & F.col("part").isNull())
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    if dropped:
+        logger.warning(
+            "psi_by_partition: %d test value(s) have NULL %s and are "
+            "excluded from partition verdicts",
+            dropped,
+            part_col,
+        )
     # reference histogram is global: one row per (feature, bin)
-    ref_cnt = counts.where(F.col("part").isNull()).select(
+    ref_cnt = counts.where(F.col("is_ref")).select(
         "feature", "bin", F.col("c").alias("r")
     )
-    test_cnt = counts.where(F.col("part").isNotNull()).select(
+    test_cnt = counts.where(~F.col("is_ref") & F.col("part").isNotNull()).select(
         "part", "feature", "bin", F.col("c").alias("t")
     )
 
@@ -430,44 +447,134 @@ def ks_d_by_partition_broadcast(
     )
 
 
+#: merged-tail bucket name used when a categorical feature exceeds
+#: ``max_categories`` (unlikely to collide with real category strings)
+CHI2_OTHER_BUCKET = "__chi2_other__"
+
+
 def chi2_by_partition(
     ref_df: DataFrame,
     test_df: DataFrame,
     cat_cols: Sequence[str],
     part_col: str = "part",
     min_samples: int = 5,
+    max_categories: int = 1000,
 ) -> List[dict]:
     """Per-(part, feature) chi-square of test category counts vs global
     reference proportions (univariate.py:71-122 semantics, per-partition).
 
     ALL categorical columns melt into one (part, feature, value)
-    aggregation — ONE Spark job regardless of column count (ref rows carry
-    a NULL part).  The chi-square over O(parts x features x categories)
-    count rows runs on the driver."""
+    aggregation — ONE Spark job regardless of column count.  The
+    chi-square over O(parts x features x categories) count rows runs on
+    the driver.
+
+    Scale guard: that driver loop assumes bounded category cardinality —
+    a high-cardinality string column (ids, captions) would collect
+    unbounded rows.  Any feature whose observed (ref ∪ test) category
+    count exceeds ``max_categories`` is remapped DISTRIBUTED to its
+    ``max_categories - 1`` globally most-frequent categories plus one
+    merged ``__chi2_other__`` tail bucket before anything reaches the
+    driver, with a logged warning naming the truncated features.
+    Features at or under the cap are bit-identical to the unguarded
+    path.  Test rows with a NULL partition id are excluded from verdicts
+    (they belong to no partition) but are now COUNTED in the same
+    aggregation and logged, so drift concentrated in null-part rows
+    can't vanish silently."""
     if not cat_cols:
         return []
 
-    def melted(df: DataFrame, part_expr) -> DataFrame:
+    def melted(df: DataFrame, part_expr, is_ref: bool) -> DataFrame:
         structs = [
             F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("v"))
             for c in cat_cols
         ]
         return (
-            df.select(part_expr.alias("part"), F.explode(F.array(*structs)).alias("fv"))
-            .select("part", "fv.feature", "fv.v")
+            df.select(
+                F.lit(is_ref).alias("is_ref"),
+                part_expr.alias("part"),
+                F.explode(F.array(*structs)).alias("fv"),
+            )
+            .select("is_ref", "part", "fv.feature", "fv.v")
             .where(F.col("v").isNotNull())
         )
 
-    # ref rows carry a NULL part of the test table's ORIGINAL part type
+    # explicit is_ref tag (NULL part no longer doubles as the ref marker,
+    # so null-part test rows stay observable); part keeps its ORIGINAL type
     part_type = test_df.schema[part_col].dataType
-    u = melted(ref_df, F.lit(None).cast(part_type)).unionByName(
-        melted(test_df.where(F.col(part_col).isNotNull()), F.col(part_col))
+    u = melted(ref_df, F.lit(None).cast(part_type), True).unionByName(
+        melted(test_df, F.col(part_col), False)
     )
-    counts = u.groupBy("part", "feature", "v").agg(F.count(F.lit(1)).alias("c")).collect()
+    counts_df = (
+        u.groupBy("is_ref", "part", "feature", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+
+    dropped = (
+        counts_df.where(~F.col("is_ref") & F.col("part").isNull())
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    if dropped:
+        logger.warning(
+            "chi2_by_partition: %d test value(s) have NULL %s and are "
+            "excluded from partition verdicts",
+            dropped,
+            part_col,
+        )
+    counts_df = counts_df.where(F.col("is_ref") | F.col("part").isNotNull())
+
+    # cardinality guard — all sizes here are aggregate-level (distinct
+    # categories per feature), never raw rows
+    ncats = (
+        counts_df.select("feature", "v")
+        .distinct()
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    over = sorted(r["feature"] for r in ncats if r["n"] > max_categories)
+    if over:
+        logger.warning(
+            "chi2_by_partition: feature(s) %s exceed max_categories=%d; "
+            "tail categories merged into %r before collection",
+            over,
+            max_categories,
+            CHI2_OTHER_BUCKET,
+        )
+        w_top = Window.partitionBy("feature").orderBy(F.col("tot").desc(), "v")
+        keep = (
+            counts_df.where(F.col("feature").isin(over))
+            .groupBy("feature", "v")
+            .agg(F.sum("c").alias("tot"))
+            .withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") < max_categories)
+            .select("feature", "v", F.lit(True).alias("keep"))
+        )
+        cols5 = ["is_ref", "part", "feature", "v", "c"]
+        remapped = (
+            counts_df.where(F.col("feature").isin(over))
+            .join(F.broadcast(keep), ["feature", "v"], "left")
+            .withColumn(
+                "v",
+                F.when(F.col("keep"), F.col("v")).otherwise(
+                    F.lit(CHI2_OTHER_BUCKET)
+                ),
+            )
+            .groupBy("is_ref", "part", "feature", "v")
+            .agg(F.sum("c").alias("c"))
+        )
+        counts_df = (
+            counts_df.where(~F.col("feature").isin(over))
+            .select(*cols5)
+            .unionByName(remapped.select(*cols5))
+        )
+
+    counts = counts_df.collect()
     ref_map: Dict[str, Dict] = {c: {} for c in cat_cols}
     by_part: Dict[tuple, Dict] = {}
     for r in counts:
-        if r["part"] is None:
+        if r["is_ref"]:
             ref_map[r["feature"]][r["v"]] = r["c"]
         else:
             by_part.setdefault((r["part"], r["feature"]), {})[r["v"]] = r["c"]
@@ -515,6 +622,7 @@ def partition_verdicts(
     parts: Optional[Sequence] = None,
     approx_quantile_error: Optional[float] = None,
     ks_cols: Optional[Sequence[str]] = None,
+    max_categories: int = 1000,
 ) -> DataFrame:
     """Run the per-partition drift suite over one split-tagged table.
 
@@ -565,7 +673,9 @@ def partition_verdicts(
         ).collect()
 
     def run_chi2():
-        return chi2_by_partition(ref_df, test_df, cat_cols, part_col)
+        return chi2_by_partition(
+            ref_df, test_df, cat_cols, part_col, max_categories=max_categories
+        )
 
     # the three check families are independent — submit their Spark jobs
     # concurrently so per-job scheduling latency overlaps (the scheduler

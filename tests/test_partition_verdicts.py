@@ -219,3 +219,85 @@ def test_partition_verdicts_string_partitions_end_to_end(spark):
     assert ("2024-01", "psi") in rows and ("2024-02", "ks") in rows
     assert rows[("2024-02", "psi")]["passed"] is False  # shifted month fails
     assert rows[("2024-01", "psi")]["passed"] is True
+
+
+def test_chi2_high_cardinality_guard(spark, caplog):
+    """A high-cardinality string column (e.g. a caption/id passed as a
+    cat_col) must not collect unbounded rows: categories beyond
+    max_categories merge into the __chi2_other__ tail bucket BEFORE the
+    driver collect, and the verdict stays computable and row-stable."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.verdicts import chi2_by_partition
+
+    rng = np.random.RandomState(7)
+    # 2 common categories + a long unique tail (cardinality 3000+)
+    def mk(n, part):
+        tail = [f"id-{i}-{part}" for i in range(n // 2)]
+        common = list(rng.choice(["hot-a", "hot-b"], n - n // 2))
+        return pd.DataFrame({"cat": common + tail, "part": part})
+
+    ref_df = spark.createDataFrame(mk(3000, "REF"))
+    test_df = spark.createDataFrame(pd.concat([mk(1500, "p1"), mk(1500, "p2")]))
+
+    with caplog.at_level(logging.WARNING, logger="driftspark.verdicts"):
+        rows = chi2_by_partition(ref_df, test_df, ["cat"], max_categories=50)
+    assert any("max_categories" in r.message for r in caplog.records)
+    got = {r["part"]: r for r in rows}
+    assert set(got) == {"p1", "p2"}
+    # counts are complete: the other-bucket merge must not lose rows
+    assert got["p1"]["n_test"] == 1500 and got["p1"]["n_ref"] == 3000
+    assert np.isfinite(got["p1"]["stat"]) and 0.0 <= got["p1"]["p"] <= 1.0
+
+    # under the cap the guard is a no-op: bit-identical results
+    small_ref = spark.createDataFrame(
+        pd.DataFrame({"cat": rng.choice(["a", "b", "c"], 2000), "part": "REF"})
+    )
+    small_test = spark.createDataFrame(
+        pd.DataFrame({"cat": rng.choice(["a", "b", "c"], 2000), "part": "p1"})
+    )
+    r_plain = chi2_by_partition(small_ref, small_test, ["cat"])
+    r_guard = chi2_by_partition(small_ref, small_test, ["cat"], max_categories=10)
+    assert r_plain == r_guard
+
+
+def test_null_part_rows_warned_not_silent(spark, caplog):
+    """Test rows with a NULL partition id are excluded from verdicts but
+    must be counted and logged (ADVICE: they used to vanish silently)."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.stats import quantile_edges
+    from driftspark.verdicts import chi2_by_partition, psi_by_partition
+
+    rng = np.random.RandomState(9)
+    ref = spark.createDataFrame(pd.DataFrame({
+        "x": rng.normal(0, 1, 2000),
+        "cat": rng.choice(["a", "b"], 2000),
+        "part": "REF",
+    }))
+    test_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 2000),
+        "cat": rng.choice(["a", "b"], 2000),
+        "part": ["p1"] * 1000 + [None] * 1000,
+    })
+    test = spark.createDataFrame(test_pdf)
+
+    edges = quantile_edges(ref, ["x"], 5)
+    with caplog.at_level(logging.WARNING, logger="driftspark.verdicts"):
+        psi_rows = psi_by_partition(ref, test, edges).collect()
+    assert any("NULL part" in r.message for r in caplog.records)
+    assert {r["part"] for r in psi_rows} == {"p1"}
+    assert all(r["n_test"] == 1000 for r in psi_rows)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="driftspark.verdicts"):
+        chi_rows = chi2_by_partition(ref, test, ["cat"])
+    assert any("NULL part" in r.message for r in caplog.records)
+    assert {r["part"] for r in chi_rows} == {"p1"}
+    assert all(r["n_test"] == 1000 for r in chi_rows)
