@@ -418,6 +418,30 @@ def _q_ann_lsh(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+IVF_CELLS, IVF_PROBE = 16, 4
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN: Arrow-batched nearest-centroid assignment, partition-pruned
+    probe of the 4 nearest cells, exact cosine top-10 within them.
+
+    The coarse quantizer is the deterministic seed-derived centroid matrix
+    (ann.seed_centroids — the hyperplane-oracle trick), so the DuckDB
+    oracle inlines the identical centroids as literals and re-derives
+    assignment, probe set, and ranking; the data-adaptive k-means ``fit``
+    keeps its pytest oracle (test_multimodal)."""
+    from driftspark.ann import IVFIndex, seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _check_emb_dim(emb)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    idx = IVFIndex(n_centroids=IVF_CELLS, seed=42)
+    idx.centroids = seed_centroids(EMB_DIM, IVF_CELLS, 42)
+    assigned = idx.assign(emb.where(F.col("vec_id") != 0), "embedding")
+    top = idx.search(assigned, "vec_id", "embedding", qvec, k=10, n_probe=IVF_PROBE)
+    return top.select("vec_id", "centroid_id", F.round("cosine", 6).alias("cosine"))
+
+
 ORACLE_IMG_PATH = "/tmp/driftspark_oracle_images.parquet"
 
 
@@ -536,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "image_features": _q_image_features,
         "image_partition_verdicts": _q_image_verdicts,
@@ -734,6 +759,55 @@ def _ann_lsh_sql(planes, bands: int = 4) -> str:
         )
         SELECT vec_id, round(c.cosine, 6) AS cosine
         FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_ivf_sql(centroids, n_probe: int, k: int = 10) -> str:
+    """IVF assignment + probe + exact top-k re-derived in SQL from the
+    inlined centroid literals (ann.IVFIndex.assign/probe_cells/search).
+
+    Distance uses the same expansion as the Spark pandas UDF
+    (|v|^2 - 2 v.c + |c|^2); ties break by centroid_id ascending, matching
+    np.argmin's first-index rule and probe_cells' stable argsort."""
+    rows = ",\n               ".join(
+        f"({i}, [" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(centroids)
+    )
+    dist = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, c) "
+        "+ list_dot_product(c, c)"
+    )
+    return f"""
+        WITH cents(centroid_id, c) AS (
+          VALUES {rows}
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        probe AS (
+          SELECT centroid_id FROM cents, q
+          ORDER BY {dist.format(v='qe')}, centroid_id
+          LIMIT {n_probe}
+        ),
+        assigned AS (
+          SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cents.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {dist.format(v='v.e')}, cents.centroid_id
+                   ) AS rn
+            FROM v, cents WHERE v.vec_id <> 0
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT a.vec_id, a.centroid_id,
+                 list_dot_product(a.e, q.qe)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+                   AS cosine
+          FROM assigned a, q
+          WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+        )
+        SELECT vec_id, centroid_id, round(cosine, 6) AS cosine
+        FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
     """
 
 
@@ -936,7 +1010,7 @@ def _image_verdicts_sql(path: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from driftspark.ann import _hyperplanes
+    from driftspark.ann import _hyperplanes, seed_centroids
 
     planes16 = _hyperplanes(EMB_DIM, 16, 42)
     price_bucket = _bucket_sql("l_extendedprice", PRICE_EDGES)
@@ -1236,5 +1310,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardups": _minhash_lsh_sql(),
         "dedup_neardup_drop": _neardup_drop_sql(),
         "ann_cosine_topk_lsh": _ann_lsh_sql(planes16, bands=4),
+        "ann_ivf_topk": _ann_ivf_sql(
+            seed_centroids(EMB_DIM, IVF_CELLS, 42), n_probe=IVF_PROBE
+        ),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
     }

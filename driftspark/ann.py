@@ -67,6 +67,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def seed_centroids(dim: int, k: int, seed: int = 42) -> np.ndarray:
+    """Deterministic data-independent coarse centroids — the IVF analog of
+    ``_hyperplanes``: a SQL oracle can inline the quantizer as literals and
+    reproduce assignment/probe/search exactly.  For data-adaptive cells
+    (better recall per probe) use ``IVFIndex.fit`` instead."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((k, dim))
+
+
 def signature_expr(vec_col: Column, planes: np.ndarray) -> Column:
     """b-bit sign signature: bit p set when dot(vec, plane_p) > 0."""
     sig = F.lit(0).cast("long")
@@ -261,7 +270,9 @@ class IVFIndex:
     def probe_cells(self, query: Sequence[float], n_probe: int) -> List[int]:
         q = np.asarray(query, dtype=np.float64)
         d = np.sum((self.centroids - q) ** 2, axis=1)
-        return [int(i) for i in np.argsort(d)[:n_probe]]
+        # stable sort: equidistant cells tie-break by centroid id, matching
+        # the SQL oracle's ORDER BY (distance, centroid_id)
+        return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
     def search(
         self,
@@ -273,12 +284,14 @@ class IVFIndex:
         n_probe: int = 8,
     ) -> DataFrame:
         """Exact cosine top-k within the probed cells (recall < 1 when the
-        true neighbors live outside the probed cells)."""
+        true neighbors live outside the probed cells).  Output keeps each
+        hit's ``centroid_id`` so callers (and the driver oracle) can verify
+        cell assignment alongside the ranking."""
         cells = self.probe_cells(query, n_probe)
         cand = assigned_df.where(F.col("centroid_id").isin(cells))
         cos = cosine_similarity_col(F.col(vec_col), query)
         return (
-            cand.select(F.col(id_col), cos.alias("cosine"))
+            cand.select(F.col(id_col), F.col("centroid_id"), cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col))
             .limit(k)
         )
