@@ -442,7 +442,30 @@ def _q_ann_ivf(spark, sf_dir):
     return top.select("vec_id", "centroid_id", F.round("cosine", 6).alias("cosine"))
 
 
-ORACLE_IMG_PATH = "/tmp/driftspark_oracle_images.parquet"
+def _oracle_scratch_path(kind: str, source_fns, **params) -> str:
+    """Content-keyed /tmp path for oracle-side persisted tables: the key
+    hashes the generator params AND the generator source, so concurrent
+    harness runs of the same version share identical bytes harmlessly,
+    while a generator change can never silently reuse a stale parquet."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5(repr(sorted(params.items())).encode())
+    for fn in source_fns:
+        h.update(inspect.getsource(fn).encode())
+    return f"/tmp/driftspark_oracle_{kind}_{h.hexdigest()[:12]}.parquet"
+
+
+IMG_GEN_PARAMS = dict(
+    seed=42, n_rows=6000, n_parts=4, drift=True, with_bytes=False,
+    dup_every=1000, dangling_every=2000,
+)
+
+
+def _oracle_img_path() -> str:
+    from driftspark.synth import _gen_rows
+
+    return _oracle_scratch_path("images", [_gen_rows], **IMG_GEN_PARAMS)
 
 
 def _q_image_verdicts(spark, sf_dir):
@@ -456,10 +479,11 @@ def _q_image_verdicts(spark, sf_dir):
     from driftspark.synth import synth_image_table
     from driftspark.verdicts import partition_verdicts
 
+    path = _oracle_img_path()
     synth_image_table(
         spark, 6000, n_parts=4, drift=True, with_bytes=False
-    ).write.mode("overwrite").parquet(ORACLE_IMG_PATH)
-    img = spark.read.parquet(ORACLE_IMG_PATH)
+    ).write.mode("overwrite").parquet(path)
+    img = spark.read.parquet(path)
     v = partition_verdicts(img, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"])
     return v.select(
         "part", "feature", "check", F.round("statistic", 6).alias("statistic"),
@@ -499,8 +523,11 @@ def _q_image_features(spark, sf_dir):
 
 def _q_audio_features(spark, sf_dir):
     """Multimodal: decode + feature-extract REAL WAV payloads (stdlib
-    RIFF codec; synthetic deterministic input, so rows+schema check only —
-    numeric parity vs hand-computed numpy is locked in pytest)."""
+    RIFF codec).  Fully oracle-checked: the DuckDB side regenerates every
+    clip's samples analytically from the persisted ground-truth generation
+    parameters (_audio_features_sql) and re-derives rms/peak/zcr through
+    the identical quantization — so the codec roundtrip itself is what's
+    being verified."""
     from driftspark.multimodal import audio_features
     from driftspark.synth import synth_audio_table
 
@@ -861,12 +888,99 @@ def _ensure_oracle_img_table(path: str) -> None:
 
     from driftspark.synth import _gen_rows
 
-    pdf = _gen_rows(
-        np_.arange(6000), seed=42, n_rows=6000, n_parts=4, drift=True,
-        with_bytes=False, dup_every=1000, dangling_every=2000,
-    )
+    pdf = _gen_rows(np_.arange(IMG_GEN_PARAMS["n_rows"]), **IMG_GEN_PARAMS)
     os.makedirs(path, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+AUDIO_GEN_PARAMS = dict(seed=42, n_rows=400, sample_rate=8000)
+
+
+def _oracle_audio_truth_path() -> str:
+    from driftspark.synth import _audio_rows
+
+    return _oracle_scratch_path("audio_truth", [_audio_rows], **AUDIO_GEN_PARAMS)
+
+
+def _ensure_oracle_audio_truth(path: str) -> None:
+    """Ground-truth generation parameters (amp, freq, n, bit depth) for the
+    synthetic WAV clips — pure pandas, the SAME counter-based generator the
+    Spark query's synth_audio_table runs, so the SQL oracle re-derives
+    every decoded sample analytically instead of parsing RIFF bytes."""
+    import glob
+
+    if glob.glob(f"{path}/*.parquet"):
+        return
+    import numpy as np_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftspark.synth import _audio_rows
+
+    pdf = _audio_rows(
+        np_.arange(AUDIO_GEN_PARAMS["n_rows"]),
+        seed=AUDIO_GEN_PARAMS["seed"],
+        sample_rate=AUDIO_GEN_PARAMS["sample_rate"],
+    )[["audio_id", "sample_rate", "amp", "freq", "n_samples_true", "bits"]]
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+def _audio_features_sql(path: str) -> str:
+    """audio_features re-derived analytically: regenerate each clip's
+    samples (amp * sin(2*pi*freq * j/sr), the synth generator's exact
+    expression order), apply the SAME quantization the WAV codec
+    round-trips (PCM16: round(s*32767)/32768 with numpy's signed-zero
+    sign; float32: double->float->double), then aggregate rms / peak /
+    zero-crossing-rate per clip.  The signbit CASE mirrors np.signbit on
+    quantized -0.0 (negative pre-quantization value that rounds to zero
+    keeps its sign bit)."""
+    return f"""
+        WITH truth AS (SELECT * FROM '{path}/*.parquet'),
+        idx AS (
+          SELECT t.audio_id, t.sample_rate, t.amp, t.freq,
+                 t.n_samples_true AS n, t.bits,
+                 unnest(generate_series(0, t.n_samples_true - 1)) AS j
+          FROM truth t
+        ),
+        raw AS (
+          SELECT audio_id, n, bits, j,
+                 amp * sin(((2 * pi()) * freq) * (j / CAST(sample_rate AS DOUBLE))) AS s
+          FROM idx
+        ),
+        dec AS (
+          SELECT audio_id, n, j,
+                 CASE WHEN bits = 16 THEN round(s * 32767.0) / 32768.0
+                      ELSE CAST(CAST(s AS FLOAT) AS DOUBLE) END AS d,
+                 CASE WHEN bits = 16
+                      THEN (round(s * 32767.0) < 0
+                            OR (round(s * 32767.0) = 0 AND s < 0))
+                      ELSE s < 0 END AS sb
+          FROM raw
+        ),
+        z AS (
+          SELECT audio_id, d, sb, j,
+                 lag(sb) OVER (PARTITION BY audio_id ORDER BY j) AS psb
+          FROM dec
+        ),
+        agg AS (
+          SELECT audio_id,
+                 sqrt(avg(d * d)) AS rms,
+                 max(abs(d)) AS peak,
+                 CAST(sum(CASE WHEN j > 0 AND sb <> psb THEN 1 ELSE 0 END) AS DOUBLE)
+                   / max(j) AS zcr
+          FROM z GROUP BY audio_id
+        )
+        SELECT t.audio_id, t.sample_rate,
+               CAST(t.n_samples_true AS BIGINT) AS n_samples,
+               round(t.n_samples_true / CAST(t.sample_rate AS DOUBLE), 6) AS duration_sec,
+               round(a.rms, 6) AS rms,
+               round(a.peak, 6) AS peak,
+               round(a.zcr, 6) AS zero_crossing_rate,
+               NULL::VARCHAR AS decode_error
+        FROM truth t JOIN agg a USING (audio_id)
+        ORDER BY t.audio_id
+    """
 
 
 def _image_verdicts_sql(path: str) -> str:
@@ -1303,8 +1417,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "image_partition_verdicts": (
-            _ensure_oracle_img_table(ORACLE_IMG_PATH)
-            or _image_verdicts_sql(ORACLE_IMG_PATH)
+            _ensure_oracle_img_table(_oracle_img_path())
+            or _image_verdicts_sql(_oracle_img_path())
+        ),
+        "audio_features": (
+            _ensure_oracle_audio_truth(_oracle_audio_truth_path())
+            or _audio_features_sql(_oracle_audio_truth_path())
         ),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),

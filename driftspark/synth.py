@@ -347,6 +347,45 @@ def synth_dataset_dim(spark: SparkSession, n: int = 100) -> DataFrame:
 AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int, caption string"
 
 
+def _audio_rows(ids: np.ndarray, seed: int, sample_rate: int) -> pd.DataFrame:
+    """Pure-pandas audio-row builder shared by the Spark generator and the
+    driver-side oracle ground-truth writer: clip i is a sine at
+    110*(1 + i%8) Hz with amplitude/duration/bit-depth drawn from the
+    SplitMix64 streams.  Besides the payload columns it returns the exact
+    generation parameters (amp, freq, n_samples_true, bits) so a SQL
+    oracle can re-derive the decoded samples without touching the bytes."""
+    from driftspark.multimodal import encode_wav
+
+    amp = 0.1 + 0.8 * _u(seed, 101, ids)
+    dur = 0.05 + 0.15 * _u(seed, 102, ids)
+    use_float = _u(seed, 103, ids) < 0.25
+    rows = {
+        "audio_id": [], "bytes": [], "sample_rate": [], "caption": [],
+        "amp": [], "freq": [], "n_samples_true": [], "bits": [],
+    }
+    for r in range(len(ids)):
+        i = int(ids[r])
+        freq = 110.0 * (1 + i % 8)
+        n = max(int(dur[r] * sample_rate), 8)
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        samples = amp[r] * np.sin(2 * np.pi * freq * t)
+        bits = 32 if use_float[r] else 16
+        rows["audio_id"].append(f"aud_{i:08d}")
+        rows["bytes"].append(encode_wav(samples, sample_rate, bits=bits))
+        rows["sample_rate"].append(sample_rate)
+        rows["caption"].append(f"sine {freq:.0f}Hz clip {i}")
+        rows["amp"].append(float(amp[r]))
+        rows["freq"].append(freq)
+        rows["n_samples_true"].append(n)
+        rows["bits"].append(bits)
+    out = pd.DataFrame(rows)
+    out["bytes"] = out["bytes"].astype(object)
+    out["sample_rate"] = out["sample_rate"].astype(np.int32)
+    out["n_samples_true"] = out["n_samples_true"].astype(np.int64)
+    out["bits"] = out["bits"].astype(np.int32)
+    return out
+
+
 def synth_audio_table(
     spark: SparkSession,
     n_rows: int,
@@ -355,34 +394,16 @@ def synth_audio_table(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic WAV clips (counter-based like the image tables):
-    clip i is a sine at 110*(1 + i%8) Hz with amplitude/duration/bit-depth
-    drawn from the SplitMix64 streams — same bytes for the same (seed, i)
-    regardless of partitioning.  Every payload is a real RIFF/WAVE file
-    (PCM16 or float32) decodable by driftspark.multimodal.decode_wav."""
-    from driftspark.multimodal import encode_wav
+    same bytes for the same (seed, i) regardless of partitioning.  Every
+    payload is a real RIFF/WAVE file (PCM16 or float32) decodable by
+    driftspark.multimodal.decode_wav.  See ``_audio_rows`` for the
+    generator itself."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["id"].values
-            amp = 0.1 + 0.8 * _u(seed, 101, ids)
-            dur = 0.05 + 0.15 * _u(seed, 102, ids)
-            use_float = _u(seed, 103, ids) < 0.25
-            rows = {"audio_id": [], "bytes": [], "sample_rate": [], "caption": []}
-            for r in range(len(ids)):
-                i = int(ids[r])
-                freq = 110.0 * (1 + i % 8)
-                n = max(int(dur[r] * sample_rate), 8)
-                t = np.arange(n, dtype=np.float64) / sample_rate
-                samples = amp[r] * np.sin(2 * np.pi * freq * t)
-                bits = 32 if use_float[r] else 16
-                rows["audio_id"].append(f"aud_{i:08d}")
-                rows["bytes"].append(encode_wav(samples, sample_rate, bits=bits))
-                rows["sample_rate"].append(sample_rate)
-                rows["caption"].append(f"sine {freq:.0f}Hz clip {i}")
-            out = pd.DataFrame(rows)
-            out["bytes"] = out["bytes"].astype(object)
-            out["sample_rate"] = out["sample_rate"].astype(np.int32)
-            yield out
+            yield _audio_rows(pdf["id"].values, seed, sample_rate)[
+                ["audio_id", "bytes", "sample_rate", "caption"]
+            ]
 
     rng = spark.range(0, n_rows, numPartitions=num_partitions)
     return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)
