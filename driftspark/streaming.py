@@ -39,8 +39,10 @@ class StreamingDriftMonitor:
         query = monitor.start(stream, verdict_sink_dir, checkpoint_dir)
         query.awaitTermination()
 
-    Each micro-batch appends one verdict row per feature to the sink:
-    (batch_id, feature, psi, severity, passed, n_test, processed_at).
+    Each micro-batch appends one verdict row per (feature, check) to the
+    sink: (batch_id, feature, check, statistic, p_value, severity, passed,
+    n_test, processed_at) — the same row shape as the batch
+    partition-verdict suite, with checks "psi" and "ks".
     """
 
     def __init__(
@@ -50,26 +52,44 @@ class StreamingDriftMonitor:
         n_bins: int = 10,
         psi_threshold: float = 0.2,
         min_bin_size: float = 0.001,
+        ks_cols: Optional[Sequence[str]] = None,
+        ks_threshold: float = 0.05,
+        max_ref_ecdf_points: int = 4_000_000,
     ):
+        from driftspark.verdicts import fit_ks_reference_ecdf
+
         self.numeric_cols = list(numeric_cols)
         self.n_bins = n_bins
         self.psi_threshold = psi_threshold
         self.min_bin_size = min_bin_size
+        self.ks_cols = list(numeric_cols if ks_cols is None else ks_cols)
+        self.ks_threshold = ks_threshold
         # fit once on the static reference; edges + reference proportions
-        # are the only state the stream needs
+        # + the thinned broadcast ECDF are the only state the stream needs
         self.edges: Dict[str, np.ndarray] = quantile_edges(
             reference_df, self.numeric_cols, n_bins
         )
         props = histogram_proportions(reference_df, reference_df, self.edges)
         self.ref_props: Dict[str, np.ndarray] = {c: p[0] for c, p in props.items()}
+        # the same mass-quantum-thinned ECDF state the batch verdict suite
+        # broadcasts (verdicts.fit_ks_reference_ecdf) — fitted once here,
+        # scored against every micro-batch
+        self.ks_ecdf: Dict[str, tuple] = (
+            fit_ks_reference_ecdf(reference_df, self.ks_cols, max_ref_ecdf_points)
+            if self.ks_cols
+            else {}
+        )
 
     def score_batch(self, batch_df: DataFrame) -> list:
         """Verdict rows for one (micro-)batch — shared by foreachBatch and
-        direct batch calls, so streaming == batch numerics."""
+        direct batch calls, so streaming == batch numerics.  Each row:
+        {feature, check, statistic, p_value, severity, passed}."""
+        from driftspark.numerics import ks_2samp_pvalue, severity_from_pvalue
+        from driftspark.verdicts import ks_d_against_ecdf
+
         hists = histogram_proportions(batch_df, batch_df, self.edges)
         rows = []
         for c, (test_p, _) in hists.items():
-            n_test = None  # proportions already normalized; count separately
             psi = (
                 psi_from_proportions(self.ref_props[c], test_p, self.min_bin_size)
                 if test_p.sum() > 0
@@ -78,11 +98,33 @@ class StreamingDriftMonitor:
             rows.append(
                 {
                     "feature": c,
-                    "psi": float(psi),
+                    "check": "psi",
+                    "statistic": float(psi),
+                    "p_value": None,
                     "severity": severity_from_psi(psi),
                     "passed": bool(psi < self.psi_threshold),
                 }
             )
+        if self.ks_ecdf:
+            ks_rows = ks_d_against_ecdf(
+                batch_df.withColumn("__grp", F.lit(0)),
+                [c for c in self.ks_cols if c in self.ks_ecdf],
+                self.ks_ecdf,
+                "__grp",
+            ).collect()
+            for r in ks_rows:
+                d, n, m = float(r["d"]), int(r["n"]), int(r["m"])
+                p = ks_2samp_pvalue(d, n, m)
+                rows.append(
+                    {
+                        "feature": r["feature"],
+                        "check": "ks",
+                        "statistic": d,
+                        "p_value": float(p),
+                        "severity": severity_from_pvalue(p, self.ks_threshold),
+                        "passed": bool(not (p < self.ks_threshold)),
+                    }
+                )
         return rows
 
     def start(
@@ -103,11 +145,14 @@ class StreamingDriftMonitor:
             rows = self.score_batch(batch_df)
             out = spark.createDataFrame(
                 [
-                    (int(batch_id), r["feature"], r["psi"], r["severity"], r["passed"], n)
+                    (
+                        int(batch_id), r["feature"], r["check"], r["statistic"],
+                        r["p_value"], r["severity"], r["passed"], n,
+                    )
                     for r in rows
                 ],
-                "batch_id long, feature string, psi double, severity string, "
-                "passed boolean, n_test long",
+                "batch_id long, feature string, check string, statistic double, "
+                "p_value double, severity string, passed boolean, n_test long",
             ).withColumn("processed_at", F.current_timestamp())
             out.write.mode("append").parquet(sink_dir)
 

@@ -396,24 +396,49 @@ def ks_d_by_partition_broadcast(
     set would not fit on any driver.  Retained points keep their EXACT
     cumulative counts, so the only error is R's value-resolution between
     retained points (<= 1/max_points of mass)."""
-    spark = ref_df.sparkSession
+    ecdf = fit_ks_reference_ecdf(ref_df, cols, max_ref_ecdf_points)
+    return ks_d_against_ecdf(test_df, cols, ecdf, part_col)
 
-    def melt(df, with_part):
-        structs = [
-            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
-            for c in cols
-        ]
-        sel = [F.col(part_col).alias("part")] if with_part else []
-        return (
-            df.select(*sel, F.explode(F.array(*structs)).alias("fv"))
-            .select(*(["part"] if with_part else []), "fv.feature", "fv.value")
-            .where(F.col("value").isNotNull() & ~F.isnan("value"))
-        )
 
-    ref_g = melt(ref_df, False).groupBy("feature", "value").agg(
-        F.count(F.lit(1)).alias("c")
+def _melt_feature_values(df: DataFrame, cols: Sequence[str], part_col=None):
+    structs = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ]
+    sel = [F.col(part_col).alias("part")] if part_col else []
+    return (
+        df.select(*sel, F.explode(F.array(*structs)).alias("fv"))
+        .select(*(["part"] if part_col else []), "fv.feature", "fv.value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
     )
-    ecdf = _ref_ecdf_points(ref_g, max_ref_ecdf_points)
+
+
+def fit_ks_reference_ecdf(
+    ref_df: DataFrame,
+    cols: Sequence[str],
+    max_ref_ecdf_points: int = 4_000_000,
+) -> Dict[str, tuple]:
+    """Fit the broadcast-ready thinned reference ECDF state ({feature:
+    (sorted values, exact cumulative counts, n)}) ONCE, for reuse across
+    ``ks_d_against_ecdf`` calls — per-partition verdicts or streaming
+    micro-batches — without rescanning the reference."""
+    ref_g = (
+        _melt_feature_values(ref_df, cols)
+        .groupBy("feature", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _ref_ecdf_points(ref_g, max_ref_ecdf_points)
+
+
+def ks_d_against_ecdf(
+    test_df: DataFrame,
+    cols: Sequence[str],
+    ecdf: Dict[str, tuple],
+    part_col: str = "part",
+) -> DataFrame:
+    """(part, feature, d, n, m) — exact KS D of each test group's sample
+    vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf)."""
+    spark = test_df.sparkSession
     b_ecdf = spark.sparkContext.broadcast(ecdf)
     # output schema preserves the partition column's original type
     part_sql_type = test_df.schema[part_col].dataType.simpleString()
@@ -438,7 +463,7 @@ def ks_d_by_partition_broadcast(
         )
 
     return (
-        melt(test_df, True)
+        _melt_feature_values(test_df, cols, part_col)
         .groupBy("part", "feature")
         .applyInPandas(
             compute,

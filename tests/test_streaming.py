@@ -35,24 +35,46 @@ def test_streaming_drift_monitor_end_to_end(spark):
 
         out = spark.read.parquet(f"{tmp}/sink").toPandas()
         assert set(out["feature"]) == {"x", "y"}
-        assert len(out) == 4  # 2 batches x 2 features
-        by = out.set_index(["batch_id", "feature"])
+        assert set(out["check"]) == {"psi", "ks"}
+        assert len(out) == 8  # 2 batches x 2 features x 2 checks
+        psi_out = out[out["check"] == "psi"]
+        by = psi_out.set_index(["batch_id", "feature"])
         # y is stable in both batches
         assert by.loc[(0, "y"), "passed"] and by.loc[(1, "y"), "passed"]
         # exactly one batch drifts on x
         x_pass = sorted([bool(by.loc[(0, "x"), "passed"]), bool(by.loc[(1, "x"), "passed"])])
         assert x_pass == [False, True]
         failed_x = by[(~by["passed"]) & (by.index.get_level_values("feature") == "x")]
-        assert (failed_x["psi"] > 1.0).all()
+        assert (failed_x["statistic"] > 1.0).all()
         assert (failed_x["severity"] == "critical").all()
+        # KS agrees: the drifted batch fails x, both batches pass y
+        ks_by = out[out["check"] == "ks"].set_index(["batch_id", "feature"])
+        assert ks_by.loc[(0, "y"), "passed"] and ks_by.loc[(1, "y"), "passed"]
+        assert sorted(
+            [bool(ks_by.loc[(0, "x"), "passed"]), bool(ks_by.loc[(1, "x"), "passed"])]
+        ) == [False, True]
 
         # streaming == batch numerics: score the drifted frame directly
         direct = {
-            r["feature"]: r["psi"]
+            (r["check"], r["feature"]): r["statistic"]
             for r in monitor.score_batch(spark.createDataFrame(drifted))
         }
-        drifted_batch_psi = float(out[(~out["passed"]) & (out["feature"] == "x")]["psi"].iloc[0])
-        assert direct["x"] == pytest.approx(drifted_batch_psi, abs=1e-12)
+        drifted_psi = psi_out[(~psi_out["passed"]) & (psi_out["feature"] == "x")]
+        assert direct[("psi", "x")] == pytest.approx(
+            float(drifted_psi["statistic"].iloc[0]), abs=1e-12
+        )
+
+        # stream KS D == batch KS D on identical rows: the foreachBatch
+        # path (broadcast thinned ECDF) must equal the batch two-sample
+        # path (stats.ks_d_all) exactly
+        from driftspark.stats import ks_d_all
+
+        batch_ks = ks_d_all(ref_df, spark.createDataFrame(drifted), ["x", "y"])
+        ks_fail = out[(out["check"] == "ks") & (~out["passed"]) & (out["feature"] == "x")]
+        assert float(ks_fail["statistic"].iloc[0]) == pytest.approx(
+            batch_ks["x"][0], abs=1e-12
+        )
+        assert direct[("ks", "y")] == pytest.approx(batch_ks["y"][0], abs=1e-12)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
