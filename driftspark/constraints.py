@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 BROADCAST_ROW_LIMIT = 2_000_000
 
 
+def _fits(df: DataFrame, row_limit: int) -> bool:
+    """True iff ``df`` has at most ``row_limit`` rows, decided by a
+    LIMIT-bounded count: the broadcast-vs-shuffle choice only needs
+    "under or over the limit", so the probe job scans at most
+    ``row_limit + 1`` rows (CollectLimit early-exit) no matter how many
+    violations/keys exist — a full count of a huge aggregate would be
+    wasted work just to learn "too big to broadcast"."""
+    return df.limit(row_limit + 1).count() <= row_limit
+
+
 def duplicate_keys(
     df: DataFrame, key_cols: Sequence[str], salt_buckets: Optional[int] = None
 ) -> DataFrame:
@@ -62,13 +72,12 @@ def uniqueness_violations(
 ) -> DataFrame:
     """All base rows whose key is duplicated, with the key's dup_count.
 
-    The duplicate key set is counted (cheap — it is an aggregate output);
-    when small it is broadcast so the violation join is shuffle-free on
-    the base table side."""
+    The duplicate key set is probed with a LIMIT-bounded count (never a
+    full count of the aggregate); when small it is broadcast so the
+    violation join is shuffle-free on the base table side."""
     key_cols = list(key_cols)
     dups = duplicate_keys(df, key_cols, salt_buckets)
-    n_dups = dups.count()
-    right = F.broadcast(dups) if n_dups <= broadcast_row_limit else dups
+    right = F.broadcast(dups) if _fits(dups, broadcast_row_limit) else dups
     return df.join(right, on=key_cols, how="inner")
 
 
@@ -128,8 +137,7 @@ def uniqueness_check(
         F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
     ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
     dups = counted.where(F.col("c") > 1).withColumnRenamed("c", "dup_count")
-    n_dups = dups.count()
-    right = F.broadcast(dups) if n_dups <= broadcast_row_limit else dups
+    right = F.broadcast(dups) if _fits(dups, broadcast_row_limit) else dups
     violations = df.join(right, on=key_cols, how="inner")
     return report, violations
 
@@ -150,6 +158,6 @@ def referential_violations(
     skew-join splitting (enabled in driftspark.session)."""
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent is None:
-        broadcast_parent = parent_keys.count() <= broadcast_row_limit
+        broadcast_parent = _fits(parent_keys, broadcast_row_limit)
     right = F.broadcast(parent_keys) if broadcast_parent else parent_keys
     return child.join(right, on=child_key, how="left_anti")

@@ -198,3 +198,18 @@ def test_thinned_ecdf_offsets_join_broadcasts(spark):
     # assert it completes with the bounded driver collect
     ecdf = _ref_ecdf_points(ref_g, 200, n_buckets=8)
     assert len(ecdf["f"][0]) <= 201
+
+
+def test_constraint_broadcast_probe_is_limit_bounded(spark, li):
+    """The broadcast-vs-shuffle probe must never full-count a potentially
+    huge aggregate: _fits runs a LIMIT-bounded count (CollectLimit in the
+    plan), so its cost is capped at row_limit+1 rows regardless of how
+    many duplicate keys / parent keys exist."""
+    from driftspark.constraints import _fits, duplicate_keys
+
+    dups = duplicate_keys(li.select("l_orderkey"), ["l_orderkey"])
+    probe_plan = _plan(dups.limit(101))
+    assert "CollectLimit" in probe_plan or "GlobalLimit" in probe_plan
+    # verdicts stay correct around the boundary
+    assert _fits(dups, 10**9) is True
+    assert _fits(dups, 1) is False
