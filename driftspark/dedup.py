@@ -325,7 +325,17 @@ def simhash_near_duplicates(
     cap a popular chunk value makes the join quadratic in the hottest
     bucket at 10^12-doc scale.  Dropped hot buckets lose only
     CROSS-fingerprint near-pairs whose every chunk is hot (documented
-    recall bound; hamming-0 recall is total via the star path)."""
+    recall bound; hamming-0 recall is total via the star path).
+
+    OUTPUT CONTRACT: the guaranteed property is COMPONENT CONNECTIVITY —
+    every document in an identical-fingerprint group is connected to the
+    group (via its star pair to the min id), and hamming 1..max edges are
+    found up to the hot-bucket recall bound.  The output is NOT a complete
+    hamming<=k pair list: pairwise edges among non-min members of an
+    identical-fingerprint group are emitted only when their (chunk, value)
+    buckets fit ``max_bucket_size``.  Consumers that need every pair (not
+    just connected components, which drop_near_duplicates consumes) must
+    raise ``max_bucket_size`` to cover their largest group."""
     sim = sim.select("id", "simhash")
     w0 = Window.partitionBy("simhash")
     star = (

@@ -46,6 +46,9 @@ from driftspark.results import DriftSeverity, HallucinationResult
 
 logger = logging.getLogger(__name__)
 
+# one-time (per process) notice that the scale default is approximate
+_approx_default_notified = False
+
 
 def _distance_fn(state: Dict):
     """Pure function (broadcast-state) computing raw distances for a
@@ -267,6 +270,16 @@ class HallucinationRiskDetector(BaseDriftDetector):
                 scored.agg(F.percentile("__dist", F.lit(p)).alias("p")).first()["p"]
             )
         else:
+            global _approx_default_notified
+            if not _approx_default_notified:
+                _approx_default_notified = True
+                logger.warning(
+                    "hallucination_risk uses an approximate reference "
+                    "distance percentile by default (GK sketch, rank error "
+                    "<= 1e-4); pass exact_distance_percentile=True for "
+                    "bit-exact np.percentile parity with the reference "
+                    "(same convention as PSI's exact_edges)"
+                )
             self._ref_distance_percentile = float(
                 scored.approxQuantile("__dist", [p], 1e-4)[0]
             )

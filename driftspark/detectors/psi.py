@@ -37,6 +37,10 @@ from driftspark.stats import (
 
 logger = logging.getLogger(__name__)
 
+# one-time (per process) notice that the scale default is approximate —
+# parity-sensitive callers should see it exactly once, not per fit
+_approx_default_notified = False
+
 
 @DetectorRegistry.register("psi")
 class PSI(BaseDriftDetector):
@@ -69,6 +73,18 @@ class PSI(BaseDriftDetector):
 
     def fit(self, reference_data: SparkDataset) -> None:
         super().fit(reference_data)
+        if not self.exact_edges:
+            global _approx_default_notified
+            if not _approx_default_notified:
+                _approx_default_notified = True
+                logger.warning(
+                    "PSI uses Greenwald-Khanna approximate bin edges by "
+                    "default (rank error <= %g); pass exact_edges=True for "
+                    "bit-exact pd.qcut parity with the reference "
+                    "(same convention as HallucinationRiskDetector's "
+                    "exact_distance_percentile)",
+                    self.quantile_relative_error,
+                )
         fit_edges = quantile_edges if self.exact_edges else (
             lambda df, cols, q: approx_quantile_edges(
                 df, cols, q, self.quantile_relative_error
