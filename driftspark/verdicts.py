@@ -421,13 +421,23 @@ def fit_ks_reference_ecdf(
     """Fit the broadcast-ready thinned reference ECDF state ({feature:
     (sorted values, exact cumulative counts, n)}) ONCE, for reuse across
     ``ks_d_against_ecdf`` calls — per-partition verdicts or streaming
-    micro-batches — without rescanning the reference."""
+    micro-batches — without rescanning the reference.
+
+    ``max_ref_ecdf_points`` is a TOTAL driver/broadcast budget: it is
+    split evenly across the fitted features (floor 10k per feature, so
+    the KS-D thinning error stays <= 1e-4 even for wide feature sets) —
+    driver memory is bounded regardless of how many columns are
+    monitored."""
     ref_g = (
         _melt_feature_values(ref_df, cols)
         .groupBy("feature", "value")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return _ref_ecdf_points(ref_g, max_ref_ecdf_points)
+    per_feature = max(
+        max_ref_ecdf_points // max(len(cols), 1),
+        min(max_ref_ecdf_points, 10_000),  # floor can't exceed the budget
+    )
+    return _ref_ecdf_points(ref_g, per_feature)
 
 
 def ks_d_against_ecdf(
