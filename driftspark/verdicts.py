@@ -545,11 +545,22 @@ def chi2_by_partition(
         .localCheckpoint()
     )
 
-    dropped = (
-        counts_df.where(~F.col("is_ref") & F.col("part").isNull())
-        .agg(F.sum("c"))
-        .first()[0]
+    # ONE tiny job over the checkpointed aggregates fetches both guard
+    # inputs: per-feature distinct-category counts (cardinality guard) and
+    # the null-part test mass (silent-drop warning)
+    in_scope = F.col("is_ref") | F.col("part").isNotNull()
+    meta = (
+        counts_df.groupBy("feature")
+        .agg(
+            F.count_distinct(F.when(in_scope, F.col("v"))).alias("n"),
+            F.sum(
+                F.when(~F.col("is_ref") & F.col("part").isNull(), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("dropped"),
+        )
+        .collect()
     )
+    dropped = sum(int(r["dropped"]) for r in meta)
     if dropped:
         logger.warning(
             "chi2_by_partition: %d test value(s) have NULL %s and are "
@@ -557,18 +568,9 @@ def chi2_by_partition(
             dropped,
             part_col,
         )
-    counts_df = counts_df.where(F.col("is_ref") | F.col("part").isNotNull())
+    counts_df = counts_df.where(in_scope)
 
-    # cardinality guard — all sizes here are aggregate-level (distinct
-    # categories per feature), never raw rows
-    ncats = (
-        counts_df.select("feature", "v")
-        .distinct()
-        .groupBy("feature")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    over = sorted(r["feature"] for r in ncats if r["n"] > max_categories)
+    over = sorted(r["feature"] for r in meta if r["n"] > max_categories)
     if over:
         logger.warning(
             "chi2_by_partition: feature(s) %s exceed max_categories=%d; "
