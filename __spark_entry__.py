@@ -506,8 +506,17 @@ def _q_embedding_neardups_lsh(spark, sf_dir):
     )
 
 
+IMG_FEAT_PARAMS = dict(seed=42, n_rows=500, n_parts=8, drift=False,
+                       dup_every=1000, dangling_every=2000)
+
+
 def _q_image_features(spark, sf_dir):
-    """Multimodal: decode + feature-extract image payloads (real codecs)."""
+    """Multimodal: decode + feature-extract image payloads (real codecs).
+
+    Fully oracle-checked: the DuckDB side reads codec-free ground truth —
+    the generator's pre-encode pixels pushed through the known lossless
+    (png) / analytic-quantization (lossy) decode equivalence — so the
+    encode→decode roundtrip and the feature math are what's verified."""
     from driftspark.multimodal import image_features
     from driftspark.synth import synth_image_table
 
@@ -516,8 +525,12 @@ def _q_image_features(spark, sf_dir):
         "image_id",
         "width",
         "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
         F.round("brightness", 4).alias("brightness"),
         F.round("contrast", 4).alias("contrast"),
+        F.round("edge_density", 4).alias("edge_density"),
     ).orderBy("image_id")
 
 
@@ -544,17 +557,25 @@ def _q_audio_features(spark, sf_dir):
     ).orderBy("audio_id")
 
 
+PAIR_PARAMS = dict(seed=42, n_pairs=800, corrupt_every=500, caption_edit_every=700)
+
+
 def _q_image_payload_check(spark, sf_dir):
-    """PSNR>=40dB + caption equality on synthetic payload pairs."""
+    """PSNR>=40dB + caption equality on synthetic payload pairs (north-rule
+    per-row invariant).  800 pairs so the controlled violations actually
+    appear (corrupt every 500th pair, caption-edit every 700th).  Fully
+    oracle-checked against codec-free expected rows
+    (synth._pair_truth_rows): the decode→PSNR→verdict pipeline must
+    reproduce the analytically-known outcome per pair."""
     from driftspark.imageops import validate_image_payloads
     from driftspark.synth import synth_image_pairs
 
-    pairs = synth_image_pairs(spark, 400, num_partitions=4)
+    pairs = synth_image_pairs(spark, PAIR_PARAMS["n_pairs"], num_partitions=4)
     checks = validate_image_payloads(
         pairs.where("split='ref'"), pairs.where("split='test'")
     )
     return checks.select(
-        "image_id", "pixels_ok", "caption_ok"
+        "image_id", F.round("psnr", 4).alias("psnr"), "pixels_ok", "caption_ok"
     ).orderBy("image_id")
 
 
@@ -891,6 +912,86 @@ def _ensure_oracle_img_table(path: str) -> None:
     pdf = _gen_rows(np_.arange(IMG_GEN_PARAMS["n_rows"]), **IMG_GEN_PARAMS)
     os.makedirs(path, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+def _oracle_img_feat_truth_path() -> str:
+    from driftspark.synth import _gen_rows, _pixels_for
+
+    return _oracle_scratch_path(
+        "img_feat_truth", [_gen_rows, _pixels_for], **IMG_FEAT_PARAMS
+    )
+
+
+def _ensure_oracle_img_feat_truth(path: str) -> None:
+    """Codec-free expected image features: the generator's pre-encode
+    pixels pushed through the analytic decode equivalence (png lossless,
+    lossy → ((px>>2)<<2)|2) with the identical numpy feature math."""
+    import glob
+
+    if glob.glob(f"{path}/*.parquet"):
+        return
+    import numpy as np_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftspark.synth import _gen_rows
+
+    pdf = _gen_rows(
+        np_.arange(IMG_FEAT_PARAMS["n_rows"]), with_bytes=True,
+        with_feature_truth=True, **IMG_FEAT_PARAMS,
+    )[["image_id", "w", "h", "t_mean_r", "t_mean_g", "t_mean_b",
+       "t_brightness", "t_contrast", "t_edge_density"]]
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+def _image_features_sql(path: str) -> str:
+    return f"""
+        SELECT image_id, w AS width, h AS height,
+               round(t_mean_r, 4) AS mean_r,
+               round(t_mean_g, 4) AS mean_g,
+               round(t_mean_b, 4) AS mean_b,
+               round(t_brightness, 4) AS brightness,
+               round(t_contrast, 4) AS contrast,
+               round(t_edge_density, 4) AS edge_density
+        FROM '{path}/*.parquet' ORDER BY image_id
+    """
+
+
+def _oracle_pair_truth_path() -> str:
+    from driftspark.synth import _pair_px_caption, _pair_truth_rows, _pixels_for
+
+    return _oracle_scratch_path(
+        "pair_truth", [_pair_truth_rows, _pair_px_caption, _pixels_for],
+        **PAIR_PARAMS,
+    )
+
+
+def _ensure_oracle_pair_truth(path: str) -> None:
+    """Codec-free expected payload-validation verdicts (see
+    synth._pair_truth_rows)."""
+    import glob
+
+    if glob.glob(f"{path}/*.parquet"):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftspark.synth import _pair_truth_rows
+
+    pdf = _pair_truth_rows(
+        PAIR_PARAMS["n_pairs"], PAIR_PARAMS["seed"],
+        PAIR_PARAMS["corrupt_every"], PAIR_PARAMS["caption_edit_every"],
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+def _image_payload_check_sql(path: str) -> str:
+    return f"""
+        SELECT image_id, round(psnr, 4) AS psnr, pixels_ok, caption_ok
+        FROM '{path}/*.parquet' ORDER BY image_id
+    """
 
 
 AUDIO_GEN_PARAMS = dict(seed=42, n_rows=400, sample_rate=8000)
@@ -1423,6 +1524,14 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": (
             _ensure_oracle_audio_truth(_oracle_audio_truth_path())
             or _audio_features_sql(_oracle_audio_truth_path())
+        ),
+        "image_features": (
+            _ensure_oracle_img_feat_truth(_oracle_img_feat_truth_path())
+            or _image_features_sql(_oracle_img_feat_truth_path())
+        ),
+        "image_payload_check": (
+            _ensure_oracle_pair_truth(_oracle_pair_truth_path())
+            or _image_payload_check_sql(_oracle_pair_truth_path())
         ),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),

@@ -78,6 +78,7 @@ def _gen_rows(
     with_bytes: bool,
     dup_every: int,
     dangling_every: int,
+    with_feature_truth: bool = False,
 ) -> pd.DataFrame:
     i = ids.astype(np.uint64)
     half = n_rows // 2
@@ -134,14 +135,37 @@ def _gen_rows(
     part = (ids % n_parts).astype(np.int32)
     brightness = np.where(is_test & drift, 25, 0)
 
+    feature_truth: dict = {}
     if with_bytes:
         payloads, phashes = [], []
+        if with_feature_truth:
+            feature_truth = {
+                k: [] for k in (
+                    "t_mean_r", "t_mean_g", "t_mean_b",
+                    "t_brightness", "t_contrast", "t_edge_density",
+                )
+            }
         for r in range(len(ids)):
             px = _pixels_for(seed, int(key_idx[r]), int(w[r]), int(h[r]), int(brightness[r]))
             payloads.append(
                 encode_png(px) if fmt[r] == "png" else encode_lossy(px)
             )
             phashes.append(average_hash64(px))
+            if with_feature_truth:
+                # decoded-equivalent pixels WITHOUT running any codec: png
+                # roundtrips losslessly, the lossy stand-in quantizes to
+                # ((px >> 2) << 2) | 2 — so these are the exact features a
+                # decode of the emitted payload must reproduce
+                d = px if fmt[r] == "png" else (((px >> 2) << 2) | 2).astype(np.uint8)
+                g = d.astype(np.float64).mean(axis=2)
+                feature_truth["t_mean_r"].append(float(d[:, :, 0].mean()))
+                feature_truth["t_mean_g"].append(float(d[:, :, 1].mean()))
+                feature_truth["t_mean_b"].append(float(d[:, :, 2].mean()))
+                feature_truth["t_brightness"].append(float(g.mean()))
+                feature_truth["t_contrast"].append(float(g.std()))
+                gx = float(np.abs(np.diff(g, axis=1)).mean())
+                gy = float(np.abs(np.diff(g, axis=0)).mean())
+                feature_truth["t_edge_density"].append((gx + gy) / 2.0)
         payload = pd.Series(payloads, dtype=object)
         phash = np.array(phashes, dtype=np.int64)
     else:
@@ -170,6 +194,7 @@ def _gen_rows(
             "part": part,
             "split": split,
             "fk_dataset_id": fk,
+            **feature_truth,
         }
     )
 
@@ -210,6 +235,66 @@ PAIR_SCHEMA = (
 )
 
 
+def _pair_px_caption(
+    seed: int, p: int, fmt: str, is_test: bool,
+    corrupt_every: int, caption_edit_every: int,
+):
+    """One side of pair ``p``: the exact pixel array + caption the pair
+    generator encodes.  Shared by synth_image_pairs and the oracle truth
+    builder so the invariant check's expected output is derived from the
+    SAME logic, without running any codec."""
+    px = _pixels_for(seed, p, 16, 16, 0)
+    cap = f"caption {p} {_VOCAB[p % len(_VOCAB)]}"
+    if is_test:
+        if corrupt_every and p % corrupt_every == corrupt_every - 1:
+            rng = np.random.Generator(np.random.Philox(key=seed + 1, counter=p))
+            noise = rng.integers(-40, 41, size=px.shape)
+            px = np.clip(px.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+        elif fmt == "jpeg":
+            # mild re-encode jitter so the lossy path exercises a FINITE
+            # PSNR above the 40 dB floor (otherwise the test bytes are
+            # byte-identical and PSNR is inf)
+            rng = np.random.Generator(np.random.Philox(key=seed + 2, counter=p))
+            jitter = rng.integers(-2, 3, size=px.shape)
+            px = np.clip(px.astype(np.int64) + jitter, 0, 255).astype(np.uint8)
+        if caption_edit_every and p % caption_edit_every == caption_edit_every - 1:
+            cap = cap + " EDITED"
+    return px, cap
+
+
+def _pair_truth_rows(
+    n_pairs: int, seed: int, corrupt_every: int, caption_edit_every: int,
+    min_psnr: float = 40.0,
+) -> pd.DataFrame:
+    """Expected validate_image_payloads output for synth_image_pairs —
+    computed codec-free: png roundtrips losslessly, the lossy stand-in
+    quantizes to ((px >> 2) << 2) | 2, so the decoded arrays are known
+    analytically and psnr/pixels_ok/caption_ok follow (imageops
+    _check_batches semantics: png → byte-equality with psnr=inf when
+    equal; jpeg → psnr >= min_psnr)."""
+    from driftspark.imageops import psnr as _psnr
+
+    pairs = np.arange(n_pairs, dtype=np.int64)
+    u = _u(seed, 11, pairs.astype(np.uint64))
+    fmt = _choice(u, ["png", "jpeg"], [0.5, 0.5])
+    rows = {"image_id": [], "psnr": [], "pixels_ok": [], "caption_ok": []}
+    for p in range(n_pairs):
+        rpx, rcap = _pair_px_caption(seed, p, fmt[p], False, corrupt_every, caption_edit_every)
+        tpx, tcap = _pair_px_caption(seed, p, fmt[p], True, corrupt_every, caption_edit_every)
+        if fmt[p] == "png":
+            ok = bool(np.array_equal(rpx, tpx))
+            val = float("inf") if ok else float(_psnr(rpx, tpx))
+        else:
+            q = lambda a: (((a >> 2) << 2) | 2).astype(np.uint8)  # noqa: E731
+            val = float(_psnr(q(rpx), q(tpx)))
+            ok = bool(val >= min_psnr)
+        rows["image_id"].append(f"img_{p:010d}")
+        rows["psnr"].append(val)
+        rows["pixels_ok"].append(ok)
+        rows["caption_ok"].append(rcap == tcap)
+    return pd.DataFrame(rows)
+
+
 def synth_image_pairs(
     spark: SparkSession,
     n_pairs: int,
@@ -239,22 +324,9 @@ def synth_image_pairs(
             for r in range(len(ids)):
                 p = int(pair[r])
                 w = h = 16
-                px = _pixels_for(seed, p, w, h, 0)
-                cap = f"caption {p} {_VOCAB[p % len(_VOCAB)]}"
-                if is_test[r]:
-                    if corrupt_every and p % corrupt_every == corrupt_every - 1:
-                        rng = np.random.Generator(np.random.Philox(key=seed + 1, counter=p))
-                        noise = rng.integers(-40, 41, size=px.shape)
-                        px = np.clip(px.astype(np.int64) + noise, 0, 255).astype(np.uint8)
-                    elif fmt[r] == "jpeg":
-                        # mild re-encode jitter so the lossy path exercises a
-                        # FINITE PSNR above the 40 dB floor (otherwise the
-                        # test bytes are byte-identical and PSNR is inf)
-                        rng = np.random.Generator(np.random.Philox(key=seed + 2, counter=p))
-                        jitter = rng.integers(-2, 3, size=px.shape)
-                        px = np.clip(px.astype(np.int64) + jitter, 0, 255).astype(np.uint8)
-                    if caption_edit_every and p % caption_edit_every == caption_edit_every - 1:
-                        cap = cap + " EDITED"
+                px, cap = _pair_px_caption(
+                    seed, p, fmt[r], bool(is_test[r]), corrupt_every, caption_edit_every
+                )
                 data = encode_png(px) if fmt[r] == "png" else encode_lossy(px)
                 rows["image_id"].append(f"img_{p:010d}")
                 rows["bytes"].append(data)
