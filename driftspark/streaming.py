@@ -42,7 +42,8 @@ class StreamingDriftMonitor:
     Each micro-batch appends one verdict row per (feature, check) to the
     sink: (batch_id, feature, check, statistic, p_value, severity, passed,
     n_test, processed_at) — the same row shape as the batch
-    partition-verdict suite, with checks "psi" and "ks".
+    partition-verdict suite, with checks "psi", "ks" and (when
+    ``cat_cols`` is given) "chi2".
     """
 
     def __init__(
@@ -55,8 +56,11 @@ class StreamingDriftMonitor:
         ks_cols: Optional[Sequence[str]] = None,
         ks_threshold: float = 0.05,
         max_ref_ecdf_points: int = 4_000_000,
+        cat_cols: Sequence[str] = (),
+        chi2_threshold: float = 0.05,
+        max_categories: int = 1000,
     ):
-        from driftspark.verdicts import fit_ks_reference_ecdf
+        from driftspark.verdicts import fit_ks_reference_ecdf, fit_ref_category_counts
 
         self.numeric_cols = list(numeric_cols)
         self.n_bins = n_bins
@@ -64,6 +68,15 @@ class StreamingDriftMonitor:
         self.min_bin_size = min_bin_size
         self.ks_cols = list(numeric_cols if ks_cols is None else ks_cols)
         self.ks_threshold = ks_threshold
+        self.cat_cols = list(cat_cols)
+        self.chi2_threshold = chi2_threshold
+        self.max_categories = max_categories
+        # global reference category counts (cardinality-guarded), fitted
+        # once — each micro-batch's chi-square is then pure driver math
+        # over that batch's own category counts
+        self.ref_cat_counts, self._capped_cats = fit_ref_category_counts(
+            reference_df, self.cat_cols, max_categories
+        )
         # fit once on the static reference; edges + reference proportions
         # + the thinned broadcast ECDF are the only state the stream needs
         self.edges: Dict[str, np.ndarray] = quantile_edges(
@@ -105,6 +118,39 @@ class StreamingDriftMonitor:
                     "passed": bool(psi < self.psi_threshold),
                 }
             )
+        if self.ref_cat_counts:
+            from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
+
+            structs = [
+                F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("v"))
+                for c in self.cat_cols
+            ]
+            batch_counts = (
+                batch_df.select(F.explode(F.array(*structs)).alias("fv"))
+                .select("fv.feature", "fv.v")
+                .where(F.col("v").isNotNull())
+                .groupBy("feature", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            by_feat: dict = {c: {} for c in self.cat_cols}
+            for r in batch_counts:
+                v = r["v"]
+                if r["feature"] in self._capped_cats and v not in self.ref_cat_counts[r["feature"]]:
+                    v = CHI2_OTHER_BUCKET
+                by_feat[r["feature"]][v] = by_feat[r["feature"]].get(v, 0) + int(r["c"])
+            for c in self.cat_cols:
+                stat, p, _, _ = chi2_from_count_maps(self.ref_cat_counts[c], by_feat[c])
+                rows.append(
+                    {
+                        "feature": c,
+                        "check": "chi2",
+                        "statistic": stat,
+                        "p_value": float(p),
+                        "severity": severity_from_pvalue(p, self.chi2_threshold),
+                        "passed": bool(not (p < self.chi2_threshold)),
+                    }
+                )
         if self.ks_ecdf:
             ks_rows = ks_d_against_ecdf(
                 batch_df.withColumn("__grp", F.lit(0)),

@@ -618,30 +618,99 @@ def chi2_by_partition(
 
     out: List[dict] = []
     for (part, col), tmap in sorted(by_part.items()):
-        rmap = ref_map[col]
-        cats = sorted(set(rmap) | set(tmap))
-        rc = np.array([rmap.get(c, 0) for c in cats], dtype=np.float64)
-        tc = np.array([tmap.get(c, 0) for c in cats], dtype=np.float64)
-        valid = (rc >= min_samples) | (tc >= min_samples)
-        if valid.sum() < 2:
-            stat, p = 0.0, 1.0
-        else:
-            rv, tv = rc[valid], tc[valid]
-            expected = rv / rv.sum() * tv.sum()
-            with np.errstate(divide="ignore", invalid="ignore"):
-                stat = float(np.sum((tv - expected) ** 2 / expected))
-            p = chi2_sf(stat, int(valid.sum()) - 1)
+        stat, p, n_ref, n_test = chi2_from_count_maps(ref_map[col], tmap, min_samples)
         out.append(
             {
                 "part": part,
                 "feature": col,
                 "stat": stat,
                 "p": p,
-                "n_ref": int(rc.sum()),
-                "n_test": int(tc.sum()),
+                "n_ref": n_ref,
+                "n_test": n_test,
             }
         )
     return out
+
+
+def fit_ref_category_counts(
+    ref_df: DataFrame,
+    cat_cols: Sequence[str],
+    max_categories: int = 1000,
+) -> tuple:
+    """({feature: {category: count}}, capped_features) — global reference
+    category counts for reuse across many chi-square scorings (streaming
+    micro-batches).  Same cardinality guard as chi2_by_partition: a
+    feature exceeding ``max_categories`` keeps its top max_categories-1
+    categories and merges the tail into CHI2_OTHER_BUCKET (distributed,
+    before the collect); callers must remap unseen/tail test categories
+    into the same bucket for capped features."""
+    if not cat_cols:
+        return {}, set()
+    structs = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("v"))
+        for c in cat_cols
+    ]
+    counts_df = (
+        ref_df.select(F.explode(F.array(*structs)).alias("fv"))
+        .select("fv.feature", "fv.v")
+        .where(F.col("v").isNotNull())
+        .groupBy("feature", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    ncats = counts_df.groupBy("feature").agg(F.count(F.lit(1)).alias("n")).collect()
+    capped = {r["feature"] for r in ncats if r["n"] > max_categories}
+    if capped:
+        logger.warning(
+            "fit_ref_category_counts: feature(s) %s exceed max_categories=%d; "
+            "tail categories merged into %r",
+            sorted(capped), max_categories, CHI2_OTHER_BUCKET,
+        )
+        w_top = Window.partitionBy("feature").orderBy(F.col("c").desc(), "v")
+        counts_df = (
+            counts_df.withColumn(
+                "rn",
+                F.when(
+                    F.col("feature").isin(list(capped)),
+                    F.row_number().over(w_top),
+                ).otherwise(F.lit(1)),
+            )
+            .withColumn(
+                "v",
+                F.when(F.col("rn") < max_categories, F.col("v")).otherwise(
+                    F.lit(CHI2_OTHER_BUCKET)
+                ),
+            )
+            .groupBy("feature", "v")
+            .agg(F.sum("c").alias("c"))
+        )
+    out: Dict[str, Dict] = {c: {} for c in cat_cols}
+    for r in counts_df.collect():
+        out[r["feature"]][r["v"]] = int(r["c"])
+    return out, capped
+
+
+def chi2_from_count_maps(
+    rmap: Dict, tmap: Dict, min_samples: int = 5
+) -> tuple:
+    """(stat, p, n_ref, n_test) — chi-square of test category counts vs
+    reference proportions from two {category: count} maps (the reference's
+    univariate.py:71-122 math: union-aligned categories, >=min_samples
+    validity filter on either side, df = n_valid - 1).  Pure driver math,
+    shared by the batch per-partition path and the streaming monitor."""
+    cats = sorted(set(rmap) | set(tmap))
+    rc = np.array([rmap.get(c, 0) for c in cats], dtype=np.float64)
+    tc = np.array([tmap.get(c, 0) for c in cats], dtype=np.float64)
+    valid = (rc >= min_samples) | (tc >= min_samples)
+    if valid.sum() < 2:
+        stat, p = 0.0, 1.0
+    else:
+        rv, tv = rc[valid], tc[valid]
+        expected = rv / rv.sum() * tv.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stat = float(np.sum((tv - expected) ** 2 / expected))
+        p = chi2_sf(stat, int(valid.sum()) - 1)
+    return stat, p, int(rc.sum()), int(tc.sum())
 
 
 def partition_verdicts(

@@ -156,3 +156,35 @@ def test_cumulative_psi_stateful_stream(spark):
         assert final["severity"] in {"none", "low", "medium", "high", "critical"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_chi2_equals_batch(spark):
+    """Stream chi2 on a micro-batch equals chi2_by_partition on the same
+    rows (single partition), and a reweighted categorical fails."""
+    from driftspark.streaming import StreamingDriftMonitor
+    from driftspark.verdicts import chi2_by_partition
+
+    rng = np.random.RandomState(11)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 3000),
+        "cat": rng.choice(["a", "b", "c"], 3000, p=[0.5, 0.3, 0.2]),
+    })
+    drift_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 2000),
+        "cat": rng.choice(["a", "b", "c"], 2000, p=[0.1, 0.2, 0.7]),
+    })
+    ref_df = spark.createDataFrame(ref_pdf)
+    monitor = StreamingDriftMonitor(ref_df, ["x"], cat_cols=["cat"])
+    rows = {
+        (r["check"], r["feature"]): r
+        for r in monitor.score_batch(spark.createDataFrame(drift_pdf))
+    }
+    assert not rows[("chi2", "cat")]["passed"]
+
+    batch = chi2_by_partition(
+        ref_df,
+        spark.createDataFrame(drift_pdf.assign(part="p0")),
+        ["cat"],
+    )[0]
+    assert rows[("chi2", "cat")]["statistic"] == pytest.approx(batch["stat"], abs=1e-12)
+    assert rows[("chi2", "cat")]["p_value"] == pytest.approx(batch["p"], abs=1e-12)
