@@ -223,3 +223,39 @@ def test_constraint_broadcast_probes_never_move_rows(spark, li):
     probe_plan = _plan(probe)
     assert "approx_count_distinct" in probe_plan
     assert "Limit" not in probe_plan
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The IVF 100TB story: persist the assigned table PARTITIONED BY
+    centroid_id — a probe of n_probe cells then reads only those
+    partitions (PartitionFilters on centroid_id in the parquet scan, no
+    full-table scan)."""
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.ann import IVFIndex, seed_centroids
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "embedding": [rng.normal(size=8).tolist() for _ in range(400)],
+    })
+    df = spark.createDataFrame(pdf)
+    idx = IVFIndex(n_centroids=8, seed=42)
+    idx.centroids = seed_centroids(8, 8, 42)
+    path = str(tmp_path / "ivf")
+    idx.assign(df, "embedding").write.partitionBy("centroid_id").parquet(path)
+
+    assigned = spark.read.parquet(path)
+    q = rng.normal(size=8).tolist()
+    top = idx.search(assigned, "vec_id", "embedding", q, k=5, n_probe=2)
+    plan = _plan(top)
+    cells = idx.probe_cells(q, 2)
+    # the isin filter must reach the scan as a partition filter
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "centroid_id" in pf.group(1), plan[:2000]
+    got = top.collect()
+    assert 0 < len(got) <= 5
+    assert all(r["centroid_id"] in cells for r in got)
