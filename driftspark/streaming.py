@@ -121,8 +121,22 @@ class StreamingDriftMonitor:
         if self.ref_cat_counts:
             from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
 
+            def v_expr(c):
+                # for a feature the fit capped, remap unseen/tail batch
+                # categories into the other-bucket IN SPARK, so the collect
+                # stays bounded at max_categories rows per feature no
+                # matter what the batch contains
+                col = F.col(c).cast("string")
+                if c in self._capped_cats:
+                    kept = list(self.ref_cat_counts[c].keys())
+                    # NULL stays NULL (excluded below, never other-bucketed)
+                    return F.when(col.isNull(), F.lit(None).cast("string")).when(
+                        col.isin(kept), col
+                    ).otherwise(F.lit(CHI2_OTHER_BUCKET))
+                return col
+
             structs = [
-                F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("v"))
+                F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v"))
                 for c in self.cat_cols
             ]
             batch_counts = (
@@ -135,10 +149,7 @@ class StreamingDriftMonitor:
             )
             by_feat: dict = {c: {} for c in self.cat_cols}
             for r in batch_counts:
-                v = r["v"]
-                if r["feature"] in self._capped_cats and v not in self.ref_cat_counts[r["feature"]]:
-                    v = CHI2_OTHER_BUCKET
-                by_feat[r["feature"]][v] = by_feat[r["feature"]].get(v, 0) + int(r["c"])
+                by_feat[r["feature"]][r["v"]] = int(r["c"])
             for c in self.cat_cols:
                 stat, p, _, _ = chi2_from_count_maps(self.ref_cat_counts[c], by_feat[c])
                 rows.append(

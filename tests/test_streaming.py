@@ -188,3 +188,34 @@ def test_streaming_chi2_equals_batch(spark):
     )[0]
     assert rows[("chi2", "cat")]["statistic"] == pytest.approx(batch["stat"], abs=1e-12)
     assert rows[("chi2", "cat")]["p_value"] == pytest.approx(batch["p"], abs=1e-12)
+
+
+def test_streaming_chi2_capped_feature_bounded_collect(spark):
+    """When the fitted reference capped a feature, batch-side tail/unseen
+    categories remap into __chi2_other__ IN SPARK (the collect stays
+    bounded), NULLs stay excluded, and the verdict is still computable."""
+    from driftspark.streaming import StreamingDriftMonitor
+    from driftspark.verdicts import CHI2_OTHER_BUCKET
+
+    rng = np.random.RandomState(13)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 2000),
+        "cat": ["hot"] * 1000 + [f"tail-{i}" for i in range(1000)],
+    })
+    monitor = StreamingDriftMonitor(
+        spark.createDataFrame(ref_pdf), ["x"], cat_cols=["cat"], max_categories=10
+    )
+    assert "cat" in monitor._capped_cats
+    assert CHI2_OTHER_BUCKET in monitor.ref_cat_counts["cat"]
+    assert len(monitor.ref_cat_counts["cat"]) <= 10
+
+    batch_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 1200),
+        "cat": ["hot"] * 400 + [f"junk-{i}" for i in range(700)] + [None] * 100,
+    })
+    rows = {
+        (r["check"], r["feature"]): r
+        for r in monitor.score_batch(spark.createDataFrame(batch_pdf))
+    }
+    r = rows[("chi2", "cat")]
+    assert np.isfinite(r["statistic"]) and 0.0 <= r["p_value"] <= 1.0
