@@ -479,10 +479,16 @@ def _q_image_verdicts(spark, sf_dir):
     from driftspark.synth import synth_image_table
     from driftspark.verdicts import partition_verdicts
 
+    import glob
+
     path = _oracle_img_path()
-    synth_image_table(
-        spark, 6000, n_parts=4, drift=True, with_bytes=False
-    ).write.mode("overwrite").parquet(path)
+    if not glob.glob(f"{path}/*.parquet"):
+        # content-keyed: an existing dir holds byte-identical rows (same
+        # generator source + params), so skip the rewrite — overwriting
+        # would momentarily delete files under a concurrent reader
+        synth_image_table(
+            spark, 6000, n_parts=4, drift=True, with_bytes=False
+        ).write.mode("overwrite").parquet(path)
     img = spark.read.parquet(path)
     v = partition_verdicts(img, numeric_cols=["w", "h", "phash"], cat_cols=["fmt"])
     return v.select(
