@@ -338,13 +338,20 @@ def _q_embedding_neardups(spark, sf_dir):
 
 
 def _q_events_hourly(spark, sf_dir):
-    """Scan/agg over the events table with time bucketing."""
+    """Scan/agg over the events table with time bucketing.
+
+    The average is computed through an EXACT decimal sum (the stored
+    doubles round-trip decimal(27,10) losslessly, verified), then one
+    double division — double-sum averages are summation-order-dependent
+    and flaked a round(.,6) boundary vs DuckDB at sf0.1."""
     ev = _t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(27,10)")).cast("double")
+    n = F.count(F.lit(1))
     return (
         ev.groupBy(
             "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(n.alias("n"), F.round(dec_sum / n, 6).alias("avg_value"))
         .orderBy("event_type", "hour")
     )
 
@@ -1494,7 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
-                   count(*) AS n, round(avg(value), 6) AS avg_value
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE)
+                         / count(*), 6) AS avg_value
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
         """,
         "expectation_counts": """
