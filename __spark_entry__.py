@@ -86,7 +86,10 @@ def _q_profile_stats(spark, sf_dir):
             F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(27,10)")).cast("double")
+                / F.count("l_quantity"), 6
+            ).alias("mean_qty"),
             F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
@@ -193,7 +196,10 @@ def _q_supplier_rollup(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(27,10)")).cast("double")
+                / F.count("s_acctbal"), 6
+            ).alias("avg_acctbal"),
             F.countDistinct("n_nationkey").alias("n_nations"),
         )
         .orderBy("r_name")
@@ -1269,7 +1275,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty,
-                   round(avg(l_quantity), 6) AS mean_qty,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE)
+                         / count(l_quantity), 6) AS mean_qty,
                    round(stddev_pop(l_quantity), 6) AS std_qty,
                    count(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1372,7 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_rollup": """
             SELECT r_name,
                    count(*) AS n_suppliers,
-                   round(avg(s_acctbal), 6) AS avg_acctbal,
+                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(27,10))) AS DOUBLE)
+                         / count(s_acctbal), 6) AS avg_acctbal,
                    count(DISTINCT n_nationkey) AS n_nations
             FROM supplier
             JOIN nation ON s_nationkey = n_nationkey
