@@ -325,3 +325,39 @@ def cumulative_psi_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_payload_validation_stream(
+    pairs_stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    min_psnr: float = 40.0,
+    trigger_available_now: bool = True,
+    processing_time: Optional[str] = None,
+):
+    """Validate continuously-landing PRE-JOINED payload pairs (the
+    north-rule per-row invariant: decoded-pixel agreement — byte-exact for
+    png, PSNR >= min_psnr for lossy — plus byte-exact captions) and append
+    per-row verdicts to a parquet sink tagged with the micro-batch id.
+
+    Input stream schema = the co-located pairs layout
+    (image_id, ref_bytes, ref_caption, test_bytes, test_caption, fmt, ...):
+    validation is a pure scan + mapInPandas per micro-batch — no shuffle,
+    decode parallelism scales with executors, exactly-once via the
+    checkpointed foreachBatch sink."""
+    from driftspark.imageops import validate_image_payloads_paired
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = validate_image_payloads_paired(batch_df, min_psnr).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    writer = pairs_stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -219,3 +219,44 @@ def test_streaming_chi2_capped_feature_bounded_collect(spark):
     }
     r = rows[("chi2", "cat")]
     assert np.isfinite(r["statistic"]) and 0.0 <= r["p_value"] <= 1.0
+
+
+def test_streaming_payload_validation(spark):
+    """Continuously-landing pre-joined payload pairs get per-row
+    PSNR/caption verdicts per micro-batch, equal to the batch validator
+    on the same rows (north-rule invariant in the streaming surface)."""
+    from driftspark.imageops import validate_image_payloads_paired
+    from driftspark.streaming import start_payload_validation_stream
+    from driftspark.synth import synth_image_pairs_wide
+
+    tmp = tempfile.mkdtemp()
+    try:
+        # violation cadence low enough that both batches contain failures
+        pairs = synth_image_pairs_wide(
+            spark, 60, corrupt_every=10, caption_edit_every=15, num_partitions=2
+        ).cache()
+        pdf = pairs.toPandas()
+        half = len(pdf) // 2
+        spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = start_payload_validation_stream(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(f"{tmp}/sink").toPandas()
+        assert len(out) == 60
+        assert set(out["batch_id"]) == {0, 1}
+        batch = validate_image_payloads_paired(pairs).toPandas()
+        got = out.sort_values("image_id")
+        want = batch.sort_values("image_id")
+        assert got["pixels_ok"].tolist() == want["pixels_ok"].tolist()
+        assert got["caption_ok"].tolist() == want["caption_ok"].tolist()
+        assert not want["pixels_ok"].all() and not want["caption_ok"].all()
+        pairs.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
