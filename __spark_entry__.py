@@ -510,6 +510,78 @@ def _q_image_verdicts(spark, sf_dir):
     ).orderBy("part", "feature", "check")
 
 
+def _q_phash_histogram(spark, sf_dir):
+    """A24: perceptual-hash distribution histogram (top-8-bit buckets) per
+    split over the persisted oracle image table."""
+    from driftspark.profile import phash_histogram
+
+    path = _oracle_img_path()
+    _ensure_oracle_img_table(path)
+    img = spark.read.parquet(path)
+    return phash_histogram(img, group_cols=["split"]).orderBy("split", "bucket")
+
+
+def _q_phash_neardups(spark, sf_dir):
+    """Image near-dup pairs by phash hamming distance (banded chunk join,
+    imageops.phash_near_duplicates).  Near-dups are constructed
+    deterministically: each ref image gets a variant whose phash flips two
+    self-derived low bits (when both flips hit the same bit the variant is
+    IDENTICAL, exercising the hamming-0 star path).  max_hamming=3 < the 4
+    chunk bands, so pigeonhole guarantees complete recall and the all-pairs
+    SQL oracle is exact.  Duplicate image_ids collapse via min(phash) so
+    pair rows are engine-deterministic."""
+    from driftspark.imageops import phash_near_duplicates
+
+    path = _oracle_img_path()
+    _ensure_oracle_img_table(path)
+    img = (
+        spark.read.parquet(path)
+        .where(F.col("split") == "ref")
+        .groupBy("image_id")
+        .agg(F.min("phash").alias("phash"))
+    )
+    variant = img.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.expr(
+            "phash ^ shiftleft(cast(1 as bigint), cast(phash & 31 as int)) "
+            "^ shiftleft(cast(1 as bigint), cast((phash >> 6) & 31 as int))"
+        ).alias("phash"),
+    )
+    u = img.unionByName(variant)
+    pairs = phash_near_duplicates(u, "image_id", "phash", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _phash_histogram_sql(path: str) -> str:
+    return f"""
+        SELECT split, (phash >> 56) & 255 AS bucket, count(*) AS cnt
+        FROM '{path}/*.parquet'
+        GROUP BY split, bucket ORDER BY split, bucket
+    """
+
+
+def _phash_neardups_sql(path: str) -> str:
+    return f"""
+        WITH img AS (
+          SELECT image_id AS id, min(phash) AS phash
+          FROM '{path}/*.parquet' WHERE split = 'ref' GROUP BY image_id
+        ),
+        u AS (
+          SELECT id, phash FROM img
+          UNION ALL
+          SELECT id || '~v',
+                 xor(xor(phash, (1::BIGINT << CAST(phash & 31 AS INT))),
+                     (1::BIGINT << CAST((phash >> 6) & 31 AS INT)))
+          FROM img
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM u a, u b
+        WHERE a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 def _q_embedding_neardups_lsh(spark, sf_dir):
     """Hyperplane-LSH near-dup candidates with exact verification (scale
     path; recall < 1 by construction → rows-only check)."""
@@ -631,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "image_features": _q_image_features,
         "image_partition_verdicts": _q_image_verdicts,
+        "phash_histogram": _q_phash_histogram,
+        "phash_neardups": _q_phash_neardups,
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
     }
@@ -1555,6 +1629,14 @@ def oracle_sql() -> dict[str, str]:
         "image_payload_check": (
             _ensure_oracle_pair_truth(_oracle_pair_truth_path())
             or _image_payload_check_sql(_oracle_pair_truth_path())
+        ),
+        "phash_histogram": (
+            _ensure_oracle_img_table(_oracle_img_path())
+            or _phash_histogram_sql(_oracle_img_path())
+        ),
+        "phash_neardups": (
+            _ensure_oracle_img_table(_oracle_img_path())
+            or _phash_neardups_sql(_oracle_img_path())
         ),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),
