@@ -229,6 +229,42 @@ def _q_cbpe_hist(spark, sf_dir):
     ).orderBy("bin")
 
 
+def _q_cbpe_shift(spark, sf_dir):
+    """A12 + A11-over-bins: the full CBPE detect between splits — binned
+    chi-square statistic, valid-bin count, left-edge-reconstructed
+    reference mean confidence (the reference's documented bias,
+    cbpe.py:170-175), raw test mean, and the confidence shift.  p-value /
+    severity need the engine's own chi2 survival function (pytest-locked),
+    so the oracle checks the statistics."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import CBPE
+
+    li = _t(spark, sf_dir, "lineitem")
+    conf = F.least(F.col("l_discount") * 10.0, F.lit(1.0))
+    ref, test = _split(li, "l_orderkey")
+
+    def mk(df):
+        return SparkDataset(
+            df.select("l_quantity", conf.alias("proba")),
+            feature_cols=["l_quantity"],
+            proba_col="proba",
+        )
+
+    r = CBPE().fit_detect(mk(ref), mk(test))
+    m = r.metadata
+    return spark.createDataFrame(
+        [(
+            round(float(r.statistic), 6),
+            int(m["n_valid_bins"]),
+            round(float(m["ref_mean_confidence"]), 6),
+            round(float(m["test_mean_confidence"]), 6),
+            round(float(m["confidence_shift"]), 6),
+        )],
+        "chi2_stat double, n_valid_bins int, ref_mean_conf double, "
+        "test_mean_conf double, confidence_shift double",
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Dedup (exact): duplicate groups by content hash (30-char prefix)."""
     from driftspark.dedup import exact_duplicates
@@ -683,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rollup": _q_supplier_rollup,
         "topk_parts": _q_topk,
         "cbpe_confidence_hist": _q_cbpe_hist,
+        "cbpe_shift": _q_cbpe_shift,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "jaccard_pairs": _q_jaccard,
@@ -1473,6 +1510,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(bin AS INTEGER) AS bin, count(*) AS cnt
             FROM b GROUP BY bin ORDER BY bin
+        """,
+        "cbpe_shift": f"""
+            WITH c AS (
+              SELECT least(l_discount * 10.0, 1.0) AS __conf,
+                     (l_orderkey % 2 = 0) AS is_ref
+              FROM lineitem
+            ),
+            b AS (
+              SELECT is_ref,
+                     least(greatest(({digitize}) - 1, 0), 9) AS bin, __conf
+              FROM c WHERE __conf IS NOT NULL
+            ),
+            bins AS (
+              SELECT g.bin,
+                     coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0) AS r,
+                     coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0) AS t
+              FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+              LEFT JOIN b ON b.bin = g.bin
+              GROUP BY g.bin
+            ),
+            valid AS (SELECT * FROM bins WHERE r >= 5 OR t >= 5),
+            tot AS (
+              SELECT (SELECT CAST(sum(r) AS DOUBLE) FROM valid) AS sr,
+                     (SELECT CAST(sum(t) AS DOUBLE) FROM valid) AS st
+            ),
+            chi AS (
+              SELECT sum(pow(t - (r / tot.sr * tot.st), 2)
+                         / (r / tot.sr * tot.st)) AS stat,
+                     count(*) AS n_valid
+              FROM valid, tot
+            ),
+            refmean AS (
+              SELECT sum((bin / 10.0) * r) / sum(r) AS m FROM bins
+            ),
+            testmean AS (
+              SELECT avg(__conf) AS m FROM b WHERE NOT is_ref
+            )
+            SELECT round(chi.stat, 6) AS chi2_stat,
+                   CAST(chi.n_valid AS INTEGER) AS n_valid_bins,
+                   round(refmean.m, 6) AS ref_mean_conf,
+                   round(testmean.m, 6) AS test_mean_conf,
+                   round(abs(testmean.m - refmean.m), 6) AS confidence_shift
+            FROM chi, refmean, testmean
         """,
         "dedup_exact": """
             SELECT md5(substr(text, 1, 30)) AS content_hash, count(*) AS dup_count
