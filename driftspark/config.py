@@ -52,7 +52,9 @@ class RCAConfig(BaseModel):
 class DataConfig(BaseModel):
     reference_path: str = Field(...)
     test_path: str = Field(...)
-    format: str = Field(default="csv", description="csv | parquet | table")
+    format: str = Field(
+        default="csv", description="csv | parquet | json | orc | table"
+    )
     target_col: Optional[str] = None
     feature_cols: Optional[List[str]] = None
     metadata_cols: Optional[List[str]] = None
@@ -135,6 +137,10 @@ def load_dataset(spark, data: DataConfig, side: str = "reference") -> SparkDatas
         df = spark.read.csv(path, header=True, inferSchema=True)
     elif data.format == "parquet":
         df = spark.read.parquet(path)
+    elif data.format == "json":
+        df = spark.read.json(path)
+    elif data.format == "orc":
+        df = spark.read.orc(path)
     elif data.format == "table":
         df = spark.read.table(path)
     else:

@@ -87,3 +87,50 @@ class DataLoader:
             metadata_cols=metadata_cols,
             proba_col=proba_col,
         )
+
+    @staticmethod
+    def from_json(
+        spark: SparkSession,
+        path: Union[str, Path],
+        target_col: Optional[str] = None,
+        feature_cols: Optional[List[str]] = None,
+        metadata_cols: Optional[List[str]] = None,
+        proba_col: Optional[str] = None,
+        multiline: bool = False,
+        **read_options,
+    ) -> SparkDataset:
+        """JSON-lines (or multiline=True for JSON arrays) source."""
+        df = (
+            spark.read.option("multiLine", multiline)
+            .options(**read_options)
+            .json(str(path))
+        )
+        logger.info("Loaded JSON %s: %d columns", path, len(df.columns))
+        return SparkDataset(
+            df,
+            feature_cols=feature_cols,
+            target_col=target_col,
+            metadata_cols=metadata_cols,
+            proba_col=proba_col,
+        )
+
+    @staticmethod
+    def from_orc(
+        spark: SparkSession,
+        path: Union[str, Path],
+        target_col: Optional[str] = None,
+        feature_cols: Optional[List[str]] = None,
+        metadata_cols: Optional[List[str]] = None,
+        proba_col: Optional[str] = None,
+        **read_options,
+    ) -> SparkDataset:
+        """ORC source (columnar, predicate-pushdown-capable like parquet)."""
+        df = spark.read.options(**read_options).orc(str(path))
+        logger.info("Loaded ORC %s: %d columns", path, len(df.columns))
+        return SparkDataset(
+            df,
+            feature_cols=feature_cols,
+            target_col=target_col,
+            metadata_cols=metadata_cols,
+            proba_col=proba_col,
+        )
