@@ -263,3 +263,154 @@ def _importance_shift_result(
             "features_focused": focus,
         },
     )
+
+
+@RCARegistry.register("permutation_importance")
+class PermutationImportanceRCA(BaseRootCauseAnalyzer):
+    """Model-agnostic permutation importance (Breiman 2001), Spark-native.
+
+    A domain classifier (ref=0 / test=1 random forest) is fitted on a
+    hash-split train fold; each feature's importance is the held-out
+    ROC-AUC DROP when that feature's column is permuted (batch-local
+    permutation inside mapInPandas — the standard large-data
+    approximation: each Arrow batch is shuffled independently, which
+    breaks the feature/label association just like a global permutation
+    while never shuffling rows across the cluster).  Features whose
+    permutation destroys ref/test separability are the drivers of the
+    drift.  The per-feature scoring jobs run concurrently.
+
+    This is the engine's model-agnostic replacement for SHAP importance
+    shift (the shap library is not available in this environment); unlike
+    SHAP it needs no python model on the driver — everything is
+    distributed pyspark.ml scoring.
+    """
+
+    def __init__(
+        self,
+        n_estimators: int = 50,
+        max_depth: int = 5,
+        seed: int = 42,
+        max_samples_per_side: int = 50_000,
+        train_fraction: float = 0.7,
+    ):
+        super().__init__(name="permutation_importance")
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.seed = seed
+        self.max_samples_per_side = max_samples_per_side
+        self.train_fraction = train_fraction
+
+    def analyze(self, reference_data, test_data, localization=None, model=None) -> RCAResult:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pandas as pd
+        from pyspark.ml.classification import RandomForestClassifier
+        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+        from pyspark.ml.feature import VectorAssembler
+
+        cols = [
+            c for c in reference_data.numeric_features if c in test_data.df.columns
+        ]
+        if not cols:
+            return RCAResult(
+                analyzer_name=self.name,
+                explanations={"error": "No numeric features"},
+            )
+
+        spark = reference_data.df.sparkSession
+        cap = self.max_samples_per_side
+
+        def side(ds, label):
+            sel = [F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols]
+            d = ds.df.select(*sel)
+            if cap is not None:
+                d = d.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+            return d.withColumn("label", F.lit(float(label)))
+
+        u = (
+            side(reference_data, 0)
+            .unionByName(side(test_data, 1))
+            .na.fill(0.0)
+            # the global sample limits collapse partitions — spread back
+            # out before fitting (same lesson as DomainClassifier)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        # content-keyed hash split: train fold fits, held fold scores
+        is_train = F.pmod(
+            F.xxhash64(*cols, F.lit(self.seed)), 1000
+        ) < int(self.train_fraction * 1000)
+        train_raw = u.where(is_train)
+        held_raw = u.where(~is_train).cache()
+        held_raw.count()
+
+        assembler = VectorAssembler(inputCols=cols, outputCol="features")
+        rf = RandomForestClassifier(
+            numTrees=self.n_estimators,
+            maxDepth=self.max_depth,
+            seed=self.seed,
+            featuresCol="features",
+            labelCol="label",
+        )
+        evaluator = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        )
+        fitted = rf.fit(assembler.transform(train_raw).select("features", "label"))
+        base_auc = float(
+            evaluator.evaluate(fitted.transform(assembler.transform(held_raw)))
+        )
+
+        schema = held_raw.schema
+
+        def score_permuted(c: str) -> float:
+            feat_seed = (self.seed * 1_000_003 + hash(c)) % (2**32)
+
+            def permute(batches):
+                rng = np.random.default_rng(feat_seed)
+                for pdf in batches:
+                    out = pdf.copy()
+                    out[c] = rng.permutation(out[c].values)
+                    yield out
+
+            permuted = held_raw.mapInPandas(permute, schema=schema)
+            return float(
+                evaluator.evaluate(fitted.transform(assembler.transform(permuted)))
+            )
+
+        with ThreadPoolExecutor(max_workers=min(len(cols), 8)) as pool:
+            permuted_aucs = dict(zip(cols, pool.map(score_permuted, cols)))
+        held_raw.unpersist()
+
+        drops = {c: float(base_auc - a) for c, a in permuted_aucs.items()}
+        total = sum(max(v, 0.0) for v in drops.values())
+        importances = {
+            c: (max(v, 0.0) / total if total > 0 else 0.0) for c, v in drops.items()
+        }
+        ranked = sorted(cols, key=lambda c: drops[c], reverse=True)
+
+        recommendations = []
+        top = [c for c in ranked[:3] if drops[c] > 0.01]
+        if top:
+            recommendations.append(
+                "Separability collapses when these features are permuted "
+                f"(likely drift drivers): {', '.join(top)}"
+            )
+        if localization and localization.drifted_features:
+            both = set(localization.drifted_features) & set(ranked[:5])
+            if both:
+                recommendations.append(
+                    "Features both drifted and permutation-important: "
+                    f"{', '.join(sorted(both))} - likely root causes"
+                )
+
+        return RCAResult(
+            analyzer_name=self.name,
+            explanations={
+                "method": "held-out AUC drop under per-feature permutation",
+                "base_auc": base_auc,
+                "permuted_auc": {c: float(a) for c, a in permuted_aucs.items()},
+                "auc_drop": drops,
+            },
+            feature_importances=importances,
+            recommendations=recommendations,
+            metadata={"n_features_analyzed": len(cols), "base_auc": base_auc},
+        )

@@ -209,3 +209,33 @@ def test_slice_localizer(spark):
     assert loc.feature_drifts[0].feature_name == "x@web"
     d = loc.to_dict()
     assert d["slice_drifts"]["web"]["x"]["drift_detected"] is True
+
+
+def test_permutation_importance_rca(spark):
+    """Permutation RCA: the single shifted feature gets (nearly) all the
+    held-out AUC drop; a stable feature's permutation barely matters."""
+    import numpy as np
+    import pandas as pd
+
+    from driftspark import SparkDataset
+    from driftspark.rca import PermutationImportanceRCA
+
+    rng = np.random.RandomState(21)
+    ref = pd.DataFrame({
+        "shifted": rng.normal(0, 1, 4000),
+        "stable": rng.normal(5, 2, 4000),
+    })
+    test = pd.DataFrame({
+        "shifted": rng.normal(3, 1, 4000),
+        "stable": rng.normal(5, 2, 4000),
+    })
+    r = PermutationImportanceRCA(n_estimators=20).analyze(
+        SparkDataset(spark.createDataFrame(ref)),
+        SparkDataset(spark.createDataFrame(test)),
+    )
+    assert r.metadata["base_auc"] > 0.9  # strongly separable
+    drops = r.explanations["auc_drop"]
+    assert drops["shifted"] > 0.2
+    assert drops["shifted"] > 10 * max(drops["stable"], 1e-6)
+    assert r.feature_importances["shifted"] > 0.9
+    assert any("shifted" in rec for rec in r.recommendations)
