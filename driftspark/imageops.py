@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
