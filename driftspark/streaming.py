@@ -361,3 +361,114 @@ def start_payload_validation_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def fit_ks_grid(
+    ref_df: DataFrame,
+    cols: Sequence[str],
+    n_grid: int = 512,
+    max_ref_ecdf_points: int = 4_000_000,
+) -> Dict[str, tuple]:
+    """{feature: (grid values, reference CDF at grid, n_ref)} — a bounded
+    value grid for the cumulative streaming KS operator, thinned from the
+    exact reference ECDF by mass quantum (heavy values always retained),
+    so the grid resolution error is <= 1/n_grid of reference mass."""
+    from driftspark.verdicts import fit_ks_reference_ecdf
+
+    ecdf = fit_ks_reference_ecdf(ref_df, cols, max_ref_ecdf_points)
+    out: Dict[str, tuple] = {}
+    for c, (vals, cums, n) in ecdf.items():
+        if len(vals) > n_grid:
+            targets = n * (np.arange(1, n_grid + 1) / n_grid)
+            idx = np.unique(
+                np.clip(np.searchsorted(cums, targets, side="left"), 0, len(vals) - 1)
+            )
+            if idx[-1] != len(vals) - 1:
+                idx = np.append(idx, len(vals) - 1)
+            vals, cums = vals[idx], cums[idx]
+        out[c] = (vals.astype(np.float64), cums.astype(np.float64) / n, int(n))
+    return out
+
+
+def cumulative_ks_stream(
+    stream_df: DataFrame,
+    ks_grid: Dict[str, tuple],
+    ks_threshold: float = 0.05,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    cumulative test-side grid histogram per feature persists across
+    micro-batches, so every trigger emits the KS D of ALL data seen so far
+    vs the fitted reference — the KS analog of cumulative_psi_stream,
+    catching slow drift no single micro-batch exposes.
+
+    D is evaluated at the fitted grid points: exact there, and within
+    one grid cell's mass of the true supremum (grid from ``fit_ks_grid``
+    → error <= 1/n_grid of reference mass plus the test mass inside one
+    cell).  State per feature is one count vector of len(grid)+1 longs —
+    O(features x n_grid) in the state store forever, regardless of
+    stream volume.  Returns a streaming DataFrame
+    (feature, n_seen, ks_d, p_value, severity, passed) in update mode.
+    """
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from driftspark.numerics import ks_2samp_pvalue, severity_from_pvalue
+
+    cols = list(ks_grid.keys())
+    structs = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ]
+    melted = (
+        stream_df.select(F.explode(F.array(*structs)).alias("fv"))
+        .select("fv.feature", "fv.value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    grid_plain = {
+        c: ([float(x) for x in g], [float(x) for x in r], n)
+        for c, (g, r, n) in ks_grid.items()
+    }
+
+    def update(key, pdfs, state: GroupState):
+        feature = key[0]
+        grid, ref_cdf, n_ref = grid_plain[feature]
+        g = np.asarray(grid)
+        m = len(g)
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(m + 1, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            v = pdf["value"].values.astype(np.float64)
+            # bucket i  <=>  value <= grid[i] (and i == m beyond the grid)
+            counts += np.bincount(
+                np.searchsorted(g, v, side="left"), minlength=m + 1
+            )
+        state.update((counts.tolist(),))
+        n_seen = int(counts.sum())
+        if n_seen == 0:
+            d, p = 0.0, 1.0
+        else:
+            t_cdf = np.cumsum(counts[:m]) / n_seen
+            d = float(np.max(np.abs(np.asarray(ref_cdf) - t_cdf)))
+            p = float(ks_2samp_pvalue(d, n_ref, n_seen))
+        yield pd_.DataFrame(
+            {
+                "feature": [feature],
+                "n_seen": [n_seen],
+                "ks_d": [d],
+                "p_value": [p],
+                "severity": [severity_from_pvalue(p, ks_threshold)],
+                "passed": [bool(not (p < ks_threshold))],
+            }
+        )
+
+    return melted.groupBy("feature").applyInPandasWithState(
+        update,
+        outputStructType="feature string, n_seen long, ks_d double, "
+                         "p_value double, severity string, passed boolean",
+        stateStructType="counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

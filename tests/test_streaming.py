@@ -260,3 +260,63 @@ def test_streaming_payload_validation(spark):
         pairs.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cumulative_ks_stateful_stream(spark):
+    """Cumulative KS operator: grid-histogram state accumulates across
+    micro-batches; the final emitted D equals a numpy re-derivation on the
+    union at the same grid (exact) and approximates the true two-sample D
+    within grid resolution."""
+    from driftspark.numerics import ks_2samp_pvalue
+    from driftspark.stats import ks_d_all
+    from driftspark.streaming import cumulative_ks_stream, fit_ks_grid
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(17)
+        ref_pdf = pd.DataFrame({"x": rng.normal(0, 1, 5000)})
+        ref_df = spark.createDataFrame(ref_pdf)
+        grid = fit_ks_grid(ref_df, ["x"], n_grid=256)
+
+        b0 = pd.DataFrame({"x": rng.normal(0.4, 1, 1500)})
+        b1 = pd.DataFrame({"x": rng.normal(0.4, 1, 1500)})
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = (
+            cumulative_ks_stream(stream, grid)
+            .writeStream.format("memory")
+            .queryName("cumks")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        updates = spark.sql("SELECT * FROM cumks").toPandas()
+        final = updates.sort_values("n_seen").iloc[-1]
+        assert final["n_seen"] == 3000
+
+        # exact oracle at the same grid
+        g, ref_cdf, n_ref = grid["x"]
+        both = np.concatenate([b0["x"].values, b1["x"].values])
+        t_cdf = np.searchsorted(np.sort(both), g, side="right") / len(both)
+        expect_d = float(np.max(np.abs(ref_cdf - t_cdf)))
+        assert final["ks_d"] == pytest.approx(expect_d, abs=1e-12)
+        assert final["p_value"] == pytest.approx(
+            ks_2samp_pvalue(expect_d, n_ref, 3000), abs=1e-12
+        )
+
+        # within grid resolution of the true full-sample two-sample D
+        true_d = ks_d_all(ref_df, spark.createDataFrame(pd.DataFrame({"x": both})), ["x"])["x"][0]
+        assert abs(final["ks_d"] - true_d) <= 2.0 / 256 + 0.01
+        # the 0.4-sigma cumulative shift is detected
+        assert not final["passed"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
