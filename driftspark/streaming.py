@@ -472,3 +472,77 @@ def cumulative_ks_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cumulative_chi2_stream(
+    stream_df: DataFrame,
+    ref_cat_counts: Dict[str, Dict[str, int]],
+    chi2_threshold: float = 0.05,
+    capped_features: Optional[set] = None,
+) -> DataFrame:
+    """Stateful cumulative chi-square (applyInPandasWithState): per-feature
+    cumulative category counts persist across micro-batches, emitting the
+    chi-square of ALL test data seen so far vs the fitted reference
+    proportions — completes the cumulative trio (PSI, KS, chi2).
+
+    ``ref_cat_counts`` comes from verdicts.fit_ref_category_counts; for
+    features that fit capped, unseen stream categories remap into the
+    other-bucket IN SPARK so state stays bounded at the fitted category
+    set plus one bucket per feature."""
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from driftspark.numerics import severity_from_pvalue
+    from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
+
+    capped = capped_features or set()
+    cols = list(ref_cat_counts.keys())
+
+    def v_expr(c):
+        col = F.col(c).cast("string")
+        if c in capped:
+            kept = list(ref_cat_counts[c].keys())
+            return F.when(col.isNull(), F.lit(None).cast("string")).when(
+                col.isin(kept), col
+            ).otherwise(F.lit(CHI2_OTHER_BUCKET))
+        return col
+
+    structs = [
+        F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v")) for c in cols
+    ]
+    melted = (
+        stream_df.select(F.explode(F.array(*structs)).alias("fv"))
+        .select("fv.feature", "fv.v")
+        .where(F.col("v").isNotNull())
+    )
+    ref_plain = {c: dict(m) for c, m in ref_cat_counts.items()}
+
+    def update(key, pdfs, state: GroupState):
+        feature = key[0]
+        tmap: dict = dict(zip(*state.get)) if state.exists else {}
+        tmap = {k: int(v) for k, v in tmap.items()}
+        for pdf in pdfs:
+            vc = pdf["v"].value_counts()
+            for cat, c in vc.items():
+                tmap[cat] = tmap.get(cat, 0) + int(c)
+        state.update((list(tmap.keys()), [int(v) for v in tmap.values()]))
+        stat, p, _, n_seen = chi2_from_count_maps(ref_plain[feature], tmap)
+        yield pd_.DataFrame(
+            {
+                "feature": [feature],
+                "n_seen": [n_seen],
+                "chi2_stat": [float(stat)],
+                "p_value": [float(p)],
+                "severity": [severity_from_pvalue(p, chi2_threshold)],
+                "passed": [bool(not (p < chi2_threshold))],
+            }
+        )
+
+    return melted.groupBy("feature").applyInPandasWithState(
+        update,
+        outputStructType="feature string, n_seen long, chi2_stat double, "
+                         "p_value double, severity string, passed boolean",
+        stateStructType="cats array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -320,3 +320,50 @@ def test_cumulative_ks_stateful_stream(spark):
         assert not final["passed"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cumulative_chi2_stateful_stream(spark):
+    """Cumulative chi2 operator: category-count state accumulates; the
+    final emitted statistic equals chi2_from_count_maps on the union."""
+    from driftspark.streaming import cumulative_chi2_stream
+    from driftspark.verdicts import chi2_from_count_maps, fit_ref_category_counts
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(23)
+        ref_pdf = pd.DataFrame({
+            "cat": rng.choice(["a", "b", "c"], 4000, p=[0.5, 0.3, 0.2])
+        })
+        ref_counts, capped = fit_ref_category_counts(
+            spark.createDataFrame(ref_pdf), ["cat"]
+        )
+        b0 = pd.DataFrame({"cat": rng.choice(["a", "b", "c"], 1200, p=[0.3, 0.3, 0.4])})
+        b1 = pd.DataFrame({"cat": rng.choice(["a", "b", "c"], 1200, p=[0.3, 0.3, 0.4])})
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("cat string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = (
+            cumulative_chi2_stream(stream, ref_counts, capped_features=capped)
+            .writeStream.format("memory")
+            .queryName("cumchi")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        final = spark.sql("SELECT * FROM cumchi").toPandas().sort_values("n_seen").iloc[-1]
+        assert final["n_seen"] == 2400
+        both = pd.concat([b0, b1])["cat"].value_counts().to_dict()
+        stat, p, _, _ = chi2_from_count_maps(ref_counts["cat"], both)
+        assert final["chi2_stat"] == pytest.approx(stat, abs=1e-9)
+        assert final["p_value"] == pytest.approx(p, abs=1e-12)
+        assert not final["passed"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
