@@ -111,6 +111,10 @@ def uniqueness_check(
     the report aggregate and the duplicate-key filter both derive from it,
     halving the key-grain shuffle work vs calling uniqueness_report and
     uniqueness_violations separately.  Returns (report_df, violations_df).
+    The cache stays alive so the lazily-returned violations frame can
+    reuse it at action time; callers done with the violations can release
+    it via spark.catalog.clearCache() or by unpersisting through the
+    violations plan's lineage.
     """
     key_cols = list(key_cols)
     if salt_buckets:
