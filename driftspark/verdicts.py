@@ -447,7 +447,16 @@ def ks_d_against_ecdf(
     part_col: str = "part",
 ) -> DataFrame:
     """(part, feature, d, n, m) — exact KS D of each test group's sample
-    vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf)."""
+    vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf).
+
+    Scale shape: the test side PRE-AGGREGATES to (part, feature, value,
+    count) before anything reaches the pandas groups, so the per-group
+    shuffle and the single-task sort inside each (part, feature) group are
+    O(distinct values), not O(rows) — for quantized columns (prices,
+    sizes, hashes) a hot partition's group shrinks by orders of magnitude,
+    and the map-side partial combine absorbs the extra aggregation.  The
+    weighted-unique math is identical to sorting the raw sample (the raw
+    path already reduced through np.unique)."""
     spark = test_df.sparkSession
     b_ecdf = spark.sparkContext.broadcast(ecdf)
     # output schema preserves the partition column's original type
@@ -456,9 +465,10 @@ def ks_d_against_ecdf(
     def compute(key, pdf):
         part, feat = key
         vals, cums, n = b_ecdf.value[feat]
-        t = np.sort(pdf["value"].values.astype(np.float64))
-        m = len(t)
-        tv, tc = np.unique(t, return_counts=True)
+        order = np.argsort(pdf["value"].values, kind="stable")
+        tv = pdf["value"].values.astype(np.float64)[order]
+        tc = pdf["c"].values.astype(np.int64)[order]
+        m = int(tc.sum())
         T = np.cumsum(tc) / m
         T_prev = np.concatenate([[0.0], T[:-1]])
         hi = np.searchsorted(vals, tv, side="right")
@@ -472,13 +482,14 @@ def ks_d_against_ecdf(
             {"part": [part], "feature": [feat], "d": [d], "n": [n], "m": [m]}
         )
 
-    return (
+    pre = (
         _melt_feature_values(test_df, cols, part_col)
-        .groupBy("part", "feature")
-        .applyInPandas(
-            compute,
-            schema=f"part {part_sql_type}, feature string, d double, n long, m long",
-        )
+        .groupBy("part", "feature", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pre.groupBy("part", "feature").applyInPandas(
+        compute,
+        schema=f"part {part_sql_type}, feature string, d double, n long, m long",
     )
 
 
