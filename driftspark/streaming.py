@@ -282,6 +282,18 @@ def cumulative_psi_stream(
         .select("fb.feature", "fb.bin")
         .where(F.col("bin").isNotNull())
     )
+    # stateless per-partition partial counts BEFORE the stateful group: the
+    # shuffle into each feature's single state task carries at most
+    # partitions x n_bins rows per trigger, never the raw row volume
+    partials = binned.mapInPandas(
+        lambda it: (
+            pdf.groupby(["feature", "bin"], as_index=False).size().rename(
+                columns={"size": "c"}
+            )
+            for pdf in it
+        ),
+        schema="feature string, bin int, c long",
+    )
     n_bins_by_feat = {c: len(e) - 1 for c, e in edges_map.items()}
     ref_props_plain = {c: [float(x) for x in p] for c, p in ref_props.items()}
 
@@ -294,8 +306,7 @@ def cumulative_psi_stream(
             else np.zeros(n_bins, dtype=np.int64)
         )
         for pdf in pdfs:
-            vc = pdf["bin"].value_counts()
-            for b, c in vc.items():
+            for b, c in zip(pdf["bin"].values, pdf["c"].values):
                 counts[int(b)] += int(c)
         state.update((counts.tolist(),))
         total = int(counts.sum())
@@ -317,7 +328,7 @@ def cumulative_psi_stream(
             }
         )
 
-    return binned.groupBy("feature").applyInPandasWithState(
+    return partials.groupBy("feature").applyInPandasWithState(
         update,
         outputStructType="feature string, n_seen long, psi double, "
                          "severity string, passed boolean",
@@ -415,19 +426,44 @@ def cumulative_ks_stream(
     from driftspark.numerics import ks_2samp_pvalue, severity_from_pvalue
 
     cols = list(ks_grid.keys())
-    structs = [
-        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
-        for c in cols
-    ]
-    melted = (
-        stream_df.select(F.explode(F.array(*structs)).alias("fv"))
-        .select("fv.feature", "fv.value")
-        .where(F.col("value").isNotNull() & ~F.isnan("value"))
-    )
     grid_plain = {
         c: ([float(x) for x in g], [float(x) for x in r], n)
         for c, (g, r, n) in ks_grid.items()
     }
+
+    import pandas as pd_
+
+    # stateless per-partition grid bucketing + partial counts BEFORE the
+    # stateful group: each feature's single state task receives at most
+    # partitions x (len(grid)+1) rows per trigger, never raw values
+    def partial_counts(batches):
+        for pdf in batches:
+            rows = {"feature": [], "bucket": [], "c": []}
+            for c in cols:
+                g = np.asarray(grid_plain[c][0])
+                v = pdf[c].values.astype(np.float64)
+                v = v[~np.isnan(v)]
+                if len(v) == 0:
+                    continue
+                # bucket i  <=>  value <= grid[i] (i == len(g) beyond it)
+                bc = np.bincount(
+                    np.searchsorted(g, v, side="left"), minlength=len(g) + 1
+                )
+                nz = np.nonzero(bc)[0]
+                rows["feature"].extend([c] * len(nz))
+                rows["bucket"].extend(int(i) for i in nz)
+                rows["c"].extend(int(x) for x in bc[nz])
+            yield pd_.DataFrame(
+                {
+                    "feature": pd_.Series(rows["feature"], dtype="string"),
+                    "bucket": pd_.Series(rows["bucket"], dtype="int32"),
+                    "c": pd_.Series(rows["c"], dtype="int64"),
+                }
+            )
+
+    partials = stream_df.select(*cols).mapInPandas(
+        partial_counts, schema="feature string, bucket int, c long"
+    )
 
     def update(key, pdfs, state: GroupState):
         feature = key[0]
@@ -440,11 +476,8 @@ def cumulative_ks_stream(
             else np.zeros(m + 1, dtype=np.int64)
         )
         for pdf in pdfs:
-            v = pdf["value"].values.astype(np.float64)
-            # bucket i  <=>  value <= grid[i] (and i == m beyond the grid)
-            counts += np.bincount(
-                np.searchsorted(g, v, side="left"), minlength=m + 1
-            )
+            for b, c in zip(pdf["bucket"].values, pdf["c"].values):
+                counts[int(b)] += int(c)
         state.update((counts.tolist(),))
         n_seen = int(counts.sum())
         if n_seen == 0:
@@ -464,7 +497,7 @@ def cumulative_ks_stream(
             }
         )
 
-    return melted.groupBy("feature").applyInPandasWithState(
+    return partials.groupBy("feature").applyInPandasWithState(
         update,
         outputStructType="feature string, n_seen long, ks_d double, "
                          "p_value double, severity string, passed boolean",
