@@ -9,12 +9,24 @@ computed in ``foreachBatch`` against a once-fitted reference state and
 appended to a verdict sink.  Late data is handled by watermarked
 event-time windows when a timestamp column is provided.
 
-Design: fit state (PSI bin edges) is computed ONCE from the static
-reference DataFrame and captured in the closure (tiny, broadcast by Spark
-with each task) — the stream never rescans the reference.  Each
-micro-batch runs the same conditional-aggregation histogram plan as the
-batch PSI path, so batch and streaming verdicts are numerically identical
-for identical input rows.
+Design: ALL fit state — PSI bin edges + reference proportions, the
+mass-quantum-thinned KS reference ECDF, and the cardinality-guarded
+chi-square category counts — is computed ONCE from the static reference
+DataFrame and captured in the closure (tiny, broadcast by Spark with each
+task); the stream never rescans the reference.  Each micro-batch runs the
+same plans as the batch paths, so batch and streaming verdicts are
+numerically identical for identical input rows (equality-locked tests).
+
+Surfaces:
+- StreamingDriftMonitor: per-batch PSI + KS + chi2 verdicts via
+  foreachBatch (exactly-once parquet sink).
+- cumulative_psi_stream / cumulative_ks_stream / cumulative_chi2_stream:
+  stateful applyInPandasWithState operators whose bounded per-feature
+  state accumulates EVERYTHING seen, catching slow drift no single batch
+  exposes; stateless per-partition partial counts bound each feature's
+  state-task input regardless of stream volume.
+- start_payload_validation_stream: the north-rule per-row PSNR/caption
+  invariant over continuously-landing co-located pairs.
 """
 
 from __future__ import annotations
