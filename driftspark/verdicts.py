@@ -445,6 +445,7 @@ def ks_d_against_ecdf(
     cols: Sequence[str],
     ecdf: Dict[str, tuple],
     part_col: str = "part",
+    preaggregate: bool = True,
 ) -> DataFrame:
     """(part, feature, d, n, m) — exact KS D of each test group's sample
     vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf).
@@ -452,11 +453,15 @@ def ks_d_against_ecdf(
     Scale shape: the test side PRE-AGGREGATES to (part, feature, value,
     count) before anything reaches the pandas groups, so the per-group
     shuffle and the single-task sort inside each (part, feature) group are
-    O(distinct values), not O(rows) — for quantized columns (prices,
-    sizes, hashes) a hot partition's group shrinks by orders of magnitude,
-    and the map-side partial combine absorbs the extra aggregation.  The
+    O(distinct values), not O(rows) — for quantized columns (image sizes,
+    prices, hashes; the north-rule w/h columns have a handful of distinct
+    values) a hot partition's group shrinks by orders of magnitude, and
+    the map-side partial combine absorbs the extra aggregation.  The
     weighted-unique math is identical to sorting the raw sample (the raw
-    path already reduced through np.unique)."""
+    path already reduced through np.unique).  For ALL-continuous columns
+    (distinct ≈ rows) the pre-aggregation is a second full-volume shuffle
+    for no shrink — pass ``preaggregate=False`` to ship raw values in one
+    shuffle instead."""
     spark = test_df.sparkSession
     b_ecdf = spark.sparkContext.broadcast(ecdf)
     # output schema preserves the partition column's original type
@@ -465,9 +470,12 @@ def ks_d_against_ecdf(
     def compute(key, pdf):
         part, feat = key
         vals, cums, n = b_ecdf.value[feat]
-        order = np.argsort(pdf["value"].values, kind="stable")
-        tv = pdf["value"].values.astype(np.float64)[order]
-        tc = pdf["c"].values.astype(np.int64)[order]
+        if "c" in pdf.columns:
+            order = np.argsort(pdf["value"].values, kind="stable")
+            tv = pdf["value"].values.astype(np.float64)[order]
+            tc = pdf["c"].values.astype(np.int64)[order]
+        else:
+            tv, tc = np.unique(pdf["value"].values.astype(np.float64), return_counts=True)
         m = int(tc.sum())
         T = np.cumsum(tc) / m
         T_prev = np.concatenate([[0.0], T[:-1]])
@@ -482,12 +490,12 @@ def ks_d_against_ecdf(
             {"part": [part], "feature": [feat], "d": [d], "n": [n], "m": [m]}
         )
 
-    pre = (
-        _melt_feature_values(test_df, cols, part_col)
-        .groupBy("part", "feature", "value")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return pre.groupBy("part", "feature").applyInPandas(
+    melted = _melt_feature_values(test_df, cols, part_col)
+    if preaggregate:
+        melted = melted.groupBy("part", "feature", "value").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    return melted.groupBy("part", "feature").applyInPandas(
         compute,
         schema=f"part {part_sql_type}, feature string, d double, n long, m long",
     )

@@ -162,3 +162,28 @@ def test_thinned_ecdf_mass_aware_zero_inflated(spark):
     assert np.array_equal(exact_cum[idx], tc)
     gaps = np.diff(np.concatenate([[0], tc]))
     assert gaps.max() <= -(-n // cap) + uc.max() - 1  # quantum + own mass
+
+
+def test_preagg_and_raw_paths_bit_identical(spark):
+    """ks_d_against_ecdf with preaggregate True/False returns bit-identical
+    (d, n, m) per group — the weighted-unique math equals sorting raw."""
+    import pandas as pd
+
+    from driftspark.verdicts import fit_ks_reference_ecdf, ks_d_against_ecdf
+
+    rng = np.random.RandomState(31)
+    ref = spark.createDataFrame(pd.DataFrame({
+        "x": rng.normal(0, 1, 3000),
+        "q": rng.randint(0, 5, 3000).astype(float),  # heavily quantized
+    }))
+    test = spark.createDataFrame(pd.DataFrame({
+        "x": rng.normal(0.5, 1, 3000),
+        "q": rng.randint(0, 5, 3000).astype(float),
+        "part": rng.randint(0, 3, 3000),
+    }))
+    ecdf = fit_ks_reference_ecdf(ref, ["x", "q"])
+    a = {(r["part"], r["feature"]): (r["d"], r["n"], r["m"])
+         for r in ks_d_against_ecdf(test, ["x", "q"], ecdf).collect()}
+    b = {(r["part"], r["feature"]): (r["d"], r["n"], r["m"])
+         for r in ks_d_against_ecdf(test, ["x", "q"], ecdf, preaggregate=False).collect()}
+    assert a == b and len(a) == 6
