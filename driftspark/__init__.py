@@ -33,7 +33,12 @@ from driftspark.detectors import (
 )
 from driftspark.loaders import DataLoader
 from driftspark.localize import UnivariateLocalizer
-from driftspark.rca import DistributionChangeRCA, SHAPAnalyzer
+from driftspark.rca import (
+    DistributionChangeRCA,
+    PermutationImportanceRCA,
+    SHAPAnalyzer,
+)
+from driftspark.streaming import StreamingDriftMonitor
 
 __version__ = "0.1.0"
 
@@ -59,5 +64,7 @@ __all__ = [
     "UnivariateLocalizer",
     "SHAPAnalyzer",
     "DistributionChangeRCA",
+    "PermutationImportanceRCA",
+    "StreamingDriftMonitor",
     "DataLoader",
 ]
