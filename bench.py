@@ -28,12 +28,14 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_IMAGE_ROWS", "60000"))
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
-def _timed(queries, name, fn, repeats: int = 2):
+def _timed(queries, name, fn, repeats: int = BENCH_REPEATS):
     """Best-of-N timing (steady-state estimator): single-shot numbers on
     this box swing ±30% with background load, and the reference baseline
-    is itself a steady-state figure (BASELINE.md excludes its cold year)."""
+    is itself a steady-state figure (BASELINE.md excludes its cold year).
+    SPARK_GRAFT_BENCH_REPEATS raises N on a noisy box."""
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
