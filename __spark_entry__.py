@@ -265,6 +265,133 @@ def _q_cbpe_shift(spark, sf_dir):
     )
 
 
+HALLUC_COLS = ["l_quantity", "l_discount", "l_tax"]  # similar scales keep
+# cov well-conditioned, so the SQL adjugate inverse agrees with numpy pinv
+# to ~1e-10 and the aggregate outputs are rounding-stable
+
+
+def _q_hallucination(spark, sf_dir):
+    """A18/A19/F3/F7-F10: the full Mahalanobis hallucination pipeline —
+    mean-impute, distributed cross-product covariance (np.cov ddof=1
+    parity), pinv, Arrow-vectorized quadratic-form distances, exact
+    reference 95th-percentile threshold, confidence extraction,
+    normalize/score/flag and quadrant counts — oracle-checked end to end:
+    the SQL side re-derives the covariance from the same aggregates and
+    inverts it in closed form (3x3 adjugate/determinant)."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import HallucinationRiskDetector
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref, test = _split(li, "l_orderkey")
+    p = F.least(F.col("l_discount") * 10.0, F.lit(0.99))
+    ref_ds = SparkDataset(ref.select(*HALLUC_COLS), feature_cols=HALLUC_COLS)
+    test_ds = SparkDataset(
+        test.select(*HALLUC_COLS, p.alias("proba")),
+        feature_cols=HALLUC_COLS,
+        proba_col="proba",
+    )
+    det = HallucinationRiskDetector(
+        density_method="mahalanobis",
+        exact_distance_percentile=True,
+        max_ref_sample=10**9,
+    )
+    res = det.fit_detect(ref_ds, test_ds)
+    q = res.quadrant_counts
+    m = res.rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("confidence"), 6).alias("mean_conf"),
+        F.round(F.avg("norm_distance"), 5).alias("mean_dist"),
+        F.round(F.avg("hallucination_score"), 5).alias("mean_score"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(m["n"]), int(res.n_hallucination_risk),
+            int(q["safe"]), int(q["uncertain_honest"]),
+            int(q["hallucination_risk"]), int(q["uncertain_safe"]),
+            float(m["mean_conf"]), float(m["mean_dist"]), float(m["mean_score"]),
+        )],
+        "n long, n_risk long, safe long, uncertain_honest long, "
+        "hallucination_risk long, uncertain_safe long, "
+        "mean_conf double, mean_dist double, mean_score double",
+    )
+
+
+def _hallucination_sql() -> str:
+    q, d, t = HALLUC_COLS
+    return f"""
+        WITH ref AS (
+          SELECT CAST({q} AS DOUBLE) AS q, CAST({d} AS DOUBLE) AS d,
+                 CAST({t} AS DOUBLE) AS t
+          FROM lineitem WHERE l_orderkey % 2 = 0
+        ),
+        tst AS (
+          SELECT CAST({q} AS DOUBLE) AS q, CAST({d} AS DOUBLE) AS d,
+                 CAST({t} AS DOUBLE) AS t,
+                 least(CAST({d} AS DOUBLE) * 10.0, 0.99) AS p
+          FROM lineitem WHERE l_orderkey % 2 = 1
+        ),
+        st AS (
+          SELECT count(*) AS n,
+                 sum(q) / count(*) AS mq, sum(d) / count(*) AS md,
+                 sum(t) / count(*) AS mt,
+                 sum(q*q) AS sqq, sum(q*d) AS sqd, sum(q*t) AS sqt,
+                 sum(d*d) AS sdd, sum(d*t) AS sdt, sum(t*t) AS stt
+          FROM ref
+        ),
+        cov AS (
+          SELECT n, mq, md, mt,
+                 (sqq - n*mq*mq) / (n-1) AS c00,
+                 (sqd - n*mq*md) / (n-1) AS c01,
+                 (sqt - n*mq*mt) / (n-1) AS c02,
+                 (sdd - n*md*md) / (n-1) AS c11,
+                 (sdt - n*md*mt) / (n-1) AS c12,
+                 (stt - n*mt*mt) / (n-1) AS c22
+          FROM st
+        ),
+        inv AS (
+          SELECT n, mq, md, mt,
+                 (c11*c22 - c12*c12) AS a00,
+                 (c02*c12 - c01*c22) AS a01,
+                 (c01*c12 - c02*c11) AS a02,
+                 (c00*c22 - c02*c02) AS a11,
+                 (c02*c01 - c00*c12) AS a12,
+                 (c00*c11 - c01*c01) AS a22,
+                 (c00*(c11*c22 - c12*c12)
+                  - c01*(c01*c22 - c12*c02)
+                  + c02*(c01*c12 - c11*c02)) AS det
+          FROM cov
+        ),
+        rdist AS (
+          SELECT sqrt(greatest(
+                   ((r.q - i.mq)*(i.a00*(r.q - i.mq) + i.a01*(r.d - i.md) + i.a02*(r.t - i.mt))
+                  + (r.d - i.md)*(i.a01*(r.q - i.mq) + i.a11*(r.d - i.md) + i.a12*(r.t - i.mt))
+                  + (r.t - i.mt)*(i.a02*(r.q - i.mq) + i.a12*(r.d - i.md) + i.a22*(r.t - i.mt))
+                   ) / i.det, 0.0)) AS dist
+          FROM ref r, inv i
+        ),
+        thr AS (SELECT quantile_cont(dist, 0.95) + 1e-10 AS cut FROM rdist),
+        scored AS (
+          SELECT least(greatest(greatest(s.p, 1.0 - s.p), 0.0), 1.0) AS conf,
+                 least(greatest(sqrt(greatest(
+                   ((s.q - i.mq)*(i.a00*(s.q - i.mq) + i.a01*(s.d - i.md) + i.a02*(s.t - i.mt))
+                  + (s.d - i.md)*(i.a01*(s.q - i.mq) + i.a11*(s.d - i.md) + i.a12*(s.t - i.mt))
+                  + (s.t - i.mt)*(i.a02*(s.q - i.mq) + i.a12*(s.d - i.md) + i.a22*(s.t - i.mt))
+                   ) / i.det, 0.0)) / thr.cut, 0.0), 1.0) AS nd
+          FROM tst s, inv i, thr
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN conf >= 0.80 AND nd >= 0.50 THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+               CAST(sum(CASE WHEN nd < 0.50 AND conf >= 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS safe,
+               CAST(sum(CASE WHEN nd >= 0.50 AND conf < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS uncertain_honest,
+               CAST(sum(CASE WHEN nd >= 0.50 AND conf >= 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS hallucination_risk,
+               CAST(sum(CASE WHEN nd < 0.50 AND conf < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS uncertain_safe,
+               round(avg(conf), 6) AS mean_conf,
+               round(avg(nd), 5) AS mean_dist,
+               round(avg(conf * nd), 5) AS mean_score
+        FROM scored
+    """
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Dedup (exact): duplicate groups by content hash (30-char prefix)."""
     from driftspark.dedup import exact_duplicates
@@ -720,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_parts": _q_topk,
         "cbpe_confidence_hist": _q_cbpe_hist,
         "cbpe_shift": _q_cbpe_shift,
+        "hallucination_mahalanobis": _q_hallucination,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "jaccard_pairs": _q_jaccard,
@@ -1554,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(testmean.m - refmean.m), 6) AS confidence_shift
             FROM chi, refmean, testmean
         """,
+        "hallucination_mahalanobis": _hallucination_sql(),
         "dedup_exact": """
             SELECT md5(substr(text, 1, 30)) AS content_hash, count(*) AS dup_count
             FROM documents GROUP BY 1 HAVING count(*) > 1
