@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_IMAGE_ROWS", "60000"))
-BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _timed(queries, name, fn, repeats: int = BENCH_REPEATS):
