@@ -99,6 +99,12 @@ def run_validation(
     from driftspark.profile import profile_columns
     from driftspark.verdicts import partition_verdicts
 
+    # the image-table KS columns default to w/h — heavily quantized, where
+    # pre-aggregating the broadcast-KS test side shrinks hot-partition
+    # groups by orders of magnitude (verdicts.ks_d_against_ecdf); callers
+    # monitoring continuous columns can pass ks_preaggregate=False
+    verdict_kwargs.setdefault("ks_preaggregate", True)
+
     res = ValidationResult()
     t0 = time.time()
 

@@ -366,6 +366,7 @@ def ks_d_by_partition_broadcast(
     cols: Sequence[str],
     part_col: str = "part",
     max_ref_ecdf_points: int = 4_000_000,
+    preaggregate: bool = False,
 ) -> DataFrame:
     """(part, feature, d, n, m) — exact KS D per partition via a BROADCAST
     reference ECDF.
@@ -397,7 +398,7 @@ def ks_d_by_partition_broadcast(
     cumulative counts, so the only error is R's value-resolution between
     retained points (<= 1/max_points of mass)."""
     ecdf = fit_ks_reference_ecdf(ref_df, cols, max_ref_ecdf_points)
-    return ks_d_against_ecdf(test_df, cols, ecdf, part_col)
+    return ks_d_against_ecdf(test_df, cols, ecdf, part_col, preaggregate)
 
 
 def _melt_feature_values(df: DataFrame, cols: Sequence[str], part_col=None):
@@ -445,23 +446,23 @@ def ks_d_against_ecdf(
     cols: Sequence[str],
     ecdf: Dict[str, tuple],
     part_col: str = "part",
-    preaggregate: bool = True,
+    preaggregate: bool = False,
 ) -> DataFrame:
     """(part, feature, d, n, m) — exact KS D of each test group's sample
     vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf).
 
-    Scale shape: the test side PRE-AGGREGATES to (part, feature, value,
+    ``preaggregate=True`` reduces the test side to (part, feature, value,
     count) before anything reaches the pandas groups, so the per-group
-    shuffle and the single-task sort inside each (part, feature) group are
-    O(distinct values), not O(rows) — for quantized columns (image sizes,
-    prices, hashes; the north-rule w/h columns have a handful of distinct
-    values) a hot partition's group shrinks by orders of magnitude, and
-    the map-side partial combine absorbs the extra aggregation.  The
-    weighted-unique math is identical to sorting the raw sample (the raw
-    path already reduced through np.unique).  For ALL-continuous columns
-    (distinct ≈ rows) the pre-aggregation is a second full-volume shuffle
-    for no shrink — pass ``preaggregate=False`` to ship raw values in one
-    shuffle instead."""
+    shuffle and the single-task sort inside each (part, feature) group
+    become O(distinct values), not O(rows) — for QUANTIZED columns (image
+    sizes, enum-ish ints; the north-rule w/h columns have a handful of
+    distinct values) a hot partition's group shrinks by orders of
+    magnitude, and the map-side partial combine absorbs the extra
+    aggregation; the validate job turns it on.  The weighted-unique math
+    is bit-identical to sorting the raw sample (the raw path reduces
+    through np.unique).  The default ships raw values in ONE shuffle —
+    right for continuous columns (distinct ≈ rows), where pre-aggregation
+    would double the shuffled volume for no shrink."""
     spark = test_df.sparkSession
     b_ecdf = spark.sparkContext.broadcast(ecdf)
     # output schema preserves the partition column's original type
@@ -748,6 +749,7 @@ def partition_verdicts(
     approx_quantile_error: Optional[float] = None,
     ks_cols: Optional[Sequence[str]] = None,
     max_categories: int = 1000,
+    ks_preaggregate: bool = False,
 ) -> DataFrame:
     """Run the per-partition drift suite over one split-tagged table.
 
@@ -794,7 +796,8 @@ def partition_verdicts(
         if not ks_columns:
             return []
         return ks_d_by_partition_broadcast(
-            ref_df, test_df, ks_columns, part_col
+            ref_df, test_df, ks_columns, part_col,
+            preaggregate=ks_preaggregate,
         ).collect()
 
     def run_chi2():

@@ -183,7 +183,7 @@ def test_preagg_and_raw_paths_bit_identical(spark):
     }))
     ecdf = fit_ks_reference_ecdf(ref, ["x", "q"])
     a = {(r["part"], r["feature"]): (r["d"], r["n"], r["m"])
-         for r in ks_d_against_ecdf(test, ["x", "q"], ecdf).collect()}
+         for r in ks_d_against_ecdf(test, ["x", "q"], ecdf, preaggregate=True).collect()}
     b = {(r["part"], r["feature"]): (r["d"], r["n"], r["m"])
          for r in ks_d_against_ecdf(test, ["x", "q"], ecdf, preaggregate=False).collect()}
     assert a == b and len(a) == 6
