@@ -1112,8 +1112,8 @@ def _ann_ivf_sql(centroids, n_probe: int, k: int = 10) -> str:
           FROM assigned a, q
           WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
         )
-        SELECT vec_id, centroid_id, round(cosine, 6) AS cosine
-        FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+        SELECT vec_id, centroid_id, round(scored.cosine, 6) AS cosine
+        FROM scored ORDER BY scored.cosine DESC, vec_id LIMIT {k}
     """
 
 

@@ -178,6 +178,9 @@ def referential_violations(
         approx_n = parent.agg(
             F.approx_count_distinct(parent_key).alias("n")
         ).first()["n"]
-        broadcast_parent = int(approx_n) <= broadcast_row_limit
+        # HLL carries ~2.3% default relative error — shrink the effective
+        # limit so a true count just above it can't sneak into a broadcast
+        # and pressure driver/executor memory right at the boundary
+        broadcast_parent = int(approx_n) <= int(broadcast_row_limit * 0.95)
     right = F.broadcast(parent_keys) if broadcast_parent else parent_keys
     return child.join(right, on=child_key, how="left_anti")

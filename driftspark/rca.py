@@ -18,6 +18,7 @@ Two analyzers:
 from __future__ import annotations
 
 import logging
+import zlib
 from typing import Any, List, Optional
 
 import numpy as np
@@ -362,7 +363,10 @@ class PermutationImportanceRCA(BaseRootCauseAnalyzer):
         schema = held_raw.schema
 
         def score_permuted(c: str) -> float:
-            feat_seed = (self.seed * 1_000_003 + hash(c)) % (2**32)
+            # stable digest, NOT builtin hash(): str hashing is randomized
+            # per process (PYTHONHASHSEED), which would break the
+            # determinism the explicit seed promises
+            feat_seed = (self.seed * 1_000_003 + zlib.crc32(c.encode())) % (2**32)
 
             def permute(batches):
                 rng = np.random.default_rng(feat_seed)

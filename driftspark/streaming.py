@@ -31,14 +31,17 @@ Surfaces:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from driftspark.numerics import psi_from_proportions, severity_from_psi
 from driftspark.stats import histogram_proportions, quantile_edges
+
+logger = logging.getLogger(__name__)
 
 
 class StreamingDriftMonitor:
@@ -151,17 +154,62 @@ class StreamingDriftMonitor:
                 F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v"))
                 for c in self.cat_cols
             ]
-            batch_counts = (
+            grouped = (
                 batch_df.select(F.explode(F.array(*structs)).alias("fv"))
                 .select("fv.feature", "fv.v")
                 .where(F.col("v").isNotNull())
                 .groupBy("feature", "v")
                 .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # cardinality guard for EVERY feature, not only those the fit
+            # capped: rank each feature's batch categories with fitted
+            # reference members first, and fold everything past the cap
+            # into the other-bucket IN SPARK — so the collect is bounded
+            # at O(features x max_categories) no matter what the batch
+            # contains (ids/captions landing in a cat col).  Under the
+            # cap nothing folds: the verdict stays bit-identical to the
+            # unguarded path.  (Capped features are already bounded and
+            # other-bucketed by v_expr above; the rank guard is a no-op
+            # for them.)
+            ref_members = batch_df.sparkSession.createDataFrame(
+                [(c, v) for c, m in self.ref_cat_counts.items() for v in m],
+                "feature string, v string",
+            ).withColumn("in_ref", F.lit(True))
+            w_guard = Window.partitionBy("feature").orderBy(
+                F.col("in_ref").desc(), F.col("c").desc(), "v"
+            )
+            batch_counts = (
+                grouped.join(F.broadcast(ref_members), ["feature", "v"], "left")
+                .withColumn("in_ref", F.coalesce(F.col("in_ref"), F.lit(False)))
+                .withColumn("rn", F.row_number().over(w_guard))
+                .withColumn(
+                    "v",
+                    F.when(
+                        F.col("in_ref") | (F.col("rn") < self.max_categories),
+                        F.col("v"),
+                    ).otherwise(F.lit(CHI2_OTHER_BUCKET)),
+                )
+                .groupBy("feature", "v")
+                .agg(F.sum("c").alias("c"))
                 .collect()
             )
             by_feat: dict = {c: {} for c in self.cat_cols}
             for r in batch_counts:
                 by_feat[r["feature"]][r["v"]] = int(r["c"])
+            folded = sorted(
+                c
+                for c in self.cat_cols
+                if c not in self._capped_cats and CHI2_OTHER_BUCKET in by_feat[c]
+            )
+            if folded:
+                logger.warning(
+                    "StreamingDriftMonitor: batch category count exceeded "
+                    "max_categories=%d for feature(s) %s; tail categories "
+                    "merged into %r for this batch's chi2",
+                    self.max_categories,
+                    folded,
+                    CHI2_OTHER_BUCKET,
+                )
             for c in self.cat_cols:
                 stat, p, _, _ = chi2_from_count_maps(self.ref_cat_counts[c], by_feat[c])
                 rows.append(
@@ -208,9 +256,12 @@ class StreamingDriftMonitor:
         spark = stream_df.sparkSession
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.rdd.isEmpty():
-                return
+            # ONE JVM-side action probes emptiness AND yields n_test —
+            # no RDD conversion (which would pickle-evaluate payload
+            # rows through the Python RDD path), no second count
             n = batch_df.count()
+            if n == 0:
+                return
             rows = self.score_batch(batch_df)
             out = spark.createDataFrame(
                 [
@@ -530,27 +581,32 @@ def cumulative_chi2_stream(
     chi-square of ALL test data seen so far vs the fitted reference
     proportions — completes the cumulative trio (PSI, KS, chi2).
 
-    ``ref_cat_counts`` comes from verdicts.fit_ref_category_counts; for
-    features that fit capped, unseen stream categories remap into the
-    other-bucket IN SPARK so state stays bounded at the fitted category
-    set plus one bucket per feature."""
+    ``ref_cat_counts`` comes from verdicts.fit_ref_category_counts.  Every
+    stream category OUTSIDE the fitted reference set folds into the
+    other-bucket IN SPARK, for every feature — a cumulative stream holds
+    its state forever, so both the checkpointed state and the shuffle into
+    each feature's single state task must stay bounded at the fitted
+    category set plus one bucket regardless of what the stream contains
+    (``capped_features`` is retained for signature compatibility; the
+    fold no longer depends on it).  A stateless mapInPandas partial-count
+    stage aggregates (feature, v) counts per partition BEFORE the stateful
+    shuffle, so the state task receives at most
+    partitions x (categories + 1) rows per trigger, never raw row volume
+    — the same bounding as cumulative_psi_stream / cumulative_ks_stream."""
     import pandas as pd_
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from driftspark.numerics import severity_from_pvalue
     from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
 
-    capped = capped_features or set()
     cols = list(ref_cat_counts.keys())
 
     def v_expr(c):
         col = F.col(c).cast("string")
-        if c in capped:
-            kept = list(ref_cat_counts[c].keys())
-            return F.when(col.isNull(), F.lit(None).cast("string")).when(
-                col.isin(kept), col
-            ).otherwise(F.lit(CHI2_OTHER_BUCKET))
-        return col
+        kept = list(ref_cat_counts[c].keys())
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col.isin(kept), col
+        ).otherwise(F.lit(CHI2_OTHER_BUCKET))
 
     structs = [
         F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v")) for c in cols
@@ -560,6 +616,18 @@ def cumulative_chi2_stream(
         .select("fv.feature", "fv.v")
         .where(F.col("v").isNotNull())
     )
+    # stateless per-partition partial counts BEFORE the stateful group —
+    # with the fold above, at most partitions x (categories+1) rows per
+    # feature per trigger reach the state task
+    partials = melted.mapInPandas(
+        lambda it: (
+            pdf.groupby(["feature", "v"], as_index=False).size().rename(
+                columns={"size": "c"}
+            )
+            for pdf in it
+        ),
+        schema="feature string, v string, c long",
+    )
     ref_plain = {c: dict(m) for c, m in ref_cat_counts.items()}
 
     def update(key, pdfs, state: GroupState):
@@ -567,8 +635,7 @@ def cumulative_chi2_stream(
         tmap: dict = dict(zip(*state.get)) if state.exists else {}
         tmap = {k: int(v) for k, v in tmap.items()}
         for pdf in pdfs:
-            vc = pdf["v"].value_counts()
-            for cat, c in vc.items():
+            for cat, c in zip(pdf["v"].values, pdf["c"].values):
                 tmap[cat] = tmap.get(cat, 0) + int(c)
         state.update((list(tmap.keys()), [int(v) for v in tmap.values()]))
         stat, p, _, n_seen = chi2_from_count_maps(ref_plain[feature], tmap)
@@ -583,7 +650,7 @@ def cumulative_chi2_stream(
             }
         )
 
-    return melted.groupBy("feature").applyInPandasWithState(
+    return partials.groupBy("feature").applyInPandasWithState(
         update,
         outputStructType="feature string, n_seen long, chi2_stat double, "
                          "p_value double, severity string, passed boolean",

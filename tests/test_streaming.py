@@ -367,3 +367,154 @@ def test_cumulative_chi2_stateful_stream(spark):
         assert not final["passed"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_chi2_uncapped_feature_guarded_collect(spark):
+    """A feature UNDER the cap at fit time but high-cardinality in an
+    incoming micro-batch (ids landing in a cat col) still collects
+    bounded: batch categories past max_categories fold into
+    __chi2_other__ IN SPARK, ranked reference-members-first, and the
+    statistic equals the same fold computed in pandas."""
+    from driftspark.streaming import StreamingDriftMonitor
+    from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
+
+    rng = np.random.RandomState(17)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 1000),
+        "cat": rng.choice(["a", "b", "c"], 1000),
+    })
+    monitor = StreamingDriftMonitor(
+        spark.createDataFrame(ref_pdf), ["x"], cat_cols=["cat"], max_categories=10
+    )
+    assert "cat" not in monitor._capped_cats  # under cap at fit time
+
+    batch_cats = ["a"] * 300 + ["b"] * 300 + [f"id-{i}" for i in range(500)]
+    batch_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, len(batch_cats)), "cat": batch_cats,
+    })
+    rows = {
+        (r["check"], r["feature"]): r
+        for r in monitor.score_batch(spark.createDataFrame(batch_pdf))
+    }
+
+    # pandas mirror of the guard: ref members first, then (count desc, v);
+    # keep in-ref or rank < max_categories, fold the rest
+    counts = pd.Series(batch_cats).value_counts().to_dict()
+    ranked = sorted(
+        counts,
+        key=lambda v: (v not in monitor.ref_cat_counts["cat"], -counts[v], v),
+    )
+    tmap: dict = {}
+    for rn, v in enumerate(ranked, start=1):
+        keep = v in monitor.ref_cat_counts["cat"] or rn < 10
+        key = v if keep else CHI2_OTHER_BUCKET
+        tmap[key] = tmap.get(key, 0) + counts[v]
+    assert tmap[CHI2_OTHER_BUCKET] == 493  # 500 novel ids, 7 kept
+    stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
+    r = rows[("chi2", "cat")]
+    assert r["statistic"] == pytest.approx(stat, abs=1e-12)
+    assert r["p_value"] == pytest.approx(p, abs=1e-12)
+
+
+def test_streaming_chi2_novel_cats_under_cap_kept_separate(spark):
+    """Novel batch categories BELOW the cap are NOT folded — the guarded
+    path is bit-identical to plain union-aligned chi2."""
+    from driftspark.streaming import StreamingDriftMonitor
+    from driftspark.verdicts import chi2_from_count_maps
+
+    rng = np.random.RandomState(19)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 900),
+        "cat": rng.choice(["a", "b", "c"], 900),
+    })
+    monitor = StreamingDriftMonitor(
+        spark.createDataFrame(ref_pdf), ["x"], cat_cols=["cat"], max_categories=10
+    )
+    batch_cats = ["a"] * 200 + ["new1"] * 50 + ["new2"] * 30 + ["new3"] * 20
+    batch_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, len(batch_cats)), "cat": batch_cats,
+    })
+    rows = {
+        (r["check"], r["feature"]): r
+        for r in monitor.score_batch(spark.createDataFrame(batch_pdf))
+    }
+    tmap = pd.Series(batch_cats).value_counts().to_dict()
+    stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
+    assert rows[("chi2", "cat")]["statistic"] == pytest.approx(stat, abs=1e-12)
+    assert rows[("chi2", "cat")]["p_value"] == pytest.approx(p, abs=1e-12)
+
+
+def test_cumulative_chi2_stream_partials_and_unseen_fold(spark):
+    """The cumulative chi2 stream pre-aggregates per-partition partial
+    counts BEFORE the stateful shuffle (the plan carries a MapInPandas
+    stage upstream of the stateful op, so the state task receives
+    aggregated (feature, v, c) rows, never raw values), and folds every
+    category outside the fitted reference set into __chi2_other__ so the
+    checkpointed state stays bounded forever."""
+    from driftspark.streaming import cumulative_chi2_stream
+    from driftspark.verdicts import (
+        CHI2_OTHER_BUCKET,
+        chi2_from_count_maps,
+        fit_ref_category_counts,
+    )
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(29)
+        ref_pdf = pd.DataFrame({
+            "cat": rng.choice(["a", "b", "c"], 3000, p=[0.5, 0.3, 0.2])
+        })
+        ref_counts, capped = fit_ref_category_counts(
+            spark.createDataFrame(ref_pdf), ["cat"]
+        )
+        assert not capped
+        b0 = pd.DataFrame({"cat": ["a"] * 400 + ["b"] * 300 + ["zzz-novel"] * 100})
+        b1 = pd.DataFrame({"cat": ["a"] * 300 + [f"id-{i}" for i in range(200)]})
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("cat string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        out_df = cumulative_chi2_stream(stream, ref_counts, capped_features=capped)
+        plan = out_df._jdf.queryExecution().analyzed().toString()
+        i_map, i_state = plan.find("MapInPandas"), plan.find("FlatMapGroupsInPandasWithState")
+        assert i_map != -1 and i_state != -1
+        # analyzed plans print top-down: the stateful op appears BEFORE
+        # (above) the MapInPandas stage it consumes
+        assert i_state < i_map
+
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName("cumchi2guard")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        final = (
+            spark.sql("SELECT * FROM cumchi2guard")
+            .toPandas().sort_values("n_seen").iloc[-1]
+        )
+        assert final["n_seen"] == 1300
+        tmap = {"a": 700, "b": 300, CHI2_OTHER_BUCKET: 300}  # all novel folded
+        stat, p, _, _ = chi2_from_count_maps(ref_counts["cat"], tmap)
+        assert final["chi2_stat"] == pytest.approx(stat, abs=1e-9)
+        assert final["p_value"] == pytest.approx(p, abs=1e-12)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_module_has_no_rdd_conversions():
+    """No .rdd anywhere in the streaming module: emptiness probing and
+    scoring must stay JVM-side (a .rdd conversion pickle-evaluates
+    binary payload rows through the Python RDD path every trigger)."""
+    import inspect
+
+    import driftspark.streaming as m
+
+    assert ".rdd" not in inspect.getsource(m)
