@@ -833,6 +833,81 @@ def _q_image_payload_check(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def _q_streaming_verdicts(spark, sf_dir):
+    """Streaming glue oracle: the foreachBatch drift monitor
+    (driftspark.streaming.StreamingDriftMonitor) run with
+    availableNow + maxFilesPerTrigger=1 over a parquet directory must
+    append per-batch PSI/KS/chi2 verdict rows identical to re-deriving
+    each micro-batch's statistics from the same deterministic row
+    partition of lineitem (batch k = odd l_orderkey with
+    l_orderkey % 6 == 2k+1; reference = even keys).  The per-batch
+    formulas are oracle-proven elsewhere (psi_price, ks_d,
+    chi2_returnflag, image_partition_verdicts); what this locks is the
+    streaming machinery itself: file->micro-batch assignment (distinct
+    mtimes), the once-fitted broadcast reference state, and the
+    exactly-once checkpointed sink."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time
+
+    from driftspark.streaming import StreamingDriftMonitor
+
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"]
+    li = _t(spark, sf_dir, "lineitem").select(cols)
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+
+    # content-keyed micro-batch input files (one file per batch); the
+    # DuckDB oracle re-derives membership from the registered lineitem
+    # view via the same l_orderkey predicate, so no path crosses over
+    in_dir = _oracle_scratch_path(
+        "streamin", [_q_streaming_verdicts], sf_dir=sf_dir
+    ).removesuffix(".parquet")
+    if not _glob.glob(f"{in_dir}/b0/*.parquet"):
+        for k in range(3):
+            li.where(F.col("l_orderkey") % 6 == 2 * k + 1).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{in_dir}/b{k}")
+    # distinct increasing mtimes pin the file -> micro-batch order (the
+    # file stream source processes oldest-first)
+    t0 = time.time() - 1_000
+    for k in range(3):
+        for fp in sorted(_glob.glob(f"{in_dir}/b{k}/*.parquet")):
+            os.utime(fp, (t0 + 10 * k, t0 + 10 * k))
+
+    work = tempfile.mkdtemp(prefix="driftspark_streamq_")
+    try:
+        monitor = StreamingDriftMonitor(
+            ref,
+            numeric_cols=["l_quantity", "l_extendedprice"],
+            cat_cols=["l_returnflag"],
+        )
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/b*")
+        )
+        q = monitor.start(stream, f"{work}/sink", f"{work}/ckpt")
+        q.awaitTermination(300)
+        rows = (
+            spark.read.parquet(f"{work}/sink")
+            .select(
+                "batch_id", "feature", "check",
+                F.round("statistic", 6).alias("statistic"), "n_test",
+            )
+            .orderBy("batch_id", "feature", "check")
+            .collect()
+        )
+        # materialize before the sink dir is removed
+        return spark.createDataFrame(
+            rows,
+            "batch_id long, feature string, check string, "
+            "statistic double, n_test long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": _q_profile_stats,
@@ -872,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardups": _q_phash_neardups,
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
+        "streaming_verdicts": _q_streaming_verdicts,
     }
 
 
@@ -1482,6 +1558,148 @@ def _image_verdicts_sql(path: str) -> str:
     """
 
 
+def _streaming_verdicts_sql() -> str:
+    """Per-micro-batch PSI / KS-D / chi-square re-derived in pure SQL from
+    the registered lineitem view (StreamingDriftMonitor semantics: global
+    reference fitted once, exact decile edges with duplicate-drop, pd.cut
+    bucketing, 0.001 clamp + renormalize; KS as max-|ECDF diff| over
+    pooled distinct values; chi-square on >=5 validity-filtered aligned
+    counts).  batch k = odd l_orderkey with l_orderkey % 6 == 2k+1;
+    n_test = the micro-batch's total row count (what the sink records)."""
+    probs = "[" + ",".join(str(i / 10) for i in range(11)) + "]"
+    num_cols = ("l_quantity", "l_extendedprice")
+    num_melt_ref = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c}::DOUBLE AS value FROM ref"
+        for c in num_cols
+    )
+    num_melt_test = " UNION ALL ".join(
+        f"SELECT b, '{c}' AS feature, {c}::DOUBLE AS value FROM test"
+        for c in num_cols
+    )
+    return f"""
+        WITH ref AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+        test AS (
+          SELECT (l_orderkey % 6) // 2 AS b, * FROM lineitem
+          WHERE l_orderkey % 2 = 1
+        ),
+        batches AS (SELECT DISTINCT b FROM test),
+        bt AS (SELECT b, count(*) AS n_test FROM test GROUP BY b),
+        mref AS ({num_melt_ref}),
+        mtest AS ({num_melt_test}),
+        edges AS (
+          SELECT feature,
+                 list_sort(list_distinct(quantile_cont(value, {probs}))) AS e
+          FROM mref WHERE value IS NOT NULL GROUP BY feature
+        ),
+        rbin AS (
+          SELECT m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mref m JOIN edges USING (feature)
+        ),
+        tbin AS (
+          SELECT m.b, m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mtest m JOIN edges USING (feature)
+        ),
+        rcnt AS (SELECT feature, bin, count(*) AS c FROM rbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2),
+        tcnt AS (SELECT b, feature, bin, count(*) AS c FROM tbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
+        featbins AS (
+          SELECT feature, unnest(generate_series(0, len(e) - 2)) AS bin FROM edges
+        ),
+        grid AS (SELECT p.b, f.feature, f.bin FROM batches p, featbins f),
+        psi_j AS (
+          SELECT g.b, g.feature, g.bin,
+                 coalesce(rc.c, 0) AS r, coalesce(tc.c, 0) AS t
+          FROM grid g
+          LEFT JOIN rcnt rc ON rc.feature = g.feature AND rc.bin = g.bin
+          LEFT JOIN tcnt tc ON tc.b = g.b AND tc.feature = g.feature
+                            AND tc.bin = g.bin
+        ),
+        psi_p AS (
+          SELECT b, feature,
+                 greatest(r * 1.0 / sum(r) OVER w, 0.001) AS e_,
+                 greatest(t * 1.0 / sum(t) OVER w, 0.001) AS a_
+          FROM psi_j WINDOW w AS (PARTITION BY b, feature)
+        ),
+        psi_n AS (
+          SELECT *, sum(e_) OVER w AS esum, sum(a_) OVER w AS asum
+          FROM psi_p WINDOW w AS (PARTITION BY b, feature)
+        ),
+        psi AS (
+          SELECT b, feature, 'psi' AS chk,
+                 sum((a_ / asum - e_ / esum) * ln((a_ / asum) / (e_ / esum))) AS stat
+          FROM psi_n GROUP BY b, feature
+        ),
+        ks_u AS (
+          SELECT p.b, m.feature, m.value, 1 AS r, 0 AS t
+          FROM mref m, batches p
+          WHERE m.value IS NOT NULL AND NOT isnan(m.value)
+          UNION ALL
+          SELECT b, feature, value, 0, 1 FROM mtest
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        ks_g AS (SELECT b, feature, value, sum(r) AS r, sum(t) AS t
+                 FROM ks_u GROUP BY 1, 2, 3),
+        ks_c AS (
+          SELECT b, feature,
+                 sum(r) OVER (PARTITION BY b, feature ORDER BY value) AS cr,
+                 sum(t) OVER (PARTITION BY b, feature ORDER BY value) AS ct,
+                 sum(r) OVER (PARTITION BY b, feature) AS n,
+                 sum(t) OVER (PARTITION BY b, feature) AS m
+          FROM ks_g
+        ),
+        ks AS (
+          SELECT b, feature, 'ks' AS chk,
+                 max(abs(cr * 1.0 / n - ct * 1.0 / m)) AS stat
+          FROM ks_c GROUP BY b, feature
+        ),
+        c_ref AS (SELECT l_returnflag AS v, count(*) AS r FROM ref
+                  WHERE l_returnflag IS NOT NULL GROUP BY 1),
+        c_test AS (SELECT b, l_returnflag AS v, count(*) AS t FROM test
+                   WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+        c_grid AS (
+          SELECT DISTINCT b, v FROM (
+            SELECT p.b, c.v FROM batches p, c_ref c
+            UNION ALL SELECT b, v FROM c_test
+          )
+        ),
+        c_j AS (
+          SELECT g.b, g.v, coalesce(cr.r, 0) AS r, coalesce(ct.t, 0) AS t
+          FROM c_grid g
+          LEFT JOIN c_ref cr ON cr.v = g.v
+          LEFT JOIN c_test ct ON ct.b = g.b AND ct.v = g.v
+        ),
+        c_valid AS (SELECT * FROM c_j WHERE r >= 5 OR t >= 5),
+        c_sums AS (SELECT b, sum(r) AS sr, sum(t) AS st_, count(*) AS nv
+                   FROM c_valid GROUP BY b),
+        c_stat AS (
+          SELECT v.b,
+                 sum((v.t - v.r * 1.0 / s.sr * s.st_) * (v.t - v.r * 1.0 / s.sr * s.st_)
+                     / (v.r * 1.0 / s.sr * s.st_)) AS stat
+          FROM c_valid v JOIN c_sums s ON s.b = v.b
+          WHERE s.nv >= 2 GROUP BY v.b
+        ),
+        chi AS (
+          SELECT p.b, 'l_returnflag' AS feature, 'chi2' AS chk,
+                 coalesce(cs.stat, 0.0) AS stat
+          FROM batches p LEFT JOIN c_stat cs ON cs.b = p.b
+        ),
+        allrows AS (
+          SELECT * FROM psi UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM chi
+        )
+        SELECT CAST(a.b AS BIGINT) AS batch_id, a.feature, a.chk AS "check",
+               round(a.stat, 6) AS statistic, CAST(bt.n_test AS BIGINT) AS n_test
+        FROM allrows a JOIN bt ON bt.b = a.b
+        ORDER BY batch_id, a.feature, a.chk
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from driftspark.ann import _hyperplanes, seed_centroids
 
@@ -1855,4 +2073,5 @@ def oracle_sql() -> dict[str, str]:
             seed_centroids(EMB_DIM, IVF_CELLS, 42), n_probe=IVF_PROBE
         ),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
+        "streaming_verdicts": _streaming_verdicts_sql(),
     }
