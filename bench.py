@@ -253,11 +253,16 @@ def main():
             # expressions under count(), under-measuring the real work)
             uniqueness_report(img, ["image_id", "split"]).collect()
             # drift pass (per-partition verdicts on all drift axes)
+            # mirror the packaged job (runner.run_validation): image
+            # dims are heavily quantized, so the broadcast-KS test-side
+            # pre-aggregation pays for itself (interleaved A/B: ~4%
+            # faster than the continuous-column default here)
             pv(
                 img,
                 numeric_cols=["w", "h", "phash"],
                 cat_cols=["fmt"],
                 ks_cols=["w", "h"],
+                ks_preaggregate=True,
             ).count()
             # payload pass (decode + PSNR + captions), co-located layout
             n_pairs = validate_image_payloads_paired(pairs).count()
