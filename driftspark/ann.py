@@ -245,10 +245,14 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
 
     def fit(self, df: DataFrame, vec_col: str) -> "IVFIndex":
-        sample = df.select(vec_col)
-        n = sample.count()
-        if n > self.sample_rows:
-            sample = sample.orderBy(F.xxhash64(vec_col)).limit(self.sample_rows)
+        # content-keyed hash top-k in ONE pass (TakeOrdered) — no separate
+        # count probe; a table under sample_rows passes through whole.
+        # Ordering unconditionally also makes the SAMPLE ROW ORDER
+        # content-keyed, so the index-based k-means++ init really is
+        # layout-independent (an unordered small-table collect was not).
+        sample = (
+            df.select(vec_col).orderBy(F.xxhash64(vec_col)).limit(self.sample_rows)
+        )
         X = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
         self.centroids = _kmeans_fit(X, self.n_centroids, seed=self.seed)
         return self
