@@ -264,8 +264,13 @@ def main():
                 ks_cols=["w", "h"],
                 ks_preaggregate=True,
             ).count()
-            # payload pass (decode + PSNR + captions), co-located layout
-            n_pairs = validate_image_payloads_paired(pairs).count()
+            # payload pass (decode + PSNR + captions), co-located layout;
+            # cap concurrent Arrow streams at this box's measured knee
+            # (interleaved best-of-3: 0.351s at 8 streams vs 0.514s at
+            # 32 on the 6k-pair table)
+            n_pairs = validate_image_payloads_paired(
+                pairs, max_parallelism=min(int(CPUS), 8)
+            ).count()
 
         _timed(q, "image_validation", validation_pass)
         images_per_sec = round((IMAGE_ROWS + n_pairs) / q["image_validation"], 1)

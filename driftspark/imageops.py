@@ -257,7 +257,9 @@ def phash_near_duplicates(df, id_col: str = "image_id", phash_col: str = "phash"
     return simhash_near_duplicates(sim, max_hamming=max_hamming)
 
 
-def validate_image_payloads_paired(paired_df, min_psnr: float = 40.0):
+def validate_image_payloads_paired(
+    paired_df, min_psnr: float = 40.0, max_parallelism: int | None = None
+):
     """Payload validation over a PRE-JOINED pairs table
     (image_id, ref_bytes, ref_caption, test_bytes, test_caption, fmt).
 
@@ -266,7 +268,17 @@ def validate_image_payloads_paired(paired_df, min_psnr: float = 40.0):
     materialized by the ingestion join), validation is a pure scan +
     mapInPandas — decode/PSNR compute parallelizes linearly with executors
     because no image bytes ever cross the network.  Prefer this over
-    validate_image_payloads whenever the storage layout allows."""
+    validate_image_payloads whenever the storage layout allows.
+
+    ``max_parallelism`` coalesces the scan to at most that many
+    partitions before the decode stage — a cap on CONCURRENT Python/Arrow
+    worker streams per host.  Hosts whose JVM->Python Arrow channel
+    saturates below the core count (this sandbox knees at ~8 streams)
+    decode faster under the cap; leave None on clusters where executors
+    own few cores each (the usual layout), since the per-executor stream
+    count is already bounded there."""
+    if max_parallelism is not None:
+        paired_df = paired_df.coalesce(max_parallelism)
     return paired_df.mapInPandas(
         lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
     )
