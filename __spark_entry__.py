@@ -833,6 +833,37 @@ def _q_image_payload_check(spark, sf_dir):
     ).orderBy("image_id")
 
 
+STREAM_COLS = ["l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"]
+
+
+def _stream_batch_input(spark, sf_dir):
+    """(lineitem projection, reference split, micro-batch dir) shared by
+    the streaming oracle queries.  Batch k = odd l_orderkey with
+    l_orderkey % 6 == 2k+1, one parquet file per batch in a content-keyed
+    /tmp dir; the DuckDB oracles re-derive membership from the registered
+    lineitem view via the same predicate, so no path crosses over.
+    Distinct increasing mtimes pin the file -> micro-batch order (the
+    file stream source processes oldest-first)."""
+    import glob as _glob
+    import time
+
+    li = _t(spark, sf_dir, "lineitem").select(STREAM_COLS)
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    in_dir = _oracle_scratch_path(
+        "streamin", [_stream_batch_input], sf_dir=sf_dir, cols=tuple(STREAM_COLS)
+    ).removesuffix(".parquet")
+    if not _glob.glob(f"{in_dir}/b0/*.parquet"):
+        for k in range(3):
+            li.where(F.col("l_orderkey") % 6 == 2 * k + 1).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{in_dir}/b{k}")
+    t0 = time.time() - 1_000
+    for k in range(3):
+        for fp in sorted(_glob.glob(f"{in_dir}/b{k}/*.parquet")):
+            os.utime(fp, (t0 + 10 * k, t0 + 10 * k))
+    return li, ref, in_dir
+
+
 def _q_streaming_verdicts(spark, sf_dir):
     """Streaming glue oracle: the foreachBatch drift monitor
     (driftspark.streaming.StreamingDriftMonitor) run with
@@ -846,35 +877,12 @@ def _q_streaming_verdicts(spark, sf_dir):
     streaming machinery itself: file->micro-batch assignment (distinct
     mtimes), the once-fitted broadcast reference state, and the
     exactly-once checkpointed sink."""
-    import glob as _glob
     import shutil
     import tempfile
-    import time
 
     from driftspark.streaming import StreamingDriftMonitor
 
-    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"]
-    li = _t(spark, sf_dir, "lineitem").select(cols)
-    ref = li.where(F.col("l_orderkey") % 2 == 0)
-
-    # content-keyed micro-batch input files (one file per batch); the
-    # DuckDB oracle re-derives membership from the registered lineitem
-    # view via the same l_orderkey predicate, so no path crosses over
-    in_dir = _oracle_scratch_path(
-        "streamin", [_q_streaming_verdicts], sf_dir=sf_dir
-    ).removesuffix(".parquet")
-    if not _glob.glob(f"{in_dir}/b0/*.parquet"):
-        for k in range(3):
-            li.where(F.col("l_orderkey") % 6 == 2 * k + 1).coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{in_dir}/b{k}")
-    # distinct increasing mtimes pin the file -> micro-batch order (the
-    # file stream source processes oldest-first)
-    t0 = time.time() - 1_000
-    for k in range(3):
-        for fp in sorted(_glob.glob(f"{in_dir}/b{k}/*.parquet")):
-            os.utime(fp, (t0 + 10 * k, t0 + 10 * k))
-
+    li, ref, in_dir = _stream_batch_input(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="driftspark_streamq_")
     try:
         monitor = StreamingDriftMonitor(
@@ -906,6 +914,91 @@ def _q_streaming_verdicts(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_streaming_cumulative(spark, sf_dir):
+    """Stateful-streaming oracle: the cumulative applyInPandasWithState
+    trio (cumulative_psi_stream / cumulative_ks_stream /
+    cumulative_chi2_stream) run over the same micro-batch files must,
+    after the last trigger, report statistics over EVERYTHING seen — so
+    the final emission per feature equals a plain batch computation over
+    ALL odd-l_orderkey rows, which DuckDB re-derives directly.  This
+    locks the state machinery (per-partition partial counts, state
+    merge across triggers) without depending on batch boundaries at all:
+    the final cumulative value is batch-order-invariant.
+
+    KS runs on l_quantity only: its ~50 distinct values stay under the
+    512-point grid (no thinning) and every test value appears in the
+    reference, so the grid-evaluated D is the exact two-sample D the SQL
+    union formula computes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from driftspark.stats import histogram_proportions, quantile_edges
+    from driftspark.streaming import (
+        cumulative_chi2_stream,
+        cumulative_ks_stream,
+        cumulative_psi_stream,
+        fit_ks_grid,
+    )
+    from driftspark.verdicts import fit_ref_category_counts
+
+    li, ref, in_dir = _stream_batch_input(spark, sf_dir)
+    edges = quantile_edges(ref, ["l_quantity", "l_extendedprice"], 10)
+    ref_props = {
+        c: p[0] for c, p in histogram_proportions(ref, ref, edges).items()
+    }
+    grid = fit_ks_grid(ref, ["l_quantity"])
+    ref_counts, capped = fit_ref_category_counts(ref, ["l_returnflag"])
+
+    def make_stream():
+        return (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{in_dir}/b*")
+        )
+
+    ops = {
+        "psi": (lambda: cumulative_psi_stream(make_stream(), edges, ref_props), "psi"),
+        "ks": (lambda: cumulative_ks_stream(make_stream(), grid), "ks_d"),
+        "chi2": (
+            lambda: cumulative_chi2_stream(
+                make_stream(), ref_counts, capped_features=capped
+            ),
+            "chi2_stat",
+        ),
+    }
+    work = tempfile.mkdtemp(prefix="driftspark_streamcum_")
+    rows = []
+    try:
+        for check, (make_out, stat_col) in ops.items():
+            qn = f"cum_{check}_{uuid.uuid4().hex[:8]}"
+            q = (
+                make_out()
+                .writeStream.format("memory")
+                .queryName(qn)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt_{check}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            pdf = spark.sql(f"SELECT * FROM {qn}").toPandas()
+            # final cumulative emission per feature = max n_seen
+            final = pdf.sort_values("n_seen").groupby("feature", as_index=False).last()
+            for _, r in final.iterrows():
+                rows.append(
+                    (
+                        str(r["feature"]), check, int(r["n_seen"]),
+                        round(float(r[stat_col]), 6),
+                    )
+                )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "feature string, check string, n_seen long, statistic double"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -948,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
         "streaming_verdicts": _q_streaming_verdicts,
+        "streaming_cumulative": _q_streaming_cumulative,
     }
 
 
@@ -1700,6 +1794,124 @@ def _streaming_verdicts_sql() -> str:
     """
 
 
+def _streaming_cumulative_sql() -> str:
+    """Final cumulative PSI / KS / chi2 of the stateful streaming trio ==
+    plain batch statistics over ALL odd-l_orderkey rows (the cumulative
+    state has, by then, absorbed every micro-batch).  PSI n_seen counts
+    binned (in-range) values; KS and chi2 count all non-null values."""
+    probs = "[" + ",".join(str(i / 10) for i in range(11)) + "]"
+    num_cols = ("l_quantity", "l_extendedprice")
+    num_melt_ref = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c}::DOUBLE AS value FROM ref"
+        for c in num_cols
+    )
+    num_melt_test = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c}::DOUBLE AS value FROM test"
+        for c in num_cols
+    )
+    return f"""
+        WITH ref AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+        test AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+        mref AS ({num_melt_ref}),
+        mtest AS ({num_melt_test}),
+        edges AS (
+          SELECT feature,
+                 list_sort(list_distinct(quantile_cont(value, {probs}))) AS e
+          FROM mref WHERE value IS NOT NULL GROUP BY feature
+        ),
+        rbin AS (
+          SELECT m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mref m JOIN edges USING (feature)
+        ),
+        tbin AS (
+          SELECT m.feature,
+                 CASE WHEN m.value >= e[1] AND m.value <= e[len(e)]
+                      THEN length(list_filter(list_slice(e, 2, len(e) - 1),
+                                              x -> m.value > x)) END AS bin
+          FROM mtest m JOIN edges USING (feature)
+        ),
+        rcnt AS (SELECT feature, bin, count(*) AS c FROM rbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2),
+        tcnt AS (SELECT feature, bin, count(*) AS c FROM tbin
+                 WHERE bin IS NOT NULL GROUP BY 1, 2),
+        featbins AS (
+          SELECT feature, unnest(generate_series(0, len(e) - 2)) AS bin FROM edges
+        ),
+        psi_j AS (
+          SELECT g.feature, g.bin,
+                 coalesce(rc.c, 0) AS r, coalesce(tc.c, 0) AS t
+          FROM featbins g
+          LEFT JOIN rcnt rc ON rc.feature = g.feature AND rc.bin = g.bin
+          LEFT JOIN tcnt tc ON tc.feature = g.feature AND tc.bin = g.bin
+        ),
+        psi_p AS (
+          SELECT feature,
+                 greatest(r * 1.0 / sum(r) OVER w, 0.001) AS e_,
+                 greatest(t * 1.0 / sum(t) OVER w, 0.001) AS a_,
+                 sum(t) OVER w AS n_seen
+          FROM psi_j WINDOW w AS (PARTITION BY feature)
+        ),
+        psi_n AS (
+          SELECT *, sum(e_) OVER w AS esum, sum(a_) OVER w AS asum
+          FROM psi_p WINDOW w AS (PARTITION BY feature)
+        ),
+        psi AS (
+          SELECT feature, 'psi' AS chk, max(n_seen) AS n_seen,
+                 sum((a_ / asum - e_ / esum) * ln((a_ / asum) / (e_ / esum))) AS stat
+          FROM psi_n GROUP BY feature
+        ),
+        ks_u AS (
+          SELECT l_quantity::DOUBLE AS value, 1 AS r, 0 AS t FROM ref
+          WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)
+          UNION ALL
+          SELECT l_quantity::DOUBLE, 0, 1 FROM test
+          WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)
+        ),
+        ks_g AS (SELECT value, sum(r) AS r, sum(t) AS t FROM ks_u GROUP BY 1),
+        ks_c AS (
+          SELECT sum(r) OVER (ORDER BY value) AS cr,
+                 sum(t) OVER (ORDER BY value) AS ct,
+                 sum(r) OVER () AS n, sum(t) OVER () AS m
+          FROM ks_g
+        ),
+        ks AS (
+          SELECT 'l_quantity' AS feature, 'ks' AS chk, max(m) AS n_seen,
+                 max(abs(cr * 1.0 / n - ct * 1.0 / m)) AS stat
+          FROM ks_c
+        ),
+        c_ref AS (SELECT l_returnflag AS v, count(*) AS r FROM ref
+                  WHERE l_returnflag IS NOT NULL GROUP BY 1),
+        c_test AS (SELECT l_returnflag AS v, count(*) AS t FROM test
+                   WHERE l_returnflag IS NOT NULL GROUP BY 1),
+        c_j AS (
+          SELECT coalesce(cr.v, ct.v) AS v, coalesce(cr.r, 0) AS r,
+                 coalesce(ct.t, 0) AS t
+          FROM c_ref cr FULL OUTER JOIN c_test ct ON cr.v = ct.v
+        ),
+        c_valid AS (SELECT * FROM c_j WHERE r >= 5 OR t >= 5),
+        chi AS (
+          SELECT 'l_returnflag' AS feature, 'chi2' AS chk,
+                 (SELECT sum(t) FROM c_j) AS n_seen,
+                 CASE WHEN (SELECT count(*) FROM c_valid) >= 2 THEN (
+                   SELECT sum((v.t - v.r * 1.0 / s.sr * s.st_)
+                              * (v.t - v.r * 1.0 / s.sr * s.st_)
+                              / (v.r * 1.0 / s.sr * s.st_))
+                   FROM c_valid v,
+                        (SELECT sum(r) AS sr, sum(t) AS st_ FROM c_valid) s
+                 ) ELSE 0.0 END AS stat
+        ),
+        allrows AS (
+          SELECT * FROM psi UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM chi
+        )
+        SELECT feature, chk AS "check", CAST(n_seen AS BIGINT) AS n_seen,
+               round(stat, 6) AS statistic
+        FROM allrows ORDER BY feature, chk
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from driftspark.ann import _hyperplanes, seed_centroids
 
@@ -2074,4 +2286,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
         "streaming_verdicts": _streaming_verdicts_sql(),
+        "streaming_cumulative": _streaming_cumulative_sql(),
     }
