@@ -518,3 +518,35 @@ def test_streaming_module_has_no_rdd_conversions():
     import driftspark.streaming as m
 
     assert ".rdd" not in inspect.getsource(m)
+
+
+def test_streaming_monitor_skips_empty_batch(spark):
+    """An empty micro-batch file appends NOTHING to the sink (single
+    count() emptiness probe), while non-empty batches still score."""
+    from driftspark.streaming import StreamingDriftMonitor
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(31)
+        ref_pdf = pd.DataFrame({"x": rng.normal(0, 1, 2000)})
+        monitor = StreamingDriftMonitor(spark.createDataFrame(ref_pdf), ["x"])
+
+        full = pd.DataFrame({"x": rng.normal(0, 1, 1000)})
+        sdf = spark.createDataFrame(full)
+        sdf.coalesce(1).write.parquet(f"{tmp}/in/b0")
+        sdf.limit(0).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+        stream = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = monitor.start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(f"{tmp}/sink").toPandas()
+        # only the non-empty batch produced rows (1 psi + 1 ks for x)
+        assert len(out) == 2
+        assert set(out["n_test"]) == {1000}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
