@@ -550,3 +550,44 @@ def test_streaming_monitor_skips_empty_batch(spark):
         assert set(out["n_test"]) == {1000}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_monitor_checkpoint_restart_exactly_once(spark):
+    """Restarting the monitor stream against the SAME checkpoint after new
+    files landed processes ONLY the new files — already-scored batches are
+    not re-appended (exactly-once resume, the streaming face of the
+    north-rule resumability)."""
+    from driftspark.streaming import StreamingDriftMonitor
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(37)
+        monitor = StreamingDriftMonitor(
+            spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 2000)})),
+            ["x"],
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema("x double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/in/*")
+            )
+
+        b0 = pd.DataFrame({"x": rng.normal(0, 1, 800)})
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(120)
+        first = spark.read.parquet(f"{tmp}/sink").toPandas()
+        assert len(first) == 2  # psi + ks for x, one batch
+
+        b1 = pd.DataFrame({"x": rng.normal(0, 1, 600)})
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+        monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/sink").toPandas()
+
+        # b0's rows were NOT re-appended; b1 landed under a new batch_id
+        assert len(out) == 4
+        assert sorted(out["n_test"]) == [600, 600, 800, 800]
+        assert out["batch_id"].nunique() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
