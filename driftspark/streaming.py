@@ -494,8 +494,6 @@ def cumulative_ks_stream(
         for c, (g, r, n) in ks_grid.items()
     }
 
-    import pandas as pd_
-
     # stateless per-partition grid bucketing + partial counts BEFORE the
     # stateful group: each feature's single state task receives at most
     # partitions x (len(grid)+1) rows per trigger, never raw values
