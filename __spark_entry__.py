@@ -852,7 +852,10 @@ def _stream_batch_input(spark, sf_dir):
     in_dir = _oracle_scratch_path(
         "streamin", [_stream_batch_input], sf_dir=sf_dir, cols=tuple(STREAM_COLS)
     ).removesuffix(".parquet")
-    if not _glob.glob(f"{in_dir}/b0/*.parquet"):
+    # self-healing guard: require ALL batch files (a killed or raced run
+    # that committed only b0 would otherwise poison the content-keyed dir
+    # forever — the key changes only when the generator source does)
+    if not all(_glob.glob(f"{in_dir}/b{k}/*.parquet") for k in range(3)):
         for k in range(3):
             li.where(F.col("l_orderkey") % 6 == 2 * k + 1).coalesce(
                 1

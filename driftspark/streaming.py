@@ -92,6 +92,11 @@ class StreamingDriftMonitor:
         self.ref_cat_counts, self._capped_cats = fit_ref_category_counts(
             reference_df, self.cat_cols, max_categories
         )
+        # fitted-category membership rows for the per-batch rank guard —
+        # derived once here, never per trigger
+        self._ref_member_rows = [
+            (c, v) for c, m in self.ref_cat_counts.items() for v in m
+        ]
         # fit once on the static reference; edges + reference proportions
         # + the thinned broadcast ECDF are the only state the stream needs
         self.edges: Dict[str, np.ndarray] = quantile_edges(
@@ -171,21 +176,31 @@ class StreamingDriftMonitor:
             # unguarded path.  (Capped features are already bounded and
             # other-bucketed by v_expr above; the rank guard is a no-op
             # for them.)
+            # the microbatch session is a clone per trigger, so the tiny
+            # membership table is recreated per batch from the once-built
+            # row list (bounded at features x max_categories rows)
             ref_members = batch_df.sparkSession.createDataFrame(
-                [(c, v) for c, m in self.ref_cat_counts.items() for v in m],
-                "feature string, v string",
+                self._ref_member_rows, "feature string, v string"
             ).withColumn("in_ref", F.lit(True))
             w_guard = Window.partitionBy("feature").orderBy(
                 F.col("in_ref").desc(), F.col("c").desc(), "v"
             )
+            w_feat = Window.partitionBy("feature")
+            # fold ONLY when the feature's distinct batch count actually
+            # EXCEEDS the cap (strict >, same convention as
+            # fit_ref_category_counts / chi2_by_partition) — at exactly
+            # max_categories nothing folds and no warning fires
             batch_counts = (
                 grouped.join(F.broadcast(ref_members), ["feature", "v"], "left")
                 .withColumn("in_ref", F.coalesce(F.col("in_ref"), F.lit(False)))
                 .withColumn("rn", F.row_number().over(w_guard))
+                .withColumn("n_f", F.count(F.lit(1)).over(w_feat))
                 .withColumn(
                     "v",
                     F.when(
-                        F.col("in_ref") | (F.col("rn") < self.max_categories),
+                        F.col("in_ref")
+                        | (F.col("n_f") <= self.max_categories)
+                        | (F.col("rn") < self.max_categories),
                         F.col("v"),
                     ).otherwise(F.lit(CHI2_OTHER_BUCKET)),
                 )
@@ -309,6 +324,22 @@ def windowed_event_counts(
     )
 
 
+def _partial_count_stage(df: DataFrame, key_col: str, key_type: str) -> DataFrame:
+    """Stateless per-partition (feature, key) partial counts — the
+    pre-aggregation every cumulative stream inserts BEFORE its stateful
+    shuffle so the single per-feature state task receives aggregated
+    rows, never raw row volume."""
+    return df.mapInPandas(
+        lambda it: (
+            pdf.groupby(["feature", key_col], as_index=False).size().rename(
+                columns={"size": "c"}
+            )
+            for pdf in it
+        ),
+        schema=f"feature string, {key_col} {key_type}, c long",
+    )
+
+
 def cumulative_psi_stream(
     stream_df: DataFrame,
     edges_map: Dict[str, np.ndarray],
@@ -348,15 +379,7 @@ def cumulative_psi_stream(
     # stateless per-partition partial counts BEFORE the stateful group: the
     # shuffle into each feature's single state task carries at most
     # partitions x n_bins rows per trigger, never the raw row volume
-    partials = binned.mapInPandas(
-        lambda it: (
-            pdf.groupby(["feature", "bin"], as_index=False).size().rename(
-                columns={"size": "c"}
-            )
-            for pdf in it
-        ),
-        schema="feature string, bin int, c long",
-    )
+    partials = _partial_count_stage(binned, "bin", "int")
     n_bins_by_feat = {c: len(e) - 1 for c, e in edges_map.items()}
     ref_props_plain = {c: [float(x) for x in p] for c, p in ref_props.items()}
 
@@ -617,15 +640,7 @@ def cumulative_chi2_stream(
     # stateless per-partition partial counts BEFORE the stateful group —
     # with the fold above, at most partitions x (categories+1) rows per
     # feature per trigger reach the state task
-    partials = melted.mapInPandas(
-        lambda it: (
-            pdf.groupby(["feature", "v"], as_index=False).size().rename(
-                columns={"size": "c"}
-            )
-            for pdf in it
-        ),
-        schema="feature string, v string, c long",
-    )
+    partials = _partial_count_stage(melted, "v", "string")
     ref_plain = {c: dict(m) for c, m in ref_cat_counts.items()}
 
     def update(key, pdfs, state: GroupState):

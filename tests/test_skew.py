@@ -30,7 +30,7 @@ def test_partition_verdicts_under_90pct_part_skew():
             app_name="driftspark-skew",
             master="local[4]",
             shuffle_partitions=8,
-            extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4067"},
+            extra_conf={"spark.ui.enabled": "true"},
         )
         spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,7 +76,9 @@ def test_partition_verdicts_under_90pct_part_skew():
         # judge, the slowest task must be within 4x the median (+1s GC
         # slack) — the hot part's rows never funnel into one task
         app_id = spark.sparkContext.applicationId
-        api = f"http://localhost:4067/api/v1/applications/{app_id}"
+        # read the BOUND port from the context (Spark retries upward on
+        # collision, so a hard-coded port would query the wrong app)
+        api = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app_id}"
         stages = json.load(urllib.request.urlopen(f"{api}/stages?status=COMPLETE"))
         judged = 0
         for st in stages:

@@ -591,3 +591,44 @@ def test_streaming_monitor_checkpoint_restart_exactly_once(spark):
         assert out["batch_id"].nunique() == 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_chi2_guard_boundary_exactly_at_cap(spark):
+    """Strict-greater cap convention: a batch with EXACTLY max_categories
+    distinct values folds nothing (bit-identical to unguarded), one more
+    folds exactly the lowest-ranked novel value."""
+    from driftspark.streaming import StreamingDriftMonitor
+    from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
+
+    rng = np.random.RandomState(41)
+    ref_pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, 600),
+        "cat": rng.choice(["a", "b", "c"], 600),
+    })
+    monitor = StreamingDriftMonitor(
+        spark.createDataFrame(ref_pdf), ["x"], cat_cols=["cat"], max_categories=10
+    )
+
+    def score(cats):
+        pdf = pd.DataFrame({"x": rng.normal(0, 1, len(cats)), "cat": cats})
+        rows = {
+            (r["check"], r["feature"]): r
+            for r in monitor.score_batch(spark.createDataFrame(pdf))
+        }
+        return rows[("chi2", "cat")]
+
+    # exactly 10 distinct (2 ref + 8 novel): nothing folds
+    at_cap = ["a"] * 50 + ["b"] * 40 + sum(([f"n{i}"] * 6 for i in range(8)), [])
+    r = score(at_cap)
+    tmap = pd.Series(at_cap).value_counts().to_dict()
+    stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
+    assert r["statistic"] == pytest.approx(stat, abs=1e-12)
+
+    # 11 distinct: exactly the lowest-ranked novel value folds
+    over_cap = at_cap + ["n8"] * 5
+    r2 = score(over_cap)
+    counts = pd.Series(over_cap).value_counts().to_dict()
+    # n8 (count 5) ranks last among novels -> becomes the other-bucket
+    counts[CHI2_OTHER_BUCKET] = counts.pop("n8")
+    stat2, p2, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], counts)
+    assert r2["statistic"] == pytest.approx(stat2, abs=1e-12)

@@ -82,7 +82,7 @@ def main():
         if not os.path.exists(f"{tmp}/images") or not os.path.exists(f"{tmp}/pairs"):
             print(f"generating {ROWS} images + {PAIRS} pairs ...", flush=True)
             generate(tmp)
-        repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("SCALING_REPEATS", "3"))
         results = {}
         for cores in (N, 4 * N):
             best = None
