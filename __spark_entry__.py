@@ -975,6 +975,10 @@ def _q_streaming_cumulative(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="driftspark_streamcum_")
     rows = []
     try:
+        # the three stateful queries are independent (own checkpoint,
+        # own memory sink) — start all, then await: concurrent triggers
+        # cut the oracle's wall time by ~2x
+        started = []
         for check, (make_out, stat_col) in ops.items():
             qn = f"cum_{check}_{uuid.uuid4().hex[:8]}"
             q = (
@@ -986,6 +990,8 @@ def _q_streaming_cumulative(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
+            started.append((check, stat_col, qn, q))
+        for check, stat_col, qn, q in started:
             q.awaitTermination(300)
             pdf = spark.sql(f"SELECT * FROM {qn}").toPandas()
             # final cumulative emission per feature = max n_seen
