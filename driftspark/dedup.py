@@ -19,10 +19,13 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
@@ -308,13 +311,21 @@ def simhash64(
 
 
 def simhash_near_duplicates(
-    sim: DataFrame, max_hamming: int = 3, chunks: int = 4,
+    sim: DataFrame, max_hamming: int = 3, chunks: int | None = None,
     max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Hamming-near pairs from simhash fingerprints via the chunk trick:
     two 64-bit hashes within hamming distance < chunks must share at least
-    one exact 16-bit chunk → equi-join per chunk, verify hamming exactly
-    (bit_count of xor).
+    one exact bit-chunk (pigeonhole) → equi-join per chunk, verify hamming
+    exactly (bit_count of xor).
+
+    ``chunks`` defaults to ``max_hamming + 1`` — the SMALLEST count for
+    which the pigeonhole guarantee holds (a pair may flip at most one bit
+    per chunk; with max_hamming + 1 chunks one chunk must survive intact).
+    An explicit ``chunks <= max_hamming`` would silently miss pairs that
+    flip one bit in EVERY chunk, so it is clamped up with a warning.  The
+    64 bits split into ``chunks`` near-equal contiguous spans (4 chunks →
+    the classic 16-bit spans).
 
     Hamming-0 groups (identical fingerprints — boilerplate mega-clusters,
     the most common real near-dup shape) are handled FIRST as star pairs
@@ -336,6 +347,18 @@ def simhash_near_duplicates(
     buckets fit ``max_bucket_size``.  Consumers that need every pair (not
     just connected components, which drop_near_duplicates consumes) must
     raise ``max_bucket_size`` to cover their largest group."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    elif chunks <= max_hamming:
+        logger.warning(
+            "simhash_near_duplicates: chunks=%d cannot guarantee recall at "
+            "max_hamming=%d (a pair flipping one bit per chunk shares no "
+            "chunk); clamping to chunks=%d",
+            chunks, max_hamming, max_hamming + 1,
+        )
+        chunks = max_hamming + 1
+    if chunks > 64:
+        raise ValueError(f"chunks={chunks} > 64 bits of fingerprint")
     sim = sim.select("id", "simhash")
     w0 = Window.partitionBy("simhash")
     star = (
@@ -348,13 +371,19 @@ def simhash_near_duplicates(
             F.lit(0).cast("integer").alias("hamming"),
         )
     )
+    # near-equal contiguous bit spans covering all 64 bits; chunks=4
+    # reproduces the classic [0,16,32,48] 16-bit layout bit-identically
+    bounds = [i * 64 // chunks for i in range(chunks + 1)]
+
+    def _span(c):
+        width = bounds[c + 1] - bounds[c]
+        shifted = F.shiftrightunsigned(F.col("simhash"), bounds[c])
+        if width >= 64:  # chunks=1: the whole fingerprint, no mask fits a long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("v"),
-        )
+        F.struct(F.lit(c).alias("chunk"), _span(c).alias("v"))
         for c in range(chunks)
     ]
     e = sim.select(

@@ -249,8 +249,9 @@ def phash_near_duplicates(df, id_col: str = "image_id", phash_col: str = "phash"
     visually near-identical (for average-hash, each bit is one 8x8 block's
     brightness sign).  Reuses the SimHash banded hamming join
     (driftspark.dedup.simhash_near_duplicates): candidates must share one
-    exact 16-bit chunk, then the exact bit_count(xor) verifies — no
-    all-pairs comparison.  Returns (id_a, id_b, hamming)."""
+    exact bit-chunk (max_hamming + 1 chunks, so the pigeonhole recall
+    guarantee holds at ANY max_hamming), then the exact bit_count(xor)
+    verifies — no all-pairs comparison.  Returns (id_a, id_b, hamming)."""
     from driftspark.dedup import simhash_near_duplicates
 
     sim = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("simhash"))

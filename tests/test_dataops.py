@@ -269,3 +269,42 @@ def test_simhash_neardup_hot_bucket_guard_and_star_pairs(spark):
     got_all = simhash_near_duplicates(sim, max_hamming=3).collect()
     pairs_all = {(r["id_a"], r["id_b"]) for r in got_all}
     assert (0, 1) in pairs_all and (1, 2) in pairs_all and (100, 101) in pairs_all
+
+
+def test_simhash_neardup_one_bit_per_chunk_recall(spark):
+    """Recall at the pigeonhole boundary: a pair flipping EXACTLY ONE bit
+    in each classic 16-bit chunk (hamming 4) shares no 16-bit chunk, so
+    chunks=4 would miss it.  The derived default chunks=max_hamming+1
+    must find it — and an explicit under-provisioned chunks is clamped."""
+    from driftspark.dedup import simhash_near_duplicates
+
+    base = 0x1234_5678_9ABC_DEF0
+    # flip bit 0, 16, 32, 48 → one bit in each 16-bit span
+    other = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    sim = spark.createDataFrame(
+        pd.DataFrame([(0, base), (1, other)], columns=["id", "simhash"])
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(sim, max_hamming=4).collect()
+    }
+    assert got == {(0, 1): 4}
+    # explicit chunks=4 (<= max_hamming) is clamped up, not silently lossy
+    got_clamped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(sim, max_hamming=4, chunks=4).collect()
+    }
+    assert got_clamped == {(0, 1): 4}
+    # the phash wrapper's default (max_hamming=4) goes through the same path
+    from driftspark.imageops import phash_near_duplicates
+
+    prows = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", base), ("b", other)], columns=["image_id", "phash"]
+        )
+    )
+    pgot = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(prows).collect()
+    }
+    assert pgot == {("a", "b"): 4}
