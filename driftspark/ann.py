@@ -245,13 +245,16 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
 
     def fit(self, df: DataFrame, vec_col: str) -> "IVFIndex":
-        # content-keyed hash top-k in ONE pass (TakeOrdered) — no separate
-        # count probe; a table under sample_rows passes through whole.
-        # Ordering unconditionally also makes the SAMPLE ROW ORDER
-        # content-keyed, so the index-based k-means++ init really is
-        # layout-independent (an unordered small-table collect was not).
-        sample = (
-            df.select(vec_col).orderBy(F.xxhash64(vec_col)).limit(self.sample_rows)
+        # content-keyed hash top-k with a BOUNDED merge (sampling.py): the
+        # hash-quantile pre-filter keeps the final TakeOrdered merge at
+        # ~margin*n rows instead of n_partitions*n.  Ordering
+        # unconditionally also makes the SAMPLE ROW ORDER content-keyed,
+        # so the index-based k-means++ init really is layout-independent
+        # (an unordered small-table collect was not).
+        from driftspark.sampling import content_keyed_top_n
+
+        sample = content_keyed_top_n(
+            df.select(vec_col), self.sample_rows, F.xxhash64(vec_col)
         )
         X = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
         self.centroids = _kmeans_fit(X, self.n_centroids, seed=self.seed)

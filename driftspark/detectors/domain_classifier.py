@@ -31,6 +31,7 @@ from driftspark.detectors.base import BaseDriftDetector
 from driftspark.numerics import severity_from_auc
 from driftspark.registry import DetectorRegistry
 from driftspark.results import DetectionResult, DriftSeverity
+from driftspark.sampling import content_keyed_top_n
 
 logger = logging.getLogger(__name__)
 
@@ -100,10 +101,16 @@ class DomainClassifier(BaseDriftDetector):
             n_by_side = {r["__side"]: r["n"] for r in counted}
             capped = False
             if n_by_side.get(0, 0) > cap:
-                ref_side = ref_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+                ref_side = content_keyed_top_n(
+                    ref_side, cap, F.xxhash64(*cols), cols,
+                    total=n_by_side[0],
+                )
                 capped = True
             if n_by_side.get(1, 0) > cap:
-                test_side = test_side.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+                test_side = content_keyed_top_n(
+                    test_side, cap, F.xxhash64(*cols), cols,
+                    total=n_by_side[1],
+                )
                 capped = True
         else:
             capped = False

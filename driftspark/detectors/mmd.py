@@ -30,6 +30,7 @@ from driftspark.dataset import SparkDataset
 from driftspark.detectors.base import BaseDriftDetector
 from driftspark.numerics import severity_from_mmd
 from driftspark.registry import DetectorRegistry
+from driftspark.sampling import content_keyed_top_n
 from driftspark.results import DetectionResult, DriftSeverity
 
 logger = logging.getLogger(__name__)
@@ -114,7 +115,9 @@ class MMD(BaseDriftDetector):
 
         def take(df, total):
             if total > self.max_samples:
-                df = df.orderBy(F.xxhash64(*cols), *cols).limit(self.max_samples)
+                df = content_keyed_top_n(
+                    df, self.max_samples, F.xxhash64(*cols), cols, total=total
+                )
             return np.nan_to_num(df.toPandas().values.astype(np.float64))
 
         n_ref, n_test = counts.get(0, 0), counts.get(1, 0)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from driftspark.dataset import SparkDataset
 from driftspark.registry import RCARegistry
 from driftspark.results import LocalizationResult, RCAResult
+from driftspark.sampling import content_keyed_top_n
 from driftspark.stats import moment_stats
 
 logger = logging.getLogger(__name__)
@@ -68,7 +69,8 @@ class SHAPAnalyzer(BaseRootCauseAnalyzer):
     def _sample(self, ds: SparkDataset, cols, n):
         df = ds.df.select([F.col(c).cast("double").alias(c) for c in cols]).na.fill(0.0)
         return (
-            df.orderBy(F.xxhash64(*cols), *cols).limit(n).toPandas().values.astype(float)
+            content_keyed_top_n(df, n, F.xxhash64(*cols), cols)
+            .toPandas().values.astype(float)
         )
 
     def analyze(self, reference_data, test_data, localization=None, model=None) -> RCAResult:
@@ -325,7 +327,7 @@ class PermutationImportanceRCA(BaseRootCauseAnalyzer):
             sel = [F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols]
             d = ds.df.select(*sel)
             if cap is not None:
-                d = d.orderBy(F.xxhash64(*cols), *cols).limit(cap)
+                d = content_keyed_top_n(d, cap, F.xxhash64(*cols), cols)
             return d.withColumn("label", F.lit(float(label)))
 
         u = (
