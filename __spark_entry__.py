@@ -899,7 +899,7 @@ def _q_streaming_verdicts(spark, sf_dir):
             .parquet(f"{in_dir}/b*")
         )
         q = monitor.start(stream, f"{work}/sink", f"{work}/ckpt")
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "streaming oracle query timed out"
         rows = (
             spark.read.parquet(f"{work}/sink")
             .select(
@@ -992,7 +992,7 @@ def _q_streaming_cumulative(spark, sf_dir):
             )
             started.append((check, stat_col, qn, q))
         for check, stat_col, qn, q in started:
-            q.awaitTermination(300)
+            assert q.awaitTermination(300), "streaming oracle query timed out"
             pdf = spark.sql(f"SELECT * FROM {qn}").toPandas()
             # final cumulative emission per feature = max n_seen
             final = pdf.sort_values("n_seen").groupby("feature", as_index=False).last()

@@ -139,92 +139,9 @@ class StreamingDriftMonitor:
                 }
             )
         if self.ref_cat_counts:
-            from driftspark.verdicts import CHI2_OTHER_BUCKET, chi2_from_count_maps
+            from driftspark.verdicts import chi2_from_count_maps
 
-            def v_expr(c):
-                # for a feature the fit capped, remap unseen/tail batch
-                # categories into the other-bucket IN SPARK, so the collect
-                # stays bounded at max_categories rows per feature no
-                # matter what the batch contains
-                col = F.col(c).cast("string")
-                if c in self._capped_cats:
-                    kept = list(self.ref_cat_counts[c].keys())
-                    # NULL stays NULL (excluded below, never other-bucketed)
-                    return F.when(col.isNull(), F.lit(None).cast("string")).when(
-                        col.isin(kept), col
-                    ).otherwise(F.lit(CHI2_OTHER_BUCKET))
-                return col
-
-            structs = [
-                F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v"))
-                for c in self.cat_cols
-            ]
-            grouped = (
-                batch_df.select(F.explode(F.array(*structs)).alias("fv"))
-                .select("fv.feature", "fv.v")
-                .where(F.col("v").isNotNull())
-                .groupBy("feature", "v")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            # cardinality guard for EVERY feature, not only those the fit
-            # capped: rank each feature's batch categories with fitted
-            # reference members first, and fold everything past the cap
-            # into the other-bucket IN SPARK — so the collect is bounded
-            # at O(features x max_categories) no matter what the batch
-            # contains (ids/captions landing in a cat col).  Under the
-            # cap nothing folds: the verdict stays bit-identical to the
-            # unguarded path.  (Capped features are already bounded and
-            # other-bucketed by v_expr above; the rank guard is a no-op
-            # for them.)
-            # the microbatch session is a clone per trigger, so the tiny
-            # membership table is recreated per batch from the once-built
-            # row list (bounded at features x max_categories rows)
-            ref_members = batch_df.sparkSession.createDataFrame(
-                self._ref_member_rows, "feature string, v string"
-            ).withColumn("in_ref", F.lit(True))
-            w_guard = Window.partitionBy("feature").orderBy(
-                F.col("in_ref").desc(), F.col("c").desc(), "v"
-            )
-            w_feat = Window.partitionBy("feature")
-            # fold ONLY when the feature's distinct batch count actually
-            # EXCEEDS the cap (strict >, same convention as
-            # fit_ref_category_counts / chi2_by_partition) — at exactly
-            # max_categories nothing folds and no warning fires
-            batch_counts = (
-                grouped.join(F.broadcast(ref_members), ["feature", "v"], "left")
-                .withColumn("in_ref", F.coalesce(F.col("in_ref"), F.lit(False)))
-                .withColumn("rn", F.row_number().over(w_guard))
-                .withColumn("n_f", F.count(F.lit(1)).over(w_feat))
-                .withColumn(
-                    "v",
-                    F.when(
-                        F.col("in_ref")
-                        | (F.col("n_f") <= self.max_categories)
-                        | (F.col("rn") < self.max_categories),
-                        F.col("v"),
-                    ).otherwise(F.lit(CHI2_OTHER_BUCKET)),
-                )
-                .groupBy("feature", "v")
-                .agg(F.sum("c").alias("c"))
-                .collect()
-            )
-            by_feat: dict = {c: {} for c in self.cat_cols}
-            for r in batch_counts:
-                by_feat[r["feature"]][r["v"]] = int(r["c"])
-            folded = sorted(
-                c
-                for c in self.cat_cols
-                if c not in self._capped_cats and CHI2_OTHER_BUCKET in by_feat[c]
-            )
-            if folded:
-                logger.warning(
-                    "StreamingDriftMonitor: batch category count exceeded "
-                    "max_categories=%d for feature(s) %s; tail categories "
-                    "merged into %r for this batch's chi2",
-                    self.max_categories,
-                    folded,
-                    CHI2_OTHER_BUCKET,
-                )
+            by_feat = self._batch_cat_counts(batch_df)
             for c in self.cat_cols:
                 stat, p, _, _ = chi2_from_count_maps(self.ref_cat_counts[c], by_feat[c])
                 rows.append(
@@ -258,6 +175,99 @@ class StreamingDriftMonitor:
                     }
                 )
         return rows
+
+    def _batch_cat_counts(self, batch_df: DataFrame) -> dict:
+        """Cardinality-guarded per-feature category counts for one batch —
+        the map chi2 scores against.  Public-ish for tests: asserting this
+        map directly verifies the Spark-side fold (the chi-square alone
+        can be inf on both sides and hide a wrong fold)."""
+        from driftspark.verdicts import CHI2_OTHER_BUCKET
+
+        def v_expr(c):
+            # for a feature the fit capped, remap unseen/tail batch
+            # categories into the other-bucket IN SPARK, so the collect
+            # stays bounded at max_categories rows per feature no
+            # matter what the batch contains
+            col = F.col(c).cast("string")
+            if c in self._capped_cats:
+                kept = list(self.ref_cat_counts[c].keys())
+                # NULL stays NULL (excluded below, never other-bucketed)
+                return F.when(col.isNull(), F.lit(None).cast("string")).when(
+                    col.isin(kept), col
+                ).otherwise(F.lit(CHI2_OTHER_BUCKET))
+            return col
+
+        structs = [
+            F.struct(F.lit(c).alias("feature"), v_expr(c).alias("v"))
+            for c in self.cat_cols
+        ]
+        grouped = (
+            batch_df.select(F.explode(F.array(*structs)).alias("fv"))
+            .select("fv.feature", "fv.v")
+            .where(F.col("v").isNotNull())
+            .groupBy("feature", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # cardinality guard for EVERY feature, not only those the fit
+        # capped: rank each feature's batch categories with fitted
+        # reference members first, and fold everything past the cap
+        # into the other-bucket IN SPARK — so the collect is bounded
+        # at O(features x max_categories) no matter what the batch
+        # contains (ids/captions landing in a cat col).  Under the
+        # cap nothing folds: the verdict stays bit-identical to the
+        # unguarded path.  (Capped features are already bounded and
+        # other-bucketed by v_expr above; the rank guard is a no-op
+        # for them.)
+        # the microbatch session is a clone per trigger, so the tiny
+        # membership table is recreated per batch from the once-built
+        # row list (bounded at features x max_categories rows)
+        ref_members = batch_df.sparkSession.createDataFrame(
+            self._ref_member_rows, "feature string, v string"
+        ).withColumn("in_ref", F.lit(True))
+        w_guard = Window.partitionBy("feature").orderBy(
+            F.col("in_ref").desc(), F.col("c").desc(), "v"
+        )
+        w_feat = Window.partitionBy("feature")
+        # fold ONLY when the feature's distinct batch count actually
+        # EXCEEDS the cap (strict >, same convention as
+        # fit_ref_category_counts / chi2_by_partition) — at exactly
+        # max_categories nothing folds and no warning fires
+        batch_counts = (
+            grouped.join(F.broadcast(ref_members), ["feature", "v"], "left")
+            .withColumn("in_ref", F.coalesce(F.col("in_ref"), F.lit(False)))
+            .withColumn("rn", F.row_number().over(w_guard))
+            .withColumn("n_f", F.count(F.lit(1)).over(w_feat))
+            .withColumn(
+                "v",
+                F.when(
+                    F.col("in_ref")
+                    | (F.col("n_f") <= self.max_categories)
+                    | (F.col("rn") < self.max_categories),
+                    F.col("v"),
+                ).otherwise(F.lit(CHI2_OTHER_BUCKET)),
+            )
+            .groupBy("feature", "v")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        by_feat: dict = {c: {} for c in self.cat_cols}
+        for r in batch_counts:
+            by_feat[r["feature"]][r["v"]] = int(r["c"])
+        folded = sorted(
+            c
+            for c in self.cat_cols
+            if c not in self._capped_cats and CHI2_OTHER_BUCKET in by_feat[c]
+        )
+        if folded:
+            logger.warning(
+                "StreamingDriftMonitor: batch category count exceeded "
+                "max_categories=%d for feature(s) %s; tail categories "
+                "merged into %r for this batch's chi2",
+                self.max_categories,
+                folded,
+                CHI2_OTHER_BUCKET,
+            )
+        return by_feat
 
     def start(
         self,

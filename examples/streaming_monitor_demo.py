@@ -63,7 +63,7 @@ def main() -> None:
             .parquet(f"{tmp}/in/*")
         )
         q = monitor.start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream timed out"
 
         out = (
             spark.read.parquet(f"{tmp}/sink")

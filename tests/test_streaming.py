@@ -31,7 +31,7 @@ def test_streaming_drift_monitor_end_to_end(spark):
             .parquet(f"{tmp}/in/*")
         )
         q = monitor.start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         out = spark.read.parquet(f"{tmp}/sink").toPandas()
         assert set(out["feature"]) == {"x", "y"}
@@ -135,7 +135,7 @@ def test_cumulative_psi_stateful_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         updates = spark.sql("SELECT * FROM cumpsi").toPandas()
         # one update row per trigger; the final one has seen everything
@@ -246,7 +246,7 @@ def test_streaming_payload_validation(spark):
             .parquet(f"{tmp}/in/*")
         )
         q = start_payload_validation_stream(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         out = spark.read.parquet(f"{tmp}/sink").toPandas()
         assert len(out) == 60
@@ -297,7 +297,7 @@ def test_cumulative_ks_stateful_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         updates = spark.sql("SELECT * FROM cumks").toPandas()
         final = updates.sort_values("n_seen").iloc[-1]
@@ -356,7 +356,7 @@ def test_cumulative_chi2_stateful_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         final = spark.sql("SELECT * FROM cumchi").toPandas().sort_values("n_seen").iloc[-1]
         assert final["n_seen"] == 2400
@@ -410,6 +410,11 @@ def test_streaming_chi2_uncapped_feature_guarded_collect(spark):
         key = v if keep else CHI2_OTHER_BUCKET
         tmap[key] = tmap.get(key, 0) + counts[v]
     assert tmap[CHI2_OTHER_BUCKET] == 493  # 500 novel ids, 7 kept
+    # assert the COLLECTED COUNT MAP itself: the chi-square is inf on both
+    # sides here (novel categories have ref count 0), so a statistic-only
+    # comparison could not catch a wrong or missing fold
+    got_map = monitor._batch_cat_counts(spark.createDataFrame(batch_pdf))["cat"]
+    assert got_map == tmap
     stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
     r = rows[("chi2", "cat")]
     assert r["statistic"] == pytest.approx(stat, abs=1e-12)
@@ -439,6 +444,10 @@ def test_streaming_chi2_novel_cats_under_cap_kept_separate(spark):
         for r in monitor.score_batch(spark.createDataFrame(batch_pdf))
     }
     tmap = pd.Series(batch_cats).value_counts().to_dict()
+    # the map assertion is the real check (the statistic is inf on both
+    # sides because of the novel categories): nothing may fold
+    got_map = monitor._batch_cat_counts(spark.createDataFrame(batch_pdf))["cat"]
+    assert got_map == tmap
     stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
     assert rows[("chi2", "cat")]["statistic"] == pytest.approx(stat, abs=1e-12)
     assert rows[("chi2", "cat")]["p_value"] == pytest.approx(p, abs=1e-12)
@@ -461,13 +470,21 @@ def test_cumulative_chi2_stream_partials_and_unseen_fold(spark):
     tmp = tempfile.mkdtemp()
     try:
         rng = np.random.RandomState(29)
+        # 4 reference categories fitted with max_categories=3: the fit caps
+        # to top-2 + __chi2_other__, so the other-bucket has a NONZERO
+        # reference count and the cumulative chi-square stays FINITE — an
+        # all-unseen fold with ref(other)=0 gives inf on both sides and
+        # the statistic assertions below would be vacuous
         ref_pdf = pd.DataFrame({
-            "cat": rng.choice(["a", "b", "c"], 3000, p=[0.5, 0.3, 0.2])
+            "cat": rng.choice(["a", "b", "c", "d"], 3000, p=[0.5, 0.3, 0.15, 0.05])
         })
         ref_counts, capped = fit_ref_category_counts(
-            spark.createDataFrame(ref_pdf), ["cat"]
+            spark.createDataFrame(ref_pdf), ["cat"], max_categories=3
         )
-        assert not capped
+        assert capped == {"cat"}
+        from driftspark.verdicts import CHI2_OTHER_BUCKET as OTHER
+        assert set(ref_counts["cat"]) == {"a", "b", OTHER}
+        assert ref_counts["cat"][OTHER] > 0
         b0 = pd.DataFrame({"cat": ["a"] * 400 + ["b"] * 300 + ["zzz-novel"] * 100})
         b1 = pd.DataFrame({"cat": ["a"] * 300 + [f"id-{i}" for i in range(200)]})
         spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
@@ -494,7 +511,7 @@ def test_cumulative_chi2_stream_partials_and_unseen_fold(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         final = (
             spark.sql("SELECT * FROM cumchi2guard")
@@ -503,6 +520,7 @@ def test_cumulative_chi2_stream_partials_and_unseen_fold(spark):
         assert final["n_seen"] == 1300
         tmap = {"a": 700, "b": 300, CHI2_OTHER_BUCKET: 300}  # all novel folded
         stat, p, _, _ = chi2_from_count_maps(ref_counts["cat"], tmap)
+        assert np.isfinite(stat) and 0.0 < p < 1.0  # a REAL comparison
         assert final["chi2_stat"] == pytest.approx(stat, abs=1e-9)
         assert final["p_value"] == pytest.approx(p, abs=1e-12)
     finally:
@@ -542,7 +560,7 @@ def test_streaming_monitor_skips_empty_batch(spark):
             .parquet(f"{tmp}/in/*")
         )
         q = monitor.start(stream, f"{tmp}/sink", f"{tmp}/ckpt")
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
         out = spark.read.parquet(f"{tmp}/sink").toPandas()
         # only the non-empty batch produced rows (1 psi + 1 ks for x)
@@ -576,13 +594,17 @@ def test_streaming_monitor_checkpoint_restart_exactly_once(spark):
 
         b0 = pd.DataFrame({"x": rng.normal(0, 1, 800)})
         spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
-        monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(120)
+        assert monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(
+            120
+        ), "stream timed out"
         first = spark.read.parquet(f"{tmp}/sink").toPandas()
         assert len(first) == 2  # psi + ks for x, one batch
 
         b1 = pd.DataFrame({"x": rng.normal(0, 1, 600)})
         spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
-        monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(120)
+        assert monitor.start(stream(), f"{tmp}/sink", f"{tmp}/ckpt").awaitTermination(
+            120
+        ), "stream timed out"
         out = spark.read.parquet(f"{tmp}/sink").toPandas()
 
         # b0's rows were NOT re-appended; b1 landed under a new batch_id
@@ -617,18 +639,137 @@ def test_streaming_chi2_guard_boundary_exactly_at_cap(spark):
         }
         return rows[("chi2", "cat")]
 
-    # exactly 10 distinct (2 ref + 8 novel): nothing folds
-    at_cap = ["a"] * 50 + ["b"] * 40 + sum(([f"n{i}"] * 6 for i in range(8)), [])
-    r = score(at_cap)
-    tmap = pd.Series(at_cap).value_counts().to_dict()
-    stat, p, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], tmap)
-    assert r["statistic"] == pytest.approx(stat, abs=1e-12)
+    def batch_map(cats):
+        pdf = pd.DataFrame({"x": rng.normal(0, 1, len(cats)), "cat": cats})
+        return monitor._batch_cat_counts(spark.createDataFrame(pdf))["cat"]
 
-    # 11 distinct: exactly the lowest-ranked novel value folds
+    # exactly 10 distinct (2 ref + 8 novel): nothing folds (n_f <= cap)
+    at_cap = ["a"] * 50 + ["b"] * 40 + sum(([f"n{i}"] * 6 for i in range(8)), [])
+    assert batch_map(at_cap) == pd.Series(at_cap).value_counts().to_dict()
+
+    # 11 distinct: every novel value ranked AT or past the cap folds — the
+    # keep condition is rn < max_categories, so n7 (rn == 10) folds along
+    # with n8 (rn == 11); ref members a/b always keep
     over_cap = at_cap + ["n8"] * 5
-    r2 = score(over_cap)
     counts = pd.Series(over_cap).value_counts().to_dict()
-    # n8 (count 5) ranks last among novels -> becomes the other-bucket
-    counts[CHI2_OTHER_BUCKET] = counts.pop("n8")
+    counts[CHI2_OTHER_BUCKET] = counts.pop("n7") + counts.pop("n8")
+    assert batch_map(over_cap) == counts
+    # and score_batch consumes exactly that map
+    r2 = score(over_cap)
     stat2, p2, _, _ = chi2_from_count_maps(monitor.ref_cat_counts["cat"], counts)
     assert r2["statistic"] == pytest.approx(stat2, abs=1e-12)
+    assert r2["p_value"] == pytest.approx(p2, abs=1e-12)
+
+
+def test_cumulative_stream_state_stays_bounded_under_adversarial_batches(spark):
+    """Regression lock on the bounded-state claim: after N micro-batches
+    whose every batch carries FRESH unseen categories (chi2) and
+    out-of-grid extreme values (KS), each feature's checkpointed state row
+    — read back via the Spark state-store data source — has size
+    O(categories) / O(grid) and CONSTANT in N (same array lengths at the
+    first and last batch version)."""
+    from driftspark.streaming import (
+        cumulative_chi2_stream,
+        cumulative_ks_stream,
+        fit_ks_grid,
+    )
+    from driftspark.verdicts import CHI2_OTHER_BUCKET, fit_ref_category_counts
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.RandomState(43)
+        n_batches = 6
+
+        # ---- chi2: every batch brings 200 fresh never-seen categories
+        ref_counts, _ = fit_ref_category_counts(
+            spark.createDataFrame(
+                pd.DataFrame({"cat": ["a"] * 500 + ["b"] * 300 + ["c"] * 200})
+            ),
+            ["cat"],
+        )
+        for i in range(n_batches):
+            b = pd.DataFrame(
+                {"cat": ["a"] * 50 + [f"id-{i}-{j}" for j in range(200)]}
+            )
+            spark.createDataFrame(b).coalesce(1).write.parquet(f"{tmp}/cin/b{i}")
+        cstream = (
+            spark.readStream.schema("cat string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/cin/*")
+        )
+        q = (
+            cumulative_chi2_stream(cstream, ref_counts)
+            .writeStream.format("memory")
+            .queryName("sbchi2")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/cckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream timed out"
+        assert (
+            spark.sql("SELECT max(n_seen) AS n FROM sbchi2").first()["n"]
+            == 250 * n_batches
+        )
+
+        def chi2_state(batch_id):
+            rows = (
+                spark.read.format("statestore")
+                .option("batchId", batch_id)
+                .load(f"{tmp}/cckpt")
+                .collect()
+            )
+            assert len(rows) == 1  # one state row per feature
+            gs = rows[0]["value"]["groupState"]
+            return dict(zip(gs["cats"], gs["counts"]))
+
+        first, last = chi2_state(0), chi2_state(n_batches - 1)
+        # bounded: state categories are a subset of fitted-ref + other,
+        # NEVER the 1200 fresh ids the stream carried
+        assert set(last) <= set(ref_counts["cat"]) | {CHI2_OTHER_BUCKET}
+        # constant in N: no growth between the first and last version
+        assert len(last) == len(first)
+        assert last[CHI2_OTHER_BUCKET] == 200 * n_batches
+        assert last["a"] == 50 * n_batches
+
+        # ---- KS: every batch is far outside the fitted grid's range
+        ref_vals = pd.DataFrame({"x": rng.normal(0, 1, 3000)})
+        grid = fit_ks_grid(spark.createDataFrame(ref_vals), ["x"], n_grid=64)
+        grid_len = len(grid["x"][0])
+        for i in range(n_batches):
+            b = pd.DataFrame({"x": rng.normal(1e9 * (i + 1), 1.0, 300)})
+            spark.createDataFrame(b).coalesce(1).write.parquet(f"{tmp}/kin/b{i}")
+        kstream = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/kin/*")
+        )
+        q = (
+            cumulative_ks_stream(kstream, grid)
+            .writeStream.format("memory")
+            .queryName("sbks")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/kckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream timed out"
+
+        def ks_counts(batch_id):
+            rows = (
+                spark.read.format("statestore")
+                .option("batchId", batch_id)
+                .load(f"{tmp}/kckpt")
+                .collect()
+            )
+            assert len(rows) == 1
+            return rows[0]["value"]["groupState"]["counts"]
+
+        first_k, last_k = ks_counts(0), ks_counts(n_batches - 1)
+        # the count vector is ALWAYS len(grid)+1 longs — out-of-grid values
+        # land in the overflow bucket, the vector never grows
+        assert len(first_k) == len(last_k) == grid_len + 1
+        assert last_k[-1] == 300 * n_batches  # all mass beyond the grid
+        assert sum(last_k) == 300 * n_batches
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
