@@ -618,7 +618,7 @@ def _q_ann_ivf(spark, sf_dir):
     return top.select("vec_id", "centroid_id", F.round("cosine", 6).alias("cosine"))
 
 
-def _oracle_scratch_path(kind: str, source_fns, **params) -> str:
+def _oracle_scratch_path(kind: str, source_fns, suffix: str = ".parquet", **params) -> str:
     """Content-keyed /tmp path for oracle-side persisted tables: the key
     hashes the generator params AND the generator source, so concurrent
     harness runs of the same version share identical bytes harmlessly,
@@ -629,7 +629,7 @@ def _oracle_scratch_path(kind: str, source_fns, **params) -> str:
     h = hashlib.md5(repr(sorted(params.items())).encode())
     for fn in source_fns:
         h.update(inspect.getsource(fn).encode())
-    return f"/tmp/driftspark_oracle_{kind}_{h.hexdigest()[:12]}.parquet"
+    return f"/tmp/driftspark_oracle_{kind}_{h.hexdigest()[:12]}{suffix}"
 
 
 IMG_GEN_PARAMS = dict(
@@ -1010,6 +1010,272 @@ def _q_streaming_cumulative(spark, sf_dir):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# results-timeline analytics (driftspark.timeline vs data_loader.py:33-351)
+# ---------------------------------------------------------------------------
+
+
+def _synth_results_payload() -> dict:
+    """Deterministic multi-year results JSON in the exact shape
+    sinks.write_results_json emits (and the reference dashboard loader
+    consumes): 4 pipelines/year for 2015-2018, a detectors-dict year 2019
+    (the loader's other accepted format), localization on the first
+    pipeline, RCA on odd years, metadata-vs-year-level accuracy fallbacks,
+    and a non-year key the year filter must skip.  Pure literal arithmetic
+    — both engines parse the identical serialized decimals."""
+    detectors = ["ks_test", "psi", "mmd", "cbpe"]
+    pnames = {"ks_test": "KS Test", "psi": "PSI", "mmd": "MMD", "cbpe": "CBPE"}
+    sev = ["none", "low", "medium", "high", "critical"]
+    feats = ["age", "income", "hours", "edu"]
+    payload: dict = {"run_config": {"note": "synthetic timeline-oracle results"}}
+    for yi, year in enumerate(range(2015, 2019)):
+        pipelines = {}
+        for di, d in enumerate(detectors):
+            score = round(0.02 * (yi + 1) * (di + 1), 6)
+            det = {
+                "detector_name": d,
+                "drift_detected": score > 0.05,
+                "severity": sev[(yi + di) % 5],
+                "score": score,
+                "threshold": 0.05,
+            }
+            if di % 2 == 0:
+                det["p_value"] = round(0.5 / (yi + di + 1), 6)
+            entry = {"detection": det, "localization": None, "rca": None}
+            if di == 0:
+                entry["localization"] = {
+                    "method_name": "univariate",
+                    "feature_drifts": [
+                        {
+                            "feature_name": f,
+                            "drift_detected": (yi + fi) % 2 == 0,
+                            "score": round(0.01 * (fi + 1) * (yi + 1), 6),
+                            "p_value": round(0.8 / (fi + 1), 6),
+                            "severity": sev[(yi + fi) % 5],
+                        }
+                        for fi, f in enumerate(feats)
+                    ],
+                }
+                if yi % 2 == 1:
+                    entry["rca"] = {
+                        "analyzer_name": "distribution_change",
+                        "feature_importances": {
+                            f: round(0.1 * (fi + 1), 6)
+                            for fi, f in enumerate(feats)
+                        },
+                        "recommendations": [f"inspect {f}" for f in feats[: yi + 1]],
+                        "distribution_changes": {
+                            f: {
+                                "ref_mean": fi + 0.5,
+                                "test_mean": fi + 0.75,
+                                "mean_shift": 0.25,
+                                "std_shift": round(0.1 * fi, 6),
+                                "separability_importance": round(0.2 * (fi + 1), 6),
+                            }
+                            for fi, f in enumerate(feats)
+                        },
+                    }
+            pipelines[pnames[d]] = entry
+        ydata: dict = {"pipelines": pipelines}
+        if yi % 2 == 0:
+            ydata["actual_accuracy"] = round(0.9 - 0.01 * (yi + 1), 6)
+            ydata["accuracy_drop"] = round(-0.01 * (yi + 1), 6)
+        else:
+            ydata["metadata"] = {
+                "test_accuracy": round(0.9 - 0.01 * (yi + 1), 6),
+                "accuracy_delta": round(-0.01 * (yi + 1), 6),
+            }
+        payload[str(year)] = ydata
+    payload["2019"] = {
+        "detectors": {
+            "ks_test": {
+                "drift_detected": True, "severity": "high",
+                "score": 0.4, "threshold": 0.05, "p_value": 0.001,
+            },
+            "psi": {"drift_detected": False, "severity": "none", "score": 0.03},
+        },
+        "actual_accuracy": 0.85,
+    }
+    return payload
+
+
+def _oracle_results_path() -> str:
+    return _oracle_scratch_path("results", [_synth_results_payload], suffix=".json")
+
+
+def _ensure_oracle_results_json(path: str) -> None:
+    if os.path.exists(path):
+        return
+    import json as _json
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(_synth_results_payload(), f, indent=2)
+    os.replace(tmp, path)  # atomic under concurrent harness runs
+
+
+def _q_timeline(spark, sf_dir):
+    """All-detectors results timeline (data_loader.get_all_detectors_timeline
+    parity): distributed JSON parse over the results file, both the
+    detectors-dict and pipelines formats."""
+    from driftspark.timeline import DriftResultsTimeline
+
+    path = _oracle_results_path()
+    _ensure_oracle_results_json(path)
+    return DriftResultsTimeline(spark, path).all_detectors_timeline()
+
+
+def _q_timeline_features(spark, sf_dir):
+    """Per-feature drift timeline (data_loader.get_feature_drift_timeline
+    parity)."""
+    from driftspark.timeline import DriftResultsTimeline
+
+    path = _oracle_results_path()
+    _ensure_oracle_results_json(path)
+    return (
+        DriftResultsTimeline(spark, path)
+        .feature_drift_timeline()
+        .orderBy("year", "feature")
+    )
+
+
+def _q_timeline_summary(spark, sf_dir):
+    """Cross-year summary stats (data_loader.get_summary_stats parity) as
+    one row."""
+    from driftspark.timeline import DriftResultsTimeline
+
+    path = _oracle_results_path()
+    _ensure_oracle_results_json(path)
+    s = DriftResultsTimeline(spark, path).summary_stats()
+    return spark.createDataFrame(
+        [(
+            s["total_years"], s["detectors_count"], s["total_drift_events"],
+            round(s["avg_accuracy"], 9), s["accuracy_range"][0],
+            s["accuracy_range"][1], s["unique_drifted_features"],
+        )],
+        "total_years long, detectors_count long, total_drift_events long, "
+        "avg_accuracy double, acc_min double, acc_max double, "
+        "unique_drifted_features long",
+    )
+
+
+def _timeline_cte(path: str) -> str:
+    """Shared DuckDB CTE prefix: years + detections from either format."""
+    return f"""
+        raw AS (
+          SELECT json AS j FROM read_json('{path}',
+            format='unstructured', records=false, columns={{'json': 'JSON'}})
+        ),
+        yr AS (
+          SELECT k AS ys, raw.j -> k AS yd
+          FROM raw, unnest(json_keys(raw.j)) AS t(k)
+          WHERE regexp_full_match(k, '[0-9]+')
+        ),
+        det_direct AS (
+          SELECT CAST(ys AS INTEGER) AS year, dk AS detector_name,
+                 yd -> '$.detectors' -> dk AS det
+          FROM yr, unnest(json_keys(yd, '$.detectors')) AS t(dk)
+        ),
+        det_pl AS (
+          SELECT CAST(ys AS INTEGER) AS year,
+                 (yd -> '$.pipelines' -> pk) ->> '$.detection.detector_name'
+                   AS detector_name,
+                 (yd -> '$.pipelines' -> pk) -> '$.detection' AS det
+          FROM yr, unnest(json_keys(yd, '$.pipelines')) AS t(pk)
+          WHERE json_keys(yd, '$.detectors') IS NULL
+            -- full parens: ->> binds LOOSER than IS NOT NULL in duckdb
+            AND ((yd -> '$.pipelines' -> pk) ->> '$.detection.detector_name')
+                IS NOT NULL
+        ),
+        detections AS (
+          SELECT * FROM det_direct UNION ALL SELECT * FROM det_pl
+        )
+    """
+
+
+_TITLE_SQL = (
+    "array_to_string(list_transform("
+    "string_split(replace(detector_name, '_', ' '), ' '), "
+    "x -> upper(x[1]) || lower(x[2:])), ' ')"
+)
+
+
+def _timeline_sql(path: str) -> str:
+    return f"""
+        WITH {_timeline_cte(path)}
+        SELECT year,
+               {_TITLE_SQL} AS detector,
+               COALESCE(CAST(det -> '$.drift_detected' AS BOOLEAN), false)
+                 AS drift_detected,
+               COALESCE(det ->> '$.severity', 'none') AS severity,
+               COALESCE(CAST(det -> '$.score' AS DOUBLE), 0.0) AS score
+        FROM detections
+        ORDER BY year, detector
+    """
+
+
+def _timeline_loc_cte() -> str:
+    return """
+        loc AS (
+          SELECT CAST(ys AS INTEGER) AS year,
+                 COALESCE(yd -> '$.localization',
+                          (yd -> '$.pipelines' -> pk) -> '$.localization')
+                   AS lj
+          FROM yr, unnest(json_keys(yd, '$.pipelines')) AS t(pk)
+          WHERE ((yd -> '$.pipelines' -> pk) -> '$.localization') IS NOT NULL
+        ),
+        fd AS (
+          SELECT year,
+                 unnest(CAST(lj -> '$.feature_drifts' AS JSON[])) AS f
+          FROM loc
+        ),
+        feature_rows AS (
+          SELECT year,
+                 f ->> '$.feature_name' AS feature,
+                 CAST(f -> '$.score' AS DOUBLE) AS drift_score,
+                 CAST(f -> '$.drift_detected' AS BOOLEAN) AS drift_detected,
+                 COALESCE(f ->> '$.severity', 'none') AS severity
+          FROM fd
+        )
+    """
+
+
+def _timeline_features_sql(path: str) -> str:
+    return f"""
+        WITH {_timeline_cte(path)},
+        {_timeline_loc_cte()}
+        SELECT * FROM feature_rows ORDER BY year, feature
+    """
+
+
+def _timeline_summary_sql(path: str) -> str:
+    return f"""
+        WITH {_timeline_cte(path)},
+        {_timeline_loc_cte()},
+        perf AS (
+          SELECT CAST(ys AS INTEGER) AS year,
+                 COALESCE(
+                   NULLIF(CAST(yd -> '$.metadata.test_accuracy' AS DOUBLE), 0.0),
+                   CAST(yd -> '$.actual_accuracy' AS DOUBLE), 0.0) AS accuracy
+          FROM yr
+        )
+        SELECT
+          (SELECT count(DISTINCT year)
+             FROM (SELECT CAST(ys AS INTEGER) AS year FROM yr)) AS total_years,
+          (SELECT count(DISTINCT {_TITLE_SQL}) FROM detections)
+            AS detectors_count,
+          (SELECT count(*) FROM detections
+             WHERE COALESCE(CAST(det -> '$.drift_detected' AS BOOLEAN), false))
+            AS total_drift_events,
+          (SELECT round(avg(accuracy), 9) FROM perf) AS avg_accuracy,
+          (SELECT min(accuracy) FROM perf) AS acc_min,
+          (SELECT max(accuracy) FROM perf) AS acc_max,
+          (SELECT count(DISTINCT feature) FROM feature_rows
+             WHERE drift_detected) AS unique_drifted_features
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": _q_profile_stats,
@@ -1051,6 +1317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "streaming_verdicts": _q_streaming_verdicts,
         "streaming_cumulative": _q_streaming_cumulative,
+        "timeline": _q_timeline,
+        "timeline_features": _q_timeline_features,
+        "timeline_summary": _q_timeline_summary,
     }
 
 
@@ -2296,4 +2565,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
         "streaming_verdicts": _streaming_verdicts_sql(),
         "streaming_cumulative": _streaming_cumulative_sql(),
+        "timeline": (
+            _ensure_oracle_results_json(_oracle_results_path())
+            or _timeline_sql(_oracle_results_path())
+        ),
+        "timeline_features": (
+            _ensure_oracle_results_json(_oracle_results_path())
+            or _timeline_features_sql(_oracle_results_path())
+        ),
+        "timeline_summary": (
+            _ensure_oracle_results_json(_oracle_results_path())
+            or _timeline_summary_sql(_oracle_results_path())
+        ),
     }

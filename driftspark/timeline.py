@@ -1,0 +1,391 @@
+"""Results-timeline analytics — the dashboard data layer.
+
+Reference parity: examples/dashboard/data_loader.py:33-351
+(DriftResultsLoader.get_detector_timeline / get_all_detectors_timeline /
+get_feature_drift_timeline / get_performance_metrics / get_summary_stats /
+get_available_years / get_available_detectors / get_rca_results /
+get_feature_importance_changes).  The reference loads ONE results JSON
+into pandas frames on the driver; this module parses the same JSON
+surface DISTRIBUTED — ``spark.read.text(wholetext)`` over any number of
+results files (a fleet of monitored pipelines each appending run results)
+with every frame derived through JVM-side ``from_json`` /
+``get_json_object`` expressions (map types absorb the dynamic year /
+pipeline / feature keys); no Python row UDF anywhere, so a million-file
+results lake scans in parallel and Catalyst prunes whatever frame a
+dashboard asks for.
+
+Format quirks mirrored from the reference loader:
+- years live either under ``yearly_results`` or at the top level; non-year
+  keys are skipped (``isdigit`` → rlike '^[0-9]+$').
+- per-year detector results live either in a ``detectors`` dict or inside
+  ``pipelines.*.detection``.
+- ``get_performance_metrics`` uses Python ``or`` fallbacks, so a 0.0 in
+  metadata falls through to the year-level value — mirrored exactly.
+- ``get_feature_drift_timeline`` takes the FIRST pipeline carrying a
+  localization (dict insertion order) — mirrored via posexplode order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_MAP = "map<string,string>"
+_DETECTION_SCHEMA = (
+    "detector_name string, drift_detected boolean, severity string, "
+    "score double, threshold double, p_value double"
+)
+_FEATURE_DRIFT_SCHEMA = (
+    "array<struct<feature_name string, drift_detected boolean, "
+    "score double, p_value double, severity string>>"
+)
+_RCA_SCHEMA = (
+    "analyzer_name string, feature_importances map<string,double>, "
+    "recommendations array<string>"
+)
+_DIST_CHANGE_SCHEMA = (
+    "map<string,struct<ref_importance double, test_importance double, "
+    "change double>>"
+)
+
+
+class DriftResultsTimeline:
+    """Timeline frames over drift-results JSON files.
+
+    ``path`` accepts anything ``spark.read.text`` does: one file, a glob,
+    or a directory of per-run results (each file one JSON document, the
+    shape ``sinks.write_results_json`` emits).  Every accessor returns a
+    DataFrame; ``summary_stats`` aggregates one small dict on the driver.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._years: Optional[DataFrame] = None
+
+    # -- base frames --------------------------------------------------
+
+    def years_df(self) -> DataFrame:
+        """(source, year int, ydata json-string) — one row per year per
+        results file; the shared base every frame derives from."""
+        if self._years is None:
+            raw = (
+                self.spark.read.text(self.path, wholetext=True)
+                .select(
+                    F.input_file_name().alias("source"),
+                    # years either under yearly_results or at top level
+                    F.coalesce(
+                        F.get_json_object("value", "$.yearly_results"),
+                        F.col("value"),
+                    ).alias("doc"),
+                )
+                .select(
+                    "source",
+                    F.explode(F.from_json("doc", _MAP)).alias("year_key", "ydata"),
+                )
+                .where(F.col("year_key").rlike("^[0-9]+$"))
+                .select(
+                    "source",
+                    F.col("year_key").cast("int").alias("year"),
+                    "ydata",
+                )
+            )
+            self._years = raw
+        return self._years
+
+    def _pipelines_df(self) -> DataFrame:
+        """(source, year, pos, pipeline, pdata) — pipelines exploded in
+        JSON insertion order (pos mirrors the reference's dict order)."""
+        return self.years_df().select(
+            "source",
+            "year",
+            F.posexplode(
+                F.from_json(F.get_json_object("ydata", "$.pipelines"), _MAP)
+            ).alias("pos", "pipeline", "pdata"),
+        )
+
+    def _detections_df(self) -> DataFrame:
+        """(source, year, detector_name, detection struct) from BOTH
+        formats: the ``detectors`` dict when present, else
+        ``pipelines.*.detection`` (data_loader.py:100-128)."""
+        years = self.years_df().withColumn(
+            "dmap", F.from_json(F.get_json_object("ydata", "$.detectors"), _MAP)
+        ).withColumn("n_det", F.coalesce(F.size("dmap"), F.lit(0)))
+        from_detectors = (
+            years.where(F.col("n_det") > 0)
+            .select(
+                "source",
+                "year",
+                F.explode("dmap").alias("detector_name", "djson"),
+            )
+            .withColumn("det", F.from_json("djson", _DETECTION_SCHEMA))
+        )
+        from_pipelines = (
+            years.where(F.col("n_det") <= 0)
+            .select(
+                "source",
+                "year",
+                F.posexplode(
+                    F.from_json(F.get_json_object("ydata", "$.pipelines"), _MAP)
+                ).alias("pos", "pipeline", "pdata"),
+            )
+            .withColumn(
+                "det",
+                F.from_json(
+                    F.get_json_object("pdata", "$.detection"), _DETECTION_SCHEMA
+                ),
+            )
+            .where(F.col("det.detector_name").isNotNull())
+            .withColumn("detector_name", F.col("det.detector_name"))
+        )
+        cols = ["source", "year", "detector_name", "det"]
+        return from_detectors.select(cols).unionByName(
+            from_pipelines.select(cols)
+        )
+
+    # -- reference-parity frames --------------------------------------
+
+    def detector_timeline(self, detector_name: str) -> DataFrame:
+        """year, drift_detected, severity, score, p_value, threshold for
+        one detector (data_loader.py:33-81; defaults False/'none'/0.0)."""
+        return (
+            self._detections_df()
+            .where(F.col("detector_name") == detector_name)
+            .select(
+                "year",
+                F.coalesce("det.drift_detected", F.lit(False)).alias(
+                    "drift_detected"
+                ),
+                F.coalesce("det.severity", F.lit("none")).alias("severity"),
+                F.coalesce("det.score", F.lit(0.0)).alias("score"),
+                F.col("det.p_value").alias("p_value"),
+                F.col("det.threshold").alias("threshold"),
+            )
+            .orderBy("year")
+        )
+
+    def all_detectors_timeline(self) -> DataFrame:
+        """year, detector (title-cased), drift_detected, severity, score
+        for every detector (data_loader.py:83-135)."""
+        return (
+            self._detections_df()
+            .select(
+                "year",
+                F.initcap(F.replace("detector_name", F.lit("_"), F.lit(" "))).alias(
+                    "detector"
+                ),
+                F.coalesce("det.drift_detected", F.lit(False)).alias(
+                    "drift_detected"
+                ),
+                F.coalesce("det.severity", F.lit("none")).alias("severity"),
+                F.coalesce("det.score", F.lit(0.0)).alias("score"),
+            )
+            .orderBy("year", "detector")
+        )
+
+    def feature_drift_timeline(self) -> DataFrame:
+        """year, feature, drift_score, drift_detected, severity — from the
+        year's direct localization, else the FIRST pipeline carrying one
+        (data_loader.py:137-180)."""
+        direct = self.years_df().select(
+            "source",
+            "year",
+            F.get_json_object("ydata", "$.localization").alias("ljson"),
+        )
+        w = Window.partitionBy("source", "year").orderBy("pos")
+        first_pipeline = (
+            self._pipelines_df()
+            .withColumn("ljson", F.get_json_object("pdata", "$.localization"))
+            .where(F.col("ljson").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("source", "year", "ljson")
+        )
+        loc = (
+            direct.where(F.col("ljson").isNotNull())
+            .unionByName(
+                direct.where(F.col("ljson").isNull())
+                .drop("ljson")
+                .join(first_pipeline, ["source", "year"], "inner")
+            )
+            .withColumn(
+                "fd",
+                F.from_json(
+                    F.get_json_object("ljson", "$.feature_drifts"),
+                    _FEATURE_DRIFT_SCHEMA,
+                ),
+            )
+            .where(F.size("fd") > 0)
+        )
+        return loc.select(
+            "year",
+            F.explode("fd").alias("f"),
+        ).select(
+            "year",
+            F.col("f.feature_name").alias("feature"),
+            F.col("f.score").alias("drift_score"),
+            F.col("f.drift_detected").alias("drift_detected"),
+            F.coalesce("f.severity", F.lit("none")).alias("severity"),
+        )
+
+    def performance_metrics(self) -> DataFrame:
+        """year, accuracy, accuracy_delta (data_loader.py:182-215).
+        Python-``or`` fallback semantics: a metadata value that is null OR
+        0.0 falls through to the year-level field, then to 0.0."""
+        y = self.years_df()
+
+        def _or(meta_path: str, year_path: str):
+            meta = F.get_json_object("ydata", meta_path).cast("double")
+            year_level = F.get_json_object("ydata", year_path).cast("double")
+            return F.coalesce(
+                F.nullif(meta, F.lit(0.0)), year_level, F.lit(0.0)
+            )
+
+        return y.select(
+            "year",
+            _or("$.metadata.test_accuracy", "$.actual_accuracy").alias("accuracy"),
+            _or("$.metadata.accuracy_delta", "$.accuracy_drop").alias(
+                "accuracy_delta"
+            ),
+        ).orderBy("year")
+
+    def summary_stats(self) -> Dict:
+        """Cross-year summary dict (data_loader.py:217-247)."""
+        det = self.all_detectors_timeline()
+        perf = self.performance_metrics()
+        feat = self.feature_drift_timeline()
+        d = det.agg(
+            F.countDistinct("detector").alias("detectors_count"),
+            F.sum(F.col("drift_detected").cast("long")).alias(
+                "total_drift_events"
+            ),
+        ).first()
+        p = perf.agg(
+            F.avg("accuracy").alias("avg"),
+            F.min("accuracy").alias("lo"),
+            F.max("accuracy").alias("hi"),
+        ).first()
+        n_years = self.years_df().select("year").distinct().count()
+        n_feat = (
+            feat.where("drift_detected").select("feature").distinct().count()
+        )
+        return {
+            "total_years": n_years,
+            "detectors_count": int(d["detectors_count"] or 0),
+            "total_drift_events": int(d["total_drift_events"] or 0),
+            "avg_accuracy": float(p["avg"]) if p["avg"] is not None else 0.0,
+            "accuracy_range": (
+                (float(p["lo"]), float(p["hi"]))
+                if p["lo"] is not None
+                else (0.0, 0.0)
+            ),
+            "unique_drifted_features": n_feat,
+        }
+
+    def available_years(self) -> List[int]:
+        return [
+            r["year"]
+            for r in self.years_df()
+            .select("year")
+            .distinct()
+            .orderBy("year")
+            .collect()
+        ]
+
+    def available_detectors(self) -> List[str]:
+        return [
+            r["detector_name"]
+            for r in self._detections_df()
+            .select("detector_name")
+            .distinct()
+            .orderBy("detector_name")
+            .collect()
+        ]
+
+    def rca_results(self) -> DataFrame:
+        """year, detector, analyzer, feature_importances,
+        recommendations, n_recommendations (data_loader.py:262-300)."""
+        pl = (
+            self._pipelines_df()
+            .withColumn("rjson", F.get_json_object("pdata", "$.rca"))
+            .where(F.col("rjson").isNotNull())
+            .withColumn("rca", F.from_json("rjson", _RCA_SCHEMA))
+            .withColumn(
+                "det",
+                F.from_json(
+                    F.get_json_object("pdata", "$.detection"), _DETECTION_SCHEMA
+                ),
+            )
+        )
+        return pl.select(
+            "year",
+            F.coalesce("det.detector_name", F.lit("unknown")).alias("detector"),
+            F.coalesce("rca.analyzer_name", F.lit("unknown")).alias("analyzer"),
+            F.col("rca.feature_importances").alias("feature_importances"),
+            F.col("rca.recommendations").alias("recommendations"),
+            F.coalesce(F.size("rca.recommendations"), F.lit(0)).alias(
+                "n_recommendations"
+            ),
+        )
+
+    def feature_importance_changes(self) -> DataFrame:
+        """year, feature, ref_importance, test_importance, change,
+        abs_change from rca.distribution_changes (data_loader.py:302-351;
+        .get defaults 0.0, change defaults test - ref)."""
+        pl = (
+            self._pipelines_df()
+            .withColumn(
+                "dc",
+                F.from_json(
+                    F.get_json_object("pdata", "$.rca.distribution_changes"),
+                    _DIST_CHANGE_SCHEMA,
+                ),
+            )
+            .where(F.size(F.map_keys("dc")) > 0)
+            .select("year", F.explode("dc").alias("feature", "v"))
+        )
+        ref_imp = F.coalesce("v.ref_importance", F.lit(0.0))
+        test_imp = F.coalesce("v.test_importance", F.lit(0.0))
+        change = F.coalesce(F.col("v.change"), test_imp - ref_imp)
+        return pl.select(
+            "year",
+            "feature",
+            ref_imp.alias("ref_importance"),
+            test_imp.alias("test_importance"),
+            change.alias("change"),
+            F.abs(change).alias("abs_change"),
+        )
+
+    def distribution_shift_timeline(self) -> DataFrame:
+        """year, feature, ref_mean, test_mean, mean_shift, std_shift,
+        separability_importance — the engine's OWN rca distribution_changes
+        shape (rca.py DistributionChangeAnalyzer), which the reference
+        frame above maps to zeros by design.  Beyond-reference surface."""
+        schema = (
+            "map<string,struct<ref_mean double, test_mean double, "
+            "mean_shift double, ref_std double, test_std double, "
+            "std_shift double, separability_importance double>>"
+        )
+        pl = (
+            self._pipelines_df()
+            .withColumn(
+                "dc",
+                F.from_json(
+                    F.get_json_object("pdata", "$.rca.distribution_changes"),
+                    schema,
+                ),
+            )
+            .where(F.size(F.map_keys("dc")) > 0)
+            .select("year", F.explode("dc").alias("feature", "v"))
+        )
+        return pl.select(
+            "year",
+            "feature",
+            F.col("v.ref_mean").alias("ref_mean"),
+            F.col("v.test_mean").alias("test_mean"),
+            F.col("v.mean_shift").alias("mean_shift"),
+            F.col("v.std_shift").alias("std_shift"),
+            F.col("v.separability_importance").alias("separability_importance"),
+        )

@@ -1,0 +1,263 @@
+"""Timeline analytics vs a pandas mirror of the reference loader
+(examples/dashboard/data_loader.py) over the committed pipeline output."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from driftspark.timeline import DriftResultsTimeline
+
+RESULTS = "/root/repo/outputs/drift_sequence_results.json"
+
+
+@pytest.fixture(scope="module")
+def raw():
+    with open(RESULTS) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def tl(spark):
+    return DriftResultsTimeline(spark, RESULTS)
+
+
+def _years(raw):
+    data = raw.get("yearly_results", raw)
+    return {y: d for y, d in data.items() if y.isdigit()}
+
+
+def test_detector_timeline_matches_loader(tl, raw):
+    got = tl.detector_timeline("ks_test").toPandas()
+    exp = []
+    for y, yd in sorted(_years(raw).items()):
+        det = yd.get("detectors", {})
+        if not det:
+            for pd_ in yd.get("pipelines", {}).values():
+                d = pd_.get("detection", {})
+                if d.get("detector_name") == "ks_test":
+                    det = {"ks_test": d}
+                    break
+        if "ks_test" in det:
+            d = det["ks_test"]
+            exp.append(
+                (
+                    int(y),
+                    d.get("drift_detected", False),
+                    d.get("severity", "none"),
+                    d.get("score", 0.0),
+                    d.get("p_value"),
+                    d.get("threshold"),
+                )
+            )
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    assert len(exp) > 0
+
+
+def test_all_detectors_timeline_matches_loader(tl, raw):
+    got = tl.all_detectors_timeline().toPandas()
+    exp = []
+    for y, yd in _years(raw).items():
+        det = yd.get("detectors", {})
+        if det:
+            items = det.items()
+        else:
+            items = [
+                (p["detection"]["detector_name"], p["detection"])
+                for p in yd.get("pipelines", {}).values()
+                if p.get("detection", {}).get("detector_name")
+            ]
+        for name, d in items:
+            exp.append(
+                (
+                    int(y),
+                    name.replace("_", " ").title(),
+                    d.get("drift_detected", False),
+                    d.get("severity", "none"),
+                    d.get("score", 0.0),
+                )
+            )
+    exp.sort(key=lambda t: (t[0], t[1]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+
+def test_feature_drift_timeline_matches_loader(tl, raw):
+    got = (
+        tl.feature_drift_timeline()
+        .toPandas()
+        .sort_values(["year", "feature"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for y, yd in _years(raw).items():
+        loc = yd.get("localization")
+        if not loc:
+            for p in yd.get("pipelines", {}).values():
+                if "localization" in p:
+                    loc = p["localization"]
+                    break
+        if loc and loc.get("feature_drifts"):
+            for fd in loc["feature_drifts"]:
+                exp.append(
+                    (
+                        int(y),
+                        fd["feature_name"],
+                        fd["score"],
+                        fd["drift_detected"],
+                        fd.get("severity", "none"),
+                    )
+                )
+    exp.sort(key=lambda t: (t[0], t[1]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    assert len(exp) > 0
+
+
+def test_performance_metrics_matches_loader(tl, raw):
+    got = tl.performance_metrics().toPandas()
+    exp = []
+    for y, yd in sorted(_years(raw).items()):
+        meta = yd.get("metadata", {})
+        acc = meta.get("test_accuracy") or yd.get("actual_accuracy", 0.0)
+        delta = meta.get("accuracy_delta") or yd.get("accuracy_drop", 0.0)
+        exp.append((int(y), acc, delta))
+    assert [
+        (r.year, pytest.approx(r.accuracy), pytest.approx(r.accuracy_delta))
+        for r in got.itertuples(index=False)
+    ] == exp
+
+
+def test_summary_stats_matches_loader(tl, raw):
+    s = tl.summary_stats()
+    years = _years(raw)
+    assert s["total_years"] == len(years)
+    assert s["detectors_count"] == 4
+    # count drift events across all detectors/years
+    n_events = sum(
+        1
+        for yd in years.values()
+        for p in yd.get("pipelines", {}).values()
+        if p.get("detection", {}).get("drift_detected")
+    )
+    assert s["total_drift_events"] == n_events
+    accs = [yd["actual_accuracy"] for yd in years.values()]
+    assert s["avg_accuracy"] == pytest.approx(sum(accs) / len(accs))
+    assert s["accuracy_range"] == (
+        pytest.approx(min(accs)),
+        pytest.approx(max(accs)),
+    )
+
+
+def test_rca_results_matches_loader(tl, raw):
+    got = tl.rca_results().toPandas().sort_values("year").reset_index(drop=True)
+    exp = []
+    for y, yd in sorted(_years(raw).items()):
+        for p in yd.get("pipelines", {}).values():
+            rca = p.get("rca")
+            if rca:
+                exp.append(
+                    (
+                        int(y),
+                        p.get("detection", {}).get("detector_name", "unknown"),
+                        rca.get("analyzer_name", "unknown"),
+                        len(rca.get("recommendations", [])),
+                        rca.get("feature_importances", {}),
+                    )
+                )
+    assert len(got) == len(exp) > 0
+    for row, (y, det, an, nrec, imps) in zip(got.itertuples(index=False), exp):
+        assert (row.year, row.detector, row.analyzer) == (y, det, an)
+        assert row.n_recommendations == nrec
+        assert dict(row.feature_importances) == pytest.approx(imps)
+
+
+def test_feature_importance_changes_reference_defaults(tl, raw):
+    """Our emitted distribution_changes carry moment shifts, not
+    ref/test_importance keys — the reference loader maps those to 0.0
+    defaults, and the parity frame must do the same."""
+    got = tl.feature_importance_changes().toPandas()
+    n_expected = sum(
+        len(p["rca"].get("distribution_changes", {}))
+        for yd in _years(raw).values()
+        for p in yd.get("pipelines", {}).values()
+        if p.get("rca")
+    )
+    assert len(got) == n_expected > 0
+    assert (got["ref_importance"] == 0.0).all()
+    assert (got["change"] == 0.0).all()
+
+
+def test_distribution_shift_timeline_own_format(tl, raw):
+    got = (
+        tl.distribution_shift_timeline()
+        .toPandas()
+        .set_index(["year", "feature"])
+    )
+    checked = 0
+    for y, yd in _years(raw).items():
+        for p in yd.get("pipelines", {}).values():
+            rca = p.get("rca")
+            if rca:
+                for feat, v in rca["distribution_changes"].items():
+                    row = got.loc[(int(y), feat)]
+                    assert row["mean_shift"] == pytest.approx(v["mean_shift"])
+                    assert row["separability_importance"] == pytest.approx(
+                        v["separability_importance"]
+                    )
+                    checked += 1
+    assert checked == len(got) > 0
+
+
+def test_detectors_dict_format_and_yearly_results_wrapper(spark, tmp_path):
+    """The alternate JSON shapes the reference loader accepts: a
+    ``yearly_results`` wrapper, a ``detectors`` dict (no pipelines), and
+    non-year keys to skip — plus multi-file distributed reads."""
+    doc1 = {
+        "yearly_results": {
+            "2018": {
+                "detectors": {
+                    "psi": {
+                        "drift_detected": True,
+                        "severity": "high",
+                        "score": 0.31,
+                    }
+                },
+                "metadata": {"test_accuracy": 0.9, "accuracy_delta": -0.02},
+            },
+            "config": {"ignored": True},
+        }
+    }
+    doc2 = {
+        "2019": {
+            "pipelines": {
+                "PSI": {
+                    "detection": {
+                        "detector_name": "psi",
+                        "drift_detected": False,
+                        "severity": "none",
+                        "score": 0.05,
+                        "p_value": None,
+                    }
+                }
+            },
+            "actual_accuracy": 0.88,
+        },
+        "not_a_year": {"foo": 1},
+    }
+    (tmp_path / "r1.json").write_text(json.dumps(doc1))
+    (tmp_path / "r2.json").write_text(json.dumps(doc2))
+    tl = DriftResultsTimeline(spark, str(tmp_path))
+    assert tl.available_years() == [2018, 2019]
+    assert tl.available_detectors() == ["psi"]
+    got = tl.detector_timeline("psi").toPandas()
+    assert [tuple(r)[:4] for r in got.itertuples(index=False)] == [
+        (2018, True, "high", 0.31),
+        (2019, False, "none", 0.05),
+    ]
+    assert got["p_value"].isna().all() and got["threshold"].isna().all()
+    perf = tl.performance_metrics().toPandas()
+    assert [
+        (r.year, pytest.approx(r.accuracy), pytest.approx(r.accuracy_delta))
+        for r in perf.itertuples(index=False)
+    ] == [(2018, 0.9, -0.02), (2019, 0.88, 0.0)]
+    all_df = tl.all_detectors_timeline().toPandas()
+    assert list(all_df["detector"]) == ["Psi", "Psi"]
