@@ -1276,6 +1276,106 @@ def _timeline_summary_sql(path: str) -> str:
     """
 
 
+
+MMD_SAMPLES = 300  # small enough that the DuckDB oracle's O(n^2) kernel
+                   # joins stay ~90k rows at ANY sf (the cap binds at all)
+
+
+def _q_mmd_stat(spark, sf_dir):
+    """A13-A15: full MMD detect on the engine-portable md5 sample path —
+    RBF kernel, median-heuristic gamma over the first 100 sample rows per
+    side, unbiased MMD^2, threshold-multiple severity (mmd.py:45-72 of the
+    reference).  The md5(concat_ws(keys)) sample ordering is reproducible
+    in any SQL engine, so the DuckDB oracle re-derives the SAME 300-row
+    sample, the same gamma, and the same kernel sums; permutations stay
+    off (seeded-RNG p-values are pytest-locked, not SQL-expressible)."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors.mmd import MMD
+
+    keys = ["l_orderkey", "l_linenumber"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = _t(spark, sf_dir, "lineitem").select(*keys, *cols)
+    ref, test = _split(li, "l_orderkey")
+    test = test.withColumn("l_extendedprice", F.col("l_extendedprice") * 1.2)
+    det = MMD(
+        threshold=0.05, kernel="rbf", n_permutations=0,
+        max_samples=MMD_SAMPLES, sample_hash="md5", sample_key_cols=keys,
+    )
+    det.fit(SparkDataset(ref, feature_cols=cols, metadata_cols=keys))
+    res = det.detect(SparkDataset(test, feature_cols=cols, metadata_cols=keys))
+    return spark.createDataFrame(
+        [(
+            "mmd", round(float(res.score), 6), res.severity.value,
+            bool(res.drift_detected), res.metadata["actual_ref_samples"],
+            res.metadata["actual_test_samples"],
+        )],
+        "detector string, mmd double, severity string, drift boolean, "
+        "n_ref long, n_test long",
+    )
+
+
+def _mmd_stat_sql(n: int = MMD_SAMPLES, threshold: float = 0.05) -> str:
+    """Full MMD re-derivation: identical md5-ordered samples, identical
+    median-heuristic gamma (numpy median == quantile_cont(0.5)), identical
+    kernel sums (i != j for the diagonal-less XX/YY blocks)."""
+    key_hash = (
+        "md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR)))"
+    )
+
+    def side(pred: str, price: str) -> str:
+        return f"""
+          SELECT COALESCE(l_quantity, 0) AS q,
+                 COALESCE({price}, 0) AS p,
+                 COALESCE(l_discount, 0) AS d,
+                 row_number() OVER (
+                   ORDER BY {key_hash}, l_orderkey, l_linenumber) AS rn
+          FROM lineitem WHERE {pred}
+          QUALIFY rn <= {n}
+        """
+
+    d2 = "((a.q-b.q)*(a.q-b.q) + (a.p-b.p)*(a.p-b.p) + (a.d-b.d)*(a.d-b.d))"
+    sev = (
+        f"CASE WHEN mmd < {threshold} THEN 'none' "
+        f"WHEN mmd < {threshold} * 1.5 THEN 'low' "
+        f"WHEN mmd < {threshold} * 2.5 THEN 'medium' "
+        f"WHEN mmd < {threshold} * 5 THEN 'high' "
+        f"ELSE 'critical' END"
+    )
+    return f"""
+        WITH ref AS ({side('l_orderkey % 2 = 0', 'l_extendedprice')}),
+        test AS ({side('l_orderkey % 2 = 1', 'l_extendedprice * 1.2')}),
+        head AS (
+          SELECT q, p, d FROM ref WHERE rn <= 100
+          UNION ALL
+          SELECT q, p, d FROM test WHERE rn <= 100
+        ),
+        sq AS (SELECT {d2} AS s FROM head a CROSS JOIN head b),
+        g AS (
+          SELECT CASE WHEN m > 0 THEN 1.0 / (2 * m) ELSE 1.0 END AS gv
+          FROM (SELECT median(s) AS m FROM sq WHERE s > 0)
+        ),
+        sums AS (
+          SELECT
+            (SELECT sum(exp(-g.gv * {d2})) FROM ref a, ref b, g
+              WHERE a.rn != b.rn) AS sxx,
+            (SELECT sum(exp(-g.gv * {d2})) FROM test a, test b, g
+              WHERE a.rn != b.rn) AS syy,
+            (SELECT sum(exp(-g.gv * {d2})) FROM ref a, test b, g) AS sxy
+        ),
+        stat AS (
+          SELECT sqrt(greatest(
+            sxx / ({n} * ({n} - 1)) + syy / ({n} * ({n} - 1))
+            - 2 * sxy / (CAST({n} AS DOUBLE) * {n}), 0)) AS mmd
+          FROM sums
+        )
+        SELECT 'mmd' AS detector, round(mmd, 6) AS mmd, {sev} AS severity,
+               mmd >= {threshold} AS drift,
+               CAST({n} AS BIGINT) AS n_ref, CAST({n} AS BIGINT) AS n_test
+        FROM stat
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": _q_profile_stats,
@@ -1317,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "streaming_verdicts": _q_streaming_verdicts,
         "streaming_cumulative": _q_streaming_cumulative,
+        "mmd_stat": _q_mmd_stat,
         "timeline": _q_timeline,
         "timeline_features": _q_timeline_features,
         "timeline_summary": _q_timeline_summary,
@@ -2565,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
         "streaming_verdicts": _streaming_verdicts_sql(),
         "streaming_cumulative": _streaming_cumulative_sql(),
+        "mmd_stat": _mmd_stat_sql(),
         "timeline": (
             _ensure_oracle_results_json(_oracle_results_path())
             or _timeline_sql(_oracle_results_path())

@@ -83,6 +83,8 @@ class MMD(BaseDriftDetector):
         n_permutations: int = 100,
         max_samples: int = 5000,
         perm_seed: Optional[int] = 42,
+        sample_hash: str = "xxhash64",
+        sample_key_cols=None,
     ):
         super().__init__(name="mmd")
         self.threshold = threshold
@@ -91,6 +93,16 @@ class MMD(BaseDriftDetector):
         self.n_permutations = n_permutations
         self.max_samples = max_samples
         self.perm_seed = perm_seed
+        # sample_hash="xxhash64" (default): JVM-intrinsic content hash with
+        # the bounded-merge pre-filter — the scale path.  "md5": ordering by
+        # md5(concat_ws('|', sample_key_cols)) — engine-portable, so an
+        # external SQL engine (the DuckDB driver oracle) reproduces the
+        # sample EXACTLY; requires sample_key_cols (stringable unique row
+        # keys — feature doubles would hit cross-engine float formatting).
+        self.sample_hash = sample_hash
+        self.sample_key_cols = list(sample_key_cols) if sample_key_cols else None
+        if sample_hash == "md5" and not self.sample_key_cols:
+            raise ValueError("sample_hash='md5' requires sample_key_cols")
 
     def _sample_matrices(self, ref_ds: SparkDataset, test_ds: SparkDataset, cols):
         """Deterministic content-keyed samples of both feature matrices
@@ -98,10 +110,11 @@ class MMD(BaseDriftDetector):
         side counts come from ONE column-pruned job (the count guards the
         over-sized orderBy+limit top-k heap)."""
 
+        keys = self.sample_key_cols or []
+
         def prep(ds):
-            return ds.df.select(
-                [F.col(c).cast("double").alias(c) for c in cols]
-            ).na.fill(0.0)
+            sel = [F.col(c).cast("double").alias(c) for c in cols]
+            return ds.df.select(*sel, *keys).na.fill(0.0, subset=cols)
 
         a, b = prep(ref_ds), prep(test_ds)
         counts = {
@@ -115,10 +128,17 @@ class MMD(BaseDriftDetector):
 
         def take(df, total):
             if total > self.max_samples:
-                df = content_keyed_top_n(
-                    df, self.max_samples, F.xxhash64(*cols), cols, total=total
-                )
-            return np.nan_to_num(df.toPandas().values.astype(np.float64))
+                if self.sample_hash == "md5":
+                    h = F.md5(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+                    )
+                    df = df.orderBy(h, *keys).limit(self.max_samples)
+                else:
+                    df = content_keyed_top_n(
+                        df, self.max_samples, F.xxhash64(*cols), cols, total=total
+                    )
+            pdf = df.toPandas()[cols]
+            return np.nan_to_num(pdf.values.astype(np.float64))
 
         n_ref, n_test = counts.get(0, 0), counts.get(1, 0)
         return take(a, n_ref), n_ref, take(b, n_test), n_test
