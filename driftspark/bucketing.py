@@ -81,11 +81,16 @@ def validate_image_payloads_bucketed(
     ref_table: str,
     test_table: str,
     min_psnr: float = 40.0,
+    max_parallelism: int | None = None,
 ) -> DataFrame:
     """Payload validation over two bucketed image tables — the zero-shuffle
     variant of imageops.validate_image_payloads: bytes never leave the
-    node that read them."""
-    from driftspark.imageops import _check_batches, IMAGE_CHECK_SCHEMA
+    node that read them.  The bucketed join feeds the SAME paired decode
+    path the streaming/bench runners use (imageops.
+    validate_image_payloads_paired), so the storage layout helper and the
+    scale decode path are one route; ``max_parallelism`` caps concurrent
+    Python/Arrow decode streams per host (see that function's docstring)."""
+    from driftspark.imageops import validate_image_payloads_paired
 
     ref = spark.table(ref_table).select(
         "image_id",
@@ -99,6 +104,4 @@ def validate_image_payloads_bucketed(
         F.col("caption").alias("test_caption"),
     )
     joined = ref.join(test, "image_id")
-    return joined.mapInPandas(
-        lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
-    )
+    return validate_image_payloads_paired(joined, min_psnr, max_parallelism)
