@@ -392,6 +392,202 @@ def _hallucination_sql() -> str:
     """
 
 
+DENSITY_SAMPLES = 300  # ref-sample cap for the knn/kde backends — binds at
+                       # every sf, and keeps the DuckDB oracle's cross joins
+                       # at ~rows x 300
+DENSITY_KEYS = ["l_orderkey", "l_linenumber"]
+DENSITY_PRED = "l_partkey % 10 = 0"  # bounds both engines' row counts so
+                                     # the oracle's O(rows x sample) joins
+                                     # stay cheap at sf0.1
+KDE_BANDWIDTH = 0.5  # explicit bandwidth (Scott's rule is pytest-locked;
+                     # a power-of-two literal keeps z = -0.5*d2/h^2 an
+                     # exact FP transform on both engines)
+
+
+def _density_result_df(spark, res, n_samp: int):
+    """Shared result frame for the knn/kde hallucination oracles."""
+    q = res.quadrant_counts
+    m = res.rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("confidence"), 6).alias("mean_conf"),
+        F.round(F.avg("norm_distance"), 5).alias("mean_dist"),
+        F.round(F.avg("hallucination_score"), 5).alias("mean_score"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(m["n"]), int(n_samp), int(res.n_hallucination_risk),
+            int(q["safe"]), int(q["uncertain_honest"]),
+            int(q["hallucination_risk"]), int(q["uncertain_safe"]),
+            float(m["mean_conf"]), float(m["mean_dist"]), float(m["mean_score"]),
+        )],
+        "n long, n_samp long, n_risk long, safe long, uncertain_honest long, "
+        "hallucination_risk long, uncertain_safe long, "
+        "mean_conf double, mean_dist double, mean_score double",
+    )
+
+
+def _q_density_backend(spark, sf_dir, method: str, **det_kwargs):
+    """F4/F6: the knn / kde hallucination density backends end to end on
+    the engine-portable md5 sample path (hallucination.py knn/kde fit +
+    broadcast-state pandas-UDF scoring).  The DuckDB oracle re-derives the
+    SAME md5-ordered reference sample, the same per-row distances (rank-k
+    mean for knn, logsumexp -log density for kde), the same exact p95
+    normalization, and the same flag/quadrant frame."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import HallucinationRiskDetector
+
+    li = _t(spark, sf_dir, "lineitem").where(DENSITY_PRED)
+    ref, test = _split(li, "l_orderkey")
+    p = F.least(F.col("l_discount") * 10.0, F.lit(0.99))
+    ref_ds = SparkDataset(
+        ref.select(*DENSITY_KEYS, *HALLUC_COLS),
+        feature_cols=HALLUC_COLS,
+        metadata_cols=DENSITY_KEYS,
+    )
+    test_ds = SparkDataset(
+        test.select(*HALLUC_COLS, p.alias("proba")),
+        feature_cols=HALLUC_COLS,
+        proba_col="proba",
+    )
+    det = HallucinationRiskDetector(
+        density_method=method,
+        exact_distance_percentile=True,
+        max_ref_sample=DENSITY_SAMPLES,
+        sample_hash="md5",
+        sample_key_cols=DENSITY_KEYS,
+        **det_kwargs,
+    )
+    res = det.fit_detect(ref_ds, test_ds)
+    return _density_result_df(spark, res, det._state["ref"].shape[0])
+
+
+def _q_hallucination_knn(spark, sf_dir):
+    return _q_density_backend(spark, sf_dir, "knn")
+
+
+def _q_hallucination_kde(spark, sf_dir):
+    return _q_density_backend(spark, sf_dir, "kde", kde_bandwidth=KDE_BANDWIDTH)
+
+
+# squared distance between a row `a` and a sample row `b` — the same
+# |x|^2 + |r|^2 - 2 x.r expansion the numpy scorer evaluates
+_D2 = (
+    "greatest((a.q*a.q + a.d*a.d + a.t*a.t) + (b.q*b.q + b.d*b.d + b.t*b.t)"
+    " - 2*(a.q*b.q + a.d*b.d + a.t*b.t), 0.0)"
+)
+
+
+def _density_sides_sql() -> str:
+    """Shared CTE block: md5-ordered reference sample + row-keyed sides."""
+    qc, dc, tc = HALLUC_COLS
+    key_hash = (
+        "md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR)))"
+    )
+    return f"""
+        ref AS (
+          SELECT CAST({qc} AS DOUBLE) AS q, CAST({dc} AS DOUBLE) AS d,
+                 CAST({tc} AS DOUBLE) AS t,
+                 row_number() OVER (
+                   ORDER BY {key_hash}, l_orderkey, l_linenumber) AS rn,
+                 row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid
+          FROM lineitem
+          WHERE {DENSITY_PRED} AND l_orderkey % 2 = 0
+        ),
+        samp AS (SELECT q, d, t FROM ref WHERE rn <= {DENSITY_SAMPLES}),
+        ns AS (SELECT count(*) AS n_samp FROM samp),
+        tst AS (
+          SELECT CAST({qc} AS DOUBLE) AS q, CAST({dc} AS DOUBLE) AS d,
+                 CAST({tc} AS DOUBLE) AS t,
+                 least(CAST({dc} AS DOUBLE) * 10.0, 0.99) AS p,
+                 row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid
+          FROM lineitem
+          WHERE {DENSITY_PRED} AND l_orderkey % 2 = 1
+        )
+    """
+
+
+def _density_final_sql() -> str:
+    return """
+        SELECT count(*) AS n,
+               (SELECT n_samp FROM ns) AS n_samp,
+               CAST(sum(CASE WHEN conf >= 0.80 AND nd >= 0.50 THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+               CAST(sum(CASE WHEN nd < 0.50 AND conf >= 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS safe,
+               CAST(sum(CASE WHEN nd >= 0.50 AND conf < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS uncertain_honest,
+               CAST(sum(CASE WHEN nd >= 0.50 AND conf >= 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS hallucination_risk,
+               CAST(sum(CASE WHEN nd < 0.50 AND conf < 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS uncertain_safe,
+               round(avg(conf), 6) AS mean_conf,
+               round(avg(nd), 5) AS mean_dist,
+               round(avg(conf * nd), 5) AS mean_score
+        FROM scored
+    """
+
+
+def _hallucination_knn_sql(k: int = 5) -> str:
+    """kNN backend re-derivation: mean of the k smallest sample distances
+    per row (rank window == np.partition's k smallest values), exact p95
+    cut over the reference distances, then the detect aggregation."""
+    return f"""
+        WITH {_density_sides_sql()},
+        rd AS (SELECT a.rid, sqrt({_D2}) AS dist FROM ref a CROSS JOIN samp b),
+        rk AS (SELECT rid, dist,
+                      row_number() OVER (PARTITION BY rid ORDER BY dist) AS rnk
+               FROM rd),
+        rknn AS (SELECT rid, avg(dist) AS dist FROM rk, ns
+                 WHERE rnk <= least({k}, ns.n_samp) GROUP BY rid),
+        thr AS (SELECT quantile_cont(dist, 0.95) + 1e-10 AS cut FROM rknn),
+        td AS (SELECT a.rid, sqrt({_D2}) AS dist FROM tst a CROSS JOIN samp b),
+        tk AS (SELECT rid, dist,
+                      row_number() OVER (PARTITION BY rid ORDER BY dist) AS rnk
+               FROM td),
+        tknn AS (SELECT rid, avg(dist) AS dist FROM tk, ns
+                 WHERE rnk <= least({k}, ns.n_samp) GROUP BY rid),
+        scored AS (
+          SELECT least(greatest(greatest(s.p, 1.0 - s.p), 0.0), 1.0) AS conf,
+                 least(greatest(x.dist / thr.cut, 0.0), 1.0) AS nd
+          FROM tst s JOIN tknn x USING (rid) CROSS JOIN thr
+        )
+        {_density_final_sql()}
+    """
+
+
+def _hallucination_kde_sql(h: float = KDE_BANDWIDTH) -> str:
+    """KDE backend re-derivation: -log density via the same logsumexp the
+    numpy scorer uses (zmax + ln(sum exp(z - zmax)) - log_norm), identical
+    bandwidth, exact p95 cut, then the detect aggregation."""
+    h2 = h * h
+    return f"""
+        WITH {_density_sides_sql()},
+        lognorm AS (
+          SELECT ln(CAST(n_samp AS DOUBLE)) + 1.5 * ln(2 * pi() * {h2!r}) AS lnm
+          FROM ns
+        ),
+        rz AS (SELECT a.rid, -0.5 * {_D2} / {h2!r} AS z
+               FROM ref a CROSS JOIN samp b),
+        rzm AS (SELECT rid, z, max(z) OVER (PARTITION BY rid) AS zm FROM rz),
+        rdist AS (
+          SELECT rid,
+                 -(any_value(zm) + ln(sum(exp(z - zm))) - any_value(lnm)) AS dist
+          FROM rzm CROSS JOIN lognorm GROUP BY rid
+        ),
+        thr AS (SELECT quantile_cont(dist, 0.95) + 1e-10 AS cut FROM rdist),
+        tz AS (SELECT a.rid, -0.5 * {_D2} / {h2!r} AS z
+               FROM tst a CROSS JOIN samp b),
+        tzm AS (SELECT rid, z, max(z) OVER (PARTITION BY rid) AS zm FROM tz),
+        tdist AS (
+          SELECT rid,
+                 -(any_value(zm) + ln(sum(exp(z - zm))) - any_value(lnm)) AS dist
+          FROM tzm CROSS JOIN lognorm GROUP BY rid
+        ),
+        scored AS (
+          SELECT least(greatest(greatest(s.p, 1.0 - s.p), 0.0), 1.0) AS conf,
+                 least(greatest(x.dist / thr.cut, 0.0), 1.0) AS nd
+          FROM tst s JOIN tdist x USING (rid) CROSS JOIN thr
+        )
+        {_density_final_sql()}
+    """
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Dedup (exact): duplicate groups by content hash (30-char prefix)."""
     from driftspark.dedup import exact_duplicates
@@ -1391,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbpe_confidence_hist": _q_cbpe_hist,
         "cbpe_shift": _q_cbpe_shift,
         "hallucination_mahalanobis": _q_hallucination,
+        "hallucination_knn": _q_hallucination_knn,
+        "hallucination_kde": _q_hallucination_kde,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "jaccard_pairs": _q_jaccard,
@@ -2492,6 +2690,8 @@ def oracle_sql() -> dict[str, str]:
             FROM chi, refmean, testmean
         """,
         "hallucination_mahalanobis": _hallucination_sql(),
+        "hallucination_knn": _hallucination_knn_sql(),
+        "hallucination_kde": _hallucination_kde_sql(),
         "dedup_exact": """
             SELECT md5(substr(text, 1, 30)) AS content_hash, count(*) AS dup_count
             FROM documents GROUP BY 1 HAVING count(*) > 1

@@ -42,6 +42,7 @@ from driftspark.dataset import SparkDataset
 from driftspark.detectors.base import BaseDriftDetector
 from driftspark.numerics import severity_from_flag_rate
 from driftspark.registry import DetectorRegistry
+from driftspark.sampling import content_keyed_top_n
 from driftspark.results import DriftSeverity, HallucinationResult
 
 logger = logging.getLogger(__name__)
@@ -128,6 +129,8 @@ class HallucinationRiskDetector(BaseDriftDetector):
         random_state: Optional[int] = 42,
         max_ref_sample: int = 20000,
         exact_distance_percentile: bool = False,
+        sample_hash: str = "xxhash64",
+        sample_key_cols=None,
     ):
         super().__init__(name="hallucination_risk")
         self.density_method = density_method
@@ -139,6 +142,15 @@ class HallucinationRiskDetector(BaseDriftDetector):
         self.kde_bandwidth = kde_bandwidth
         self.random_state = random_state
         self.max_ref_sample = max_ref_sample
+        # sample_hash="xxhash64" (default): JVM-intrinsic content hash with
+        # the bounded-merge pre-filter — the scale path.  "md5": ordering by
+        # md5(concat_ws('|', sample_key_cols)) — engine-portable so an
+        # external SQL engine (the DuckDB driver oracle) reproduces the
+        # knn/kde reference sample EXACTLY (same convention as MMD's).
+        self.sample_hash = sample_hash
+        self.sample_key_cols = list(sample_key_cols) if sample_key_cols else None
+        if sample_hash == "md5" and not self.sample_key_cols:
+            raise ValueError("sample_hash='md5' requires sample_key_cols")
         # scale default: GK-sketch percentile of the reference distances
         # (exact percentile buffers the full distinct multiset into one
         # final agg task — not viable at 10^12 rows); True restores the
@@ -166,9 +178,17 @@ class HallucinationRiskDetector(BaseDriftDetector):
     def _collect_ref_sample(self, df: DataFrame) -> np.ndarray:
         n = df.count()
         if n > self.max_ref_sample:
-            df = df.orderBy(F.xxhash64(*self._cols), *self._cols).limit(
-                self.max_ref_sample
-            )
+            if self.sample_hash == "md5":
+                h = F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(k).cast("string") for k in self.sample_key_cols]
+                    )
+                )
+                df = df.orderBy(h, *self.sample_key_cols).limit(self.max_ref_sample)
+            else:
+                df = content_keyed_top_n(
+                    df, self.max_ref_sample, F.xxhash64(*self._cols), self._cols, total=n
+                )
         return self._imputed(df).toPandas().values.astype(np.float64)
 
     def _dist_udf(self):

@@ -134,6 +134,49 @@ def test_hallucination_quadrants(spark, method):
     assert res.severity in (DriftSeverity.HIGH, DriftSeverity.CRITICAL)
 
 
+@pytest.mark.parametrize("sample_hash", ["xxhash64", "md5"])
+def test_hallucination_ref_sample_layout_invariant(spark, sample_hash):
+    """The knn/kde reference sample (content-keyed xxhash64 bounded-merge
+    path AND the engine-portable md5-keyed path) must be invariant to the
+    physical layout of the reference table, and the cap must bind."""
+    rng = np.random.RandomState(7)
+    cols = ["feature_0", "feature_1", "feature_2"]
+    ref_pdf = pd.DataFrame(rng.normal(0, 1, (1200, 3)), columns=cols)
+    ref_pdf["rid"] = np.arange(1200)
+    test_pdf = pd.DataFrame(rng.normal(0.5, 1, (300, 3)), columns=cols)
+    test_pdf["proba"] = 0.9
+    kw = dict(
+        density_method="knn", max_ref_sample=200, exact_distance_percentile=True
+    )
+    if sample_hash == "md5":
+        kw.update(sample_hash="md5", sample_key_cols=["rid"])
+
+    def run(parts):
+        ref = SparkDataset(
+            spark.createDataFrame(ref_pdf).repartition(parts),
+            feature_cols=cols,
+            metadata_cols=["rid"],
+        )
+        test = SparkDataset(spark.createDataFrame(test_pdf), proba_col="proba")
+        det = DetectorRegistry.create("hallucination_risk", **kw)
+        res = det.fit_detect(ref, test)
+        return det._state["ref"], res
+
+    s2, r2 = run(2)
+    s7, r7 = run(7)
+    assert s2.shape == (200, 3)  # the cap binds
+    assert np.array_equal(s2, s7)  # same rows, same order, any layout
+    assert r2.n_hallucination_risk == r7.n_hallucination_risk
+    assert r2.metadata["mean_normalised_distance"] == pytest.approx(
+        r7.metadata["mean_normalised_distance"], abs=0
+    )
+
+
+def test_hallucination_md5_requires_keys():
+    with pytest.raises(ValueError, match="sample_key_cols"):
+        DetectorRegistry.create("hallucination_risk", sample_hash="md5")
+
+
 def test_hallucination_mahalanobis_oracle(spark):
     """Distributed Mahalanobis == driver numpy einsum oracle."""
     rng = np.random.RandomState(0)
