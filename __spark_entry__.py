@@ -1007,6 +1007,46 @@ def _q_audio_features(spark, sf_dir):
     ).orderBy("audio_id")
 
 
+VIDEO_N = 150
+VIDEO_FRAME_IDX = [0, 2, 9]  # first / mid / past-end (clamps to last frame)
+_VIDEO_FEATS = ("mean_r", "mean_g", "mean_b", "brightness", "contrast", "edge_density")
+
+
+def _q_video_frames(spark, sf_dir):
+    """Multimodal video end to end: REAL uncompressed-AVI demux
+    (sample_frames) -> PNG re-encode -> image feature extraction, over a
+    deterministic synthetic video table with odd-width frames (AVI row
+    padding), past-end frame indices (clamping), and controlled
+    fake-codec/corrupt payloads (decode_error rows).  Oracle-checked
+    against codec-free truth (synth._video_truth_rows): the AVI->PNG
+    roundtrip must reproduce the analytically-known pixels exactly."""
+    from driftspark.multimodal import image_features, sample_frames
+    from driftspark.synth import synth_video_table
+
+    vids = synth_video_table(spark, VIDEO_N, num_partitions=4)
+    frames = sample_frames(vids, VIDEO_FRAME_IDX)
+    key = F.concat_ws(":", "video_id", F.format_string("%02d", "frame_idx"))
+    feats = image_features(
+        frames.where(F.col("bytes").isNotNull()).select(
+            key.alias("image_id"), "bytes", F.lit("png").alias("fmt")
+        )
+    ).select(
+        "image_id",
+        "width",
+        "height",
+        *[F.round(c, 6).alias(c) for c in _VIDEO_FEATS],
+        "decode_error",
+    )
+    errs = frames.where(F.col("bytes").isNull()).select(
+        key.alias("image_id"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"),
+        *[F.lit(None).cast("double").alias(c) for c in _VIDEO_FEATS],
+        "decode_error",
+    )
+    return feats.unionByName(errs).orderBy("image_id")
+
+
 PAIR_PARAMS = dict(seed=42, n_pairs=800, corrupt_every=500, caption_edit_every=700)
 
 
@@ -1613,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardups": _q_phash_neardups,
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "streaming_verdicts": _q_streaming_verdicts,
         "streaming_cumulative": _q_streaming_cumulative,
         "mmd_stat": _q_mmd_stat,
@@ -2006,6 +2047,50 @@ def _oracle_audio_truth_path() -> str:
     from driftspark.synth import _audio_rows
 
     return _oracle_scratch_path("audio_truth", [_audio_rows], **AUDIO_GEN_PARAMS)
+
+
+def _oracle_video_truth_path() -> str:
+    from driftspark.synth import _video_frames, _video_payload, _video_truth_rows
+
+    return _oracle_scratch_path(
+        "video_truth",
+        [_video_truth_rows, _video_frames, _video_payload],
+        n_rows=VIDEO_N,
+        frame_indices=tuple(VIDEO_FRAME_IDX),
+    )
+
+
+def _ensure_oracle_video_truth(path: str) -> None:
+    """Codec-free expected feature rows for every sampled video frame —
+    pure numpy over the SAME counter-based frame generator the Spark
+    query's synth_video_table runs (see synth._video_truth_rows)."""
+    import glob
+
+    if glob.glob(f"{path}/*.parquet"):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftspark.synth import _video_truth_rows
+
+    pdf = _video_truth_rows(VIDEO_N, VIDEO_FRAME_IDX)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{path}/part-00000.parquet")
+
+
+def _video_frames_sql(path: str) -> str:
+    return f"""
+        SELECT image_id, width, height,
+               round(mean_r, 6) AS mean_r,
+               round(mean_g, 6) AS mean_g,
+               round(mean_b, 6) AS mean_b,
+               round(brightness, 6) AS brightness,
+               round(contrast, 6) AS contrast,
+               round(edge_density, 6) AS edge_density,
+               decode_error
+        FROM '{path}/*.parquet'
+        ORDER BY image_id
+    """
 
 
 def _ensure_oracle_audio_truth(path: str) -> None:
@@ -2839,6 +2924,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": (
             _ensure_oracle_audio_truth(_oracle_audio_truth_path())
             or _audio_features_sql(_oracle_audio_truth_path())
+        ),
+        "video_frames": (
+            _ensure_oracle_video_truth(_oracle_video_truth_path())
+            or _video_frames_sql(_oracle_video_truth_path())
         ),
         "image_features": (
             _ensure_oracle_img_feat_truth(_oracle_img_feat_truth_path())

@@ -39,6 +39,28 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+def pixel_feature_values(px: np.ndarray) -> tuple:
+    """Feature math over one (h, w, 3) uint8 array — shared by
+    image_features and the video-frame oracle truth builder so the
+    codec-free expected values stay identical by construction.
+
+    Returns (width, height, mean_r, mean_g, mean_b, brightness, contrast,
+    edge_density)."""
+    g = px.astype(np.float64).mean(axis=2)
+    gx = np.abs(np.diff(g, axis=1)).mean()
+    gy = np.abs(np.diff(g, axis=0)).mean()
+    return (
+        px.shape[1],
+        px.shape[0],
+        px[:, :, 0].mean(),
+        px[:, :, 1].mean(),
+        px[:, :, 2].mean(),
+        g.mean(),
+        g.std(),
+        (gx + gy) / 2.0,
+    )
+
+
 def _image_features(pdf: pd.DataFrame) -> pd.DataFrame:
     n = len(pdf)
     out = {
@@ -56,16 +78,11 @@ def _image_features(pdf: pd.DataFrame) -> pd.DataFrame:
     for i in range(n):
         try:
             px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
-            g = px.astype(np.float64).mean(axis=2)
-            out["height"][i], out["width"][i] = px.shape[0], px.shape[1]
-            out["mean_r"][i] = px[:, :, 0].mean()
-            out["mean_g"][i] = px[:, :, 1].mean()
-            out["mean_b"][i] = px[:, :, 2].mean()
-            out["brightness"][i] = g.mean()
-            out["contrast"][i] = g.std()
-            gx = np.abs(np.diff(g, axis=1)).mean()
-            gy = np.abs(np.diff(g, axis=0)).mean()
-            out["edge_density"][i] = (gx + gy) / 2.0
+            (
+                out["width"][i], out["height"][i],
+                out["mean_r"][i], out["mean_g"][i], out["mean_b"][i],
+                out["brightness"][i], out["contrast"][i], out["edge_density"][i],
+            ) = pixel_feature_values(px)
         except Exception as e:  # noqa: BLE001 — corrupt payloads are data
             out["decode_error"][i] = f"{type(e).__name__}: {e}"
     return pd.DataFrame(out)

@@ -481,6 +481,115 @@ def synth_audio_table(
     return rng.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = "video_id string, bytes binary, n_frames int, fps int"
+
+VIDEO_FAKE_EVERY = 23  # every 23rd video ships a fake-codec payload —
+                       # undecodable at fake=False (NotImplementedError row)
+VIDEO_CORRUPT_EVERY = 29  # every 29th is a truncated RIFF (ValueError row)
+
+
+def _video_frames(i: int) -> np.ndarray:
+    """Deterministic frames for video i: (2 + i%5) frames of
+    (10 + (i%3)*7) x (9 + (i%4)*5) gradient pixels
+    (7*i + 11*f + y + 2*x + 3*c) % 256 — the odd widths exercise the AVI
+    4-byte row padding, the varying frame counts exercise past-end
+    clamping in sample_frames."""
+    n, h, w = 2 + i % 5, 10 + (i % 3) * 7, 9 + (i % 4) * 5
+    f = np.arange(n)[:, None, None, None]
+    y = np.arange(h)[None, :, None, None]
+    x = np.arange(w)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    return ((7 * i + 11 * f + y + 2 * x + 3 * c) % 256).astype(np.uint8)
+
+
+def _video_payload(i: int) -> bytes:
+    import struct
+
+    from driftspark.multimodal import encode_avi, encode_fake_video
+
+    if i % VIDEO_CORRUPT_EVERY == VIDEO_CORRUPT_EVERY - 1:
+        # valid RIFF/AVI header, no strf/frame chunks
+        return b"RIFF" + struct.pack("<I", 16) + b"AVI " + b"\x00" * 12
+    if i % VIDEO_FAKE_EVERY == VIDEO_FAKE_EVERY - 1:
+        return encode_fake_video(_video_frames(i))
+    return encode_avi(_video_frames(i), fps=25)
+
+
+def synth_video_table(
+    spark: SparkSession, n_rows: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic uncompressed-AVI video table (counter-based like the
+    image/audio tables — identical bytes for identical i regardless of
+    partitioning), with controlled fake-codec and corrupt payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"].values]
+            yield pd.DataFrame(
+                {
+                    "video_id": [f"vid_{i:08d}" for i in ids],
+                    "bytes": pd.Series([_video_payload(i) for i in ids], dtype=object),
+                    "n_frames": np.array([2 + i % 5 for i in ids], dtype=np.int32),
+                    "fps": np.full(len(ids), 25, dtype=np.int32),
+                }
+            )
+
+    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
+def _video_truth_rows(n_rows: int, frame_indices) -> pd.DataFrame:
+    """Codec-free expected rows for the video_frames driver oracle: frame
+    sampling (past-end clamps to the last frame) + the SAME pixel feature
+    math (multimodal.pixel_feature_values — shared by construction), never
+    touching the AVI/PNG byte paths for decodable videos.  Expected
+    decode_error strings for the fake/corrupt payloads are derived by
+    probing _decode_video_frame once per bad payload with sample_frames'
+    exact exception formatting."""
+    from driftspark.multimodal import _decode_video_frame, pixel_feature_values
+
+    feat_cols = ("mean_r", "mean_g", "mean_b", "brightness", "contrast", "edge_density")
+    rows = {k: [] for k in ("image_id", "width", "height", *feat_cols, "decode_error")}
+    for i in range(n_rows):
+        bad = (
+            i % VIDEO_CORRUPT_EVERY == VIDEO_CORRUPT_EVERY - 1
+            or i % VIDEO_FAKE_EVERY == VIDEO_FAKE_EVERY - 1
+        )
+        err = None
+        frames = None
+        if bad:
+            try:
+                _decode_video_frame(_video_payload(i), 0, fake=False)
+            except NotImplementedError as e:
+                err = str(e)
+            except Exception as e:  # noqa: BLE001
+                err = f"{type(e).__name__}: {e}"
+        else:
+            frames = _video_frames(i)
+        for fi in frame_indices:
+            rows["image_id"].append(f"vid_{i:08d}:{fi:02d}")
+            if bad:
+                rows["width"].append(0)
+                rows["height"].append(0)
+                for c in feat_cols:
+                    rows[c].append(None)
+                rows["decode_error"].append(err)
+            else:
+                px = frames[min(fi, frames.shape[0] - 1)]
+                w, h, *feats = pixel_feature_values(px)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for c, v in zip(feat_cols, feats):
+                    rows[c].append(float(v))
+                rows["decode_error"].append(None)
+    out = pd.DataFrame(rows)
+    out["width"] = out["width"].astype(np.int32)
+    out["height"] = out["height"].astype(np.int32)
+    for c in feat_cols:
+        out[c] = out[c].astype("float64")
+    return out
+
+
 ACS_FEATURES = [
     "AGEP", "COW", "SCHL", "MAR", "OCCP", "POBP", "RELP", "WKHP", "SEX", "RAC1P"
 ]

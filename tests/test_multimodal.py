@@ -289,3 +289,33 @@ def test_sample_frames_real_avi(spark):
     assert out["decode_error"].isna().all()
     f5 = out[out["frame_idx"] == 5].iloc[0]
     assert np.array_equal(io.decode_png(bytes(f5["bytes"])), frames[5])
+
+
+def test_synth_video_table_deterministic_and_error_rows(spark):
+    """synth_video_table is layout-invariant (counter-based payloads) and
+    carries the controlled fake-codec + truncated-RIFF rows; sample_frames
+    over it surfaces exactly those as decode_error rows."""
+    from driftspark.synth import (
+        VIDEO_CORRUPT_EVERY,
+        VIDEO_FAKE_EVERY,
+        synth_video_table,
+    )
+
+    n = 60  # covers one fake (22) and two corrupt (28, 57) ids
+    a = synth_video_table(spark, n, num_partitions=2).orderBy("video_id").collect()
+    b = synth_video_table(spark, n, num_partitions=5).orderBy("video_id").collect()
+    assert [bytes(r["bytes"]) for r in a] == [bytes(r["bytes"]) for r in b]
+
+    out = sample_frames(synth_video_table(spark, n, num_partitions=3), [0]).toPandas()
+    errs = out[out["decode_error"].notna()].set_index("video_id")["decode_error"]
+    bad_fake = {f"vid_{i:08d}" for i in range(n) if i % VIDEO_FAKE_EVERY == VIDEO_FAKE_EVERY - 1
+                and i % VIDEO_CORRUPT_EVERY != VIDEO_CORRUPT_EVERY - 1}
+    bad_corrupt = {f"vid_{i:08d}" for i in range(n) if i % VIDEO_CORRUPT_EVERY == VIDEO_CORRUPT_EVERY - 1}
+    assert set(errs.index) == bad_fake | bad_corrupt
+    for vid in bad_fake:
+        assert "RIFF/AVI" in errs[vid]  # NotImplementedError message
+    for vid in bad_corrupt:
+        assert errs[vid].startswith("ValueError:")
+    ok = out[out["decode_error"].isna()]
+    assert len(ok) == n - len(errs)
+    assert ok["bytes"].notna().all()
