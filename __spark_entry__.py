@@ -392,6 +392,35 @@ def _hallucination_sql() -> str:
     """
 
 
+def _q_domain_classifier(spark, sf_dir):
+    """A16/A17 (rows-only: RandomForest training is not SQL-expressible —
+    behavioral oracles live in tests/test_detectors2.py): classifier
+    two-sample test over lineitem with an injected l_extendedprice shift.
+    Deterministic content-keyed folds give a stable schema and row set:
+    one row per feature with its separability importance, plus the CV AUC
+    and verdict."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors.domain_classifier import DomainClassifier
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", *cols)
+    ref, test = _split(li, "l_orderkey")
+    test = test.withColumn("l_extendedprice", F.col("l_extendedprice") * 1.5)
+    det = DomainClassifier()
+    res = det.fit_detect(
+        SparkDataset(ref, feature_cols=cols), SparkDataset(test, feature_cols=cols)
+    )
+    imps = dict(res.metadata["top_features"])
+    return spark.createDataFrame(
+        [
+            (c, round(float(imps.get(c, 0.0)), 6), round(float(res.score), 6),
+             bool(res.drift_detected))
+            for c in sorted(cols)
+        ],
+        "feature string, importance double, auc double, drift boolean",
+    )
+
+
 DENSITY_SAMPLES = 300  # ref-sample cap for the knn/kde backends — binds at
                        # every sf, and keeps the DuckDB oracle's cross joins
                        # at ~rows x 300
@@ -1642,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectation_counts": _q_expectations,
         "null_counts": _q_null_counts,
         # rows-only (non-SQL-expressible / synthetic-input)
+        "domain_classifier": _q_domain_classifier,
         "simhash": _q_simhash,
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,

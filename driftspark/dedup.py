@@ -143,6 +143,7 @@ def minhash_near_duplicates(
     n_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.7,
+    storage_level=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact token-Jaccard verification of candidates only.  Returns
@@ -155,9 +156,17 @@ def minhash_near_duplicates(
     still beats recomputing the distinct-token shuffle).  The caches stay
     registered on the returned DataFrame's lineage (Spark evicts LRU);
     callers looping over many corpora in one session can reclaim storage
-    early with ``spark.catalog.clearCache()``."""
-    tok = tokens(df, id_col, text_col).cache()
-    sigs = _signatures_from_tokens(tok, n_hashes).cache()
+    early with ``spark.catalog.clearCache()``.
+
+    ``storage_level`` overrides the default MEMORY_AND_DISK persistence of
+    the two intermediate tables — at corpus scale pass
+    ``StorageLevel.DISK_ONLY`` so the exploded token table (typically tens
+    of times the document bytes) cannot evict hotter executor caches."""
+    from pyspark import StorageLevel
+
+    lvl = storage_level or StorageLevel.MEMORY_AND_DISK
+    tok = tokens(df, id_col, text_col).persist(lvl)
+    sigs = _signatures_from_tokens(tok, n_hashes).persist(lvl)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     # count shared tokens by joining token lists through the candidate pair
@@ -183,11 +192,17 @@ def jaccard_pairs(
     text_col: str,
     min_jaccard: float = 0.5,
     max_token_df: int = 1000,
+    storage_level=None,
 ) -> DataFrame:
     """All-pairs token-set Jaccard via token self-join with stop-token
     suppression (tokens appearing in more than ``max_token_df`` docs are
-    excluded from pairing but still count toward set sizes)."""
-    tok = tokens(df, id_col, text_col).cache()
+    excluded from pairing but still count toward set sizes).
+    ``storage_level`` as in :func:`minhash_near_duplicates`."""
+    from pyspark import StorageLevel
+
+    tok = tokens(df, id_col, text_col).persist(
+        storage_level or StorageLevel.MEMORY_AND_DISK
+    )
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rare = tok.join(
