@@ -134,3 +134,22 @@ def test_hallucination_quickstart_demo(spark):
         ).agg(F.mean("hallucination_score").alias("m")).collect()
     }
     assert means[True] > 1.5 * means[False]
+
+
+def test_simple_quickstart_demo(spark):
+    """The simple_example quickstart runs end-to-end: a 0.5 mean shift on
+    every feature is detected and localized on all five features."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "simple_example", f"{REPO}/examples/quickstart/simple_example.py"
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    result = demo.main(spark)
+    assert result.detection.drift_detected is True
+    assert result.detection.p_value < 0.001
+    assert set(result.localization.drifted_features) == {
+        f"feature_{i}" for i in range(demo.N_FEATURES)
+    }
+    assert result.metadata["detector"] == "ks_test"
