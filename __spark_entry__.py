@@ -392,6 +392,72 @@ def _hallucination_sql() -> str:
     """
 
 
+EMBDRIFT_SHIFT_DIMS = 8  # inject +0.5 into the first 8 dimensions
+EMBDRIFT_DIM = 64
+
+
+def _q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift: per-dimension mean/std/Welch-z over
+    the embeddings table with an injected +0.5 shift on the first 8 dims.
+    One column-pruned scan per side feeding 2*dim+1 partial-sum
+    expressions (no posexplode of n x dim rows); the DuckDB oracle
+    re-derives every dimension's moments and z from the same arrays."""
+    from driftspark.ann import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    test = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i < EMBDRIFT_SHIFT_DIMS, F.lit(0.5)).otherwise(F.lit(0.0)),
+        ),
+    )
+    d = embedding_drift(ref, test, "embedding", dim=EMBDRIFT_DIM)
+    return d.select(
+        "dim",
+        F.round("ref_mean", 6).alias("ref_mean"),
+        F.round("test_mean", 6).alias("test_mean"),
+        F.round("mean_shift", 6).alias("mean_shift"),
+        F.round("ref_std", 6).alias("ref_std"),
+        F.round("test_std", 6).alias("test_std"),
+        F.round("z", 4).alias("z"),
+        "drifted",
+    ).orderBy("dim")
+
+
+def _embedding_drift_sql(dim: int = EMBDRIFT_DIM, shift_dims: int = EMBDRIFT_SHIFT_DIMS) -> str:
+    z = "(m1 - m0) / (sqrt(v0/n0 + v1/n1) + 1e-12)"
+    return f"""
+        WITH el AS (
+          SELECT vec_id % 2 AS side, CAST(j - 1 AS INTEGER) AS dim,
+                 CAST(embedding[j] AS DOUBLE)
+                 + (CASE WHEN vec_id % 2 = 1 AND j <= {shift_dims}
+                         THEN 0.5 ELSE 0.0 END) AS v
+          FROM embeddings CROSS JOIN range(1, {dim} + 1) t(j)
+        ),
+        st AS (
+          SELECT dim, side, count(*) AS n, sum(v) AS s, sum(v*v) AS q
+          FROM el GROUP BY dim, side
+        ),
+        m AS (
+          SELECT r.dim, r.n AS n0, t.n AS n1,
+                 r.s / r.n AS m0, t.s / t.n AS m1,
+                 greatest(r.q / r.n - (r.s/r.n)*(r.s/r.n), 0.0) AS v0,
+                 greatest(t.q / t.n - (t.s/t.n)*(t.s/t.n), 0.0) AS v1
+          FROM (SELECT * FROM st WHERE side = 0) r
+          JOIN (SELECT * FROM st WHERE side = 1) t USING (dim)
+        )
+        SELECT dim, round(m0, 6) AS ref_mean, round(m1, 6) AS test_mean,
+               round(m1 - m0, 6) AS mean_shift,
+               round(sqrt(v0), 6) AS ref_std, round(sqrt(v1), 6) AS test_std,
+               round({z}, 4) AS z,
+               abs({z}) >= 4.0 AS drifted
+        FROM m ORDER BY dim
+    """
+
+
 def _q_domain_classifier(spark, sf_dir):
     """A16/A17 (rows-only: RandomForest training is not SQL-expressible —
     behavioral oracles live in tests/test_detectors2.py): classifier
@@ -1667,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardups_exact": _q_embedding_neardups,
+        "embedding_drift": _q_embedding_drift,
         "events_hourly": _q_events_hourly,
         "expectation_counts": _q_expectations,
         "null_counts": _q_null_counts,
@@ -2986,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_verdicts": _streaming_verdicts_sql(),
         "streaming_cumulative": _streaming_cumulative_sql(),
         "mmd_stat": _mmd_stat_sql(),
+        "embedding_drift": _embedding_drift_sql(),
         "timeline": (
             _ensure_oracle_results_json(_oracle_results_path())
             or _timeline_sql(_oracle_results_path())

@@ -304,6 +304,78 @@ class IVFIndex:
         )
 
 
+def embedding_drift(
+    ref: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    z_threshold: float = 4.0,
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpora.
+
+    For each dimension j: reference/test mean, population std (ddof=0, the
+    engine's np.std convention), mean shift, and the Welch two-sample
+    z-score ``shift / sqrt(ref_var/n_ref + test_var/n_test)``; ``drifted``
+    flags ``|z| >= z_threshold``.
+
+    Scale design: ONE column-pruned scan per side feeding 2*dim+1 partial
+    sum expressions (sum, sum-of-squares per dimension) — map-side combine
+    reduces every partition to a single row, so the shuffle carries
+    O(partitions x dim) floats and there is NO posexplode of n x dim
+    element rows.  The result is dim rows regardless of corpus size.
+    ``dim`` defaults to the first row's length and is validated loudly
+    (same convention as the LSH/IVF plane checks)."""
+    if dim is None:
+        first = ref.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("embedding_drift: empty reference")
+        dim = int(first["d"])
+
+    tagged = (
+        ref.select(F.lit(0).alias("__side"), F.col(vec_col).alias("__v"))
+        .unionByName(test.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__v")))
+        .where(F.size("__v") == dim)  # loud-by-absence: mismatched rows drop
+    )
+    el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(dim):
+        aggs.append(F.sum(el[j]).alias(f"s{j}"))
+        aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
+    rows = {r["__side"]: r for r in tagged.groupBy("__side").agg(*aggs).collect()}
+    if 0 not in rows or 1 not in rows:
+        raise ValueError(
+            f"embedding_drift: a side has no rows of dimension {dim} "
+            f"(sides present: {sorted(rows)})"
+        )
+
+    out = {
+        "dim": [], "ref_mean": [], "test_mean": [], "mean_shift": [],
+        "ref_std": [], "test_std": [], "z": [], "drifted": [],
+    }
+    n0, n1 = rows[0]["n"], rows[1]["n"]
+    for j in range(dim):
+        m0 = rows[0][f"s{j}"] / n0
+        m1 = rows[1][f"s{j}"] / n1
+        v0 = max(rows[0][f"q{j}"] / n0 - m0 * m0, 0.0)
+        v1 = max(rows[1][f"q{j}"] / n1 - m1 * m1, 0.0)
+        shift = m1 - m0
+        z = shift / ((v0 / n0 + v1 / n1) ** 0.5 + 1e-12)
+        out["dim"].append(j)
+        out["ref_mean"].append(m0)
+        out["test_mean"].append(m1)
+        out["mean_shift"].append(shift)
+        out["ref_std"].append(v0 ** 0.5)
+        out["test_std"].append(v1 ** 0.5)
+        out["z"].append(z)
+        out["drifted"].append(bool(abs(z) >= z_threshold))
+    spark = ref.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(out),
+        "dim int, ref_mean double, test_mean double, mean_shift double, "
+        "ref_std double, test_std double, z double, drifted boolean",
+    )
+
+
 def knn_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5, max_rows: int = 20000
 ) -> DataFrame:

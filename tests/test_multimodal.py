@@ -319,3 +319,42 @@ def test_synth_video_table_deterministic_and_error_rows(spark):
     ok = out[out["decode_error"].isna()]
     assert len(ok) == n - len(errs)
     assert ok["bytes"].notna().all()
+
+
+def test_embedding_drift_numpy_oracle(spark):
+    """embedding_drift == hand-numpy Welch z per dimension; only the
+    shifted dimensions flag; rows with a mismatched dimension drop."""
+    from driftspark.ann import embedding_drift
+
+    rng = np.random.RandomState(3)
+    d = 6
+    R = rng.normal(0, 1, (300, d))
+    T = rng.normal(0, 1, (320, d))
+    T[:, 1] += 2.0  # strong shift on dim 1 only
+    rows = [(i, v.tolist()) for i, v in enumerate(R)]
+    rows += [(1000, [0.0, 1.0])]  # wrong-dim row must be ignored
+    ref = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "embedding"]))
+    test = spark.createDataFrame(
+        pd.DataFrame([(i, v.tolist()) for i, v in enumerate(T)], columns=["id", "embedding"])
+    )
+    out = embedding_drift(ref, test, "embedding", z_threshold=4.0).toPandas()
+    assert len(out) == d
+    assert out.set_index("dim")["drifted"].to_dict() == {
+        j: (j == 1) for j in range(d)
+    }
+    m0, m1 = R.mean(axis=0), T.mean(axis=0)
+    v0, v1 = R.var(axis=0), T.var(axis=0)  # population (ddof=0)
+    z = (m1 - m0) / (np.sqrt(v0 / len(R) + v1 / len(T)) + 1e-12)
+    np.testing.assert_allclose(out.sort_values("dim")["z"].values, z, rtol=1e-9)
+    np.testing.assert_allclose(out.sort_values("dim")["ref_std"].values, np.sqrt(v0), rtol=1e-9)
+
+
+def test_embedding_drift_requires_both_sides(spark):
+    from driftspark.ann import embedding_drift
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[0.0, 1.0], [1.0, 0.0]]})
+    )
+    empty = spark.createDataFrame(pd.DataFrame({"embedding": [[0.0, 1.0]]})).where("false")
+    with pytest.raises(ValueError, match="no rows"):
+        embedding_drift(ref, empty, "embedding")
