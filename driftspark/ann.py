@@ -310,6 +310,7 @@ def embedding_drift(
     vec_col: str = "embedding",
     dim: int | None = None,
     z_threshold: float = 4.0,
+    max_codegen_dim: int = 256,
 ) -> DataFrame:
     """Per-dimension embedding-distribution drift between two corpora.
 
@@ -318,13 +319,18 @@ def embedding_drift(
     z-score ``shift / sqrt(ref_var/n_ref + test_var/n_test)``; ``drifted``
     flags ``|z| >= z_threshold``.
 
-    Scale design: ONE column-pruned scan per side feeding 2*dim+1 partial
-    sum expressions (sum, sum-of-squares per dimension) — map-side combine
-    reduces every partition to a single row, so the shuffle carries
-    O(partitions x dim) floats and there is NO posexplode of n x dim
-    element rows.  The result is dim rows regardless of corpus size.
-    ``dim`` defaults to the first row's length and is validated loudly
-    (same convention as the LSH/IVF plane checks)."""
+    Scale design: ONE column-pruned scan per side.  At modest dims the
+    scan feeds 2*dim+1 partial sum expressions (sum, sum-of-squares per
+    dimension) — map-side combine reduces every partition to a single
+    row, so the shuffle carries O(partitions x dim) floats and there is
+    NO posexplode of n x dim element rows.  Above ``max_codegen_dim``
+    (wide real-world embeddings: 768/1536 would bloat whole-stage codegen
+    with thousands of expressions) the same moments come from ONE
+    pyspark.ml ``Summarizer`` aggregate over a Vector column — a single
+    JVM-side vector accumulator per partition, identical shuffle shape.
+    Both paths return dim rows regardless of corpus size.  ``dim``
+    defaults to the first row's length and is validated loudly (same
+    convention as the LSH/IVF plane checks)."""
     if dim is None:
         first = ref.select(F.size(vec_col).alias("d")).first()
         if first is None:
@@ -336,28 +342,60 @@ def embedding_drift(
         .unionByName(test.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__v")))
         .where(F.size("__v") == dim)  # loud-by-absence: mismatched rows drop
     )
-    el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for j in range(dim):
-        aggs.append(F.sum(el[j]).alias(f"s{j}"))
-        aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
-    rows = {r["__side"]: r for r in tagged.groupBy("__side").agg(*aggs).collect()}
-    if 0 not in rows or 1 not in rows:
+    if dim <= max_codegen_dim:
+        el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j in range(dim):
+            aggs.append(F.sum(el[j]).alias(f"s{j}"))
+            aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
+        collected = tagged.groupBy("__side").agg(*aggs).collect()
+        stats = {}
+        for r in collected:
+            n = r["n"]
+            mean = np.array([r[f"s{j}"] / n for j in range(dim)])
+            var = np.maximum(
+                np.array([r[f"q{j}"] / n for j in range(dim)]) - mean * mean, 0.0
+            )
+            stats[r["__side"]] = (n, mean, var)
+    else:
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Summarizer
+
+        vec = tagged.select(
+            "__side", array_to_vector(F.col("__v").cast("array<double>")).alias("__v")
+        )
+        collected = vec.groupBy("__side").agg(
+            Summarizer.metrics("mean", "variance", "count")
+            .summary(F.col("__v"))
+            .alias("s")
+        ).collect()
+        stats = {}
+        for r in collected:
+            n = int(r["s"]["count"])
+            mean = np.asarray(r["s"]["mean"].toArray(), dtype=np.float64)
+            # Summarizer variance is ddof=1; the engine convention is
+            # population (ddof=0)
+            var = np.maximum(
+                np.asarray(r["s"]["variance"].toArray(), dtype=np.float64)
+                * (max(n - 1, 0) / n),
+                0.0,
+            )
+            stats[r["__side"]] = (n, mean, var)
+
+    if 0 not in stats or 1 not in stats:
         raise ValueError(
             f"embedding_drift: a side has no rows of dimension {dim} "
-            f"(sides present: {sorted(rows)})"
+            f"(sides present: {sorted(stats)})"
         )
 
     out = {
         "dim": [], "ref_mean": [], "test_mean": [], "mean_shift": [],
         "ref_std": [], "test_std": [], "z": [], "drifted": [],
     }
-    n0, n1 = rows[0]["n"], rows[1]["n"]
+    (n0, mean0, var0), (n1, mean1, var1) = stats[0], stats[1]
     for j in range(dim):
-        m0 = rows[0][f"s{j}"] / n0
-        m1 = rows[1][f"s{j}"] / n1
-        v0 = max(rows[0][f"q{j}"] / n0 - m0 * m0, 0.0)
-        v1 = max(rows[1][f"q{j}"] / n1 - m1 * m1, 0.0)
+        m0, m1 = mean0[j], mean1[j]
+        v0, v1 = var0[j], var1[j]
         shift = m1 - m0
         z = shift / ((v0 / n0 + v1 / n1) ** 0.5 + 1e-12)
         out["dim"].append(j)

@@ -358,3 +358,27 @@ def test_embedding_drift_requires_both_sides(spark):
     empty = spark.createDataFrame(pd.DataFrame({"embedding": [[0.0, 1.0]]})).where("false")
     with pytest.raises(ValueError, match="no rows"):
         embedding_drift(ref, empty, "embedding")
+
+
+def test_embedding_drift_summarizer_path_matches(spark):
+    """The wide-dim Summarizer path (single JVM vector accumulator) agrees
+    with the per-dimension expression path to float tolerance."""
+    from driftspark.ann import embedding_drift
+
+    rng = np.random.RandomState(11)
+    R = rng.normal(0, 1, (200, 12))
+    T = rng.normal(0.2, 1.1, (180, 12))
+    ref = spark.createDataFrame(
+        pd.DataFrame({"embedding": [v.tolist() for v in R]})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"embedding": [v.tolist() for v in T]})
+    )
+    a = embedding_drift(ref, test, "embedding", max_codegen_dim=256).toPandas()
+    b = embedding_drift(ref, test, "embedding", max_codegen_dim=0).toPandas()
+    for c in ("ref_mean", "test_mean", "mean_shift", "ref_std", "test_std", "z"):
+        np.testing.assert_allclose(
+            a.sort_values("dim")[c].values, b.sort_values("dim")[c].values,
+            rtol=1e-9, atol=1e-12,
+        )
+    assert (a.sort_values("dim")["drifted"].values == b.sort_values("dim")["drifted"].values).all()
