@@ -304,6 +304,19 @@ class IVFIndex:
         )
 
 
+def _embedding_moment_frame(tagged: DataFrame, dim: int) -> DataFrame:
+    """Per-side count + per-dimension sum / sum-of-squares as ONE
+    aggregation over 2*dim+1 expressions (two result rows).  Split out so
+    the plan tests can assert map-side partial aggregation and the
+    absence of any Generate/explode node on the real plan."""
+    el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(dim):
+        aggs.append(F.sum(el[j]).alias(f"s{j}"))
+        aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
+    return tagged.groupBy("__side").agg(*aggs)
+
+
 def embedding_drift(
     ref: DataFrame,
     test: DataFrame,
@@ -343,12 +356,7 @@ def embedding_drift(
         .where(F.size("__v") == dim)  # loud-by-absence: mismatched rows drop
     )
     if dim <= max_codegen_dim:
-        el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for j in range(dim):
-            aggs.append(F.sum(el[j]).alias(f"s{j}"))
-            aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
-        collected = tagged.groupBy("__side").agg(*aggs).collect()
+        collected = _embedding_moment_frame(tagged, dim).collect()
         stats = {}
         for r in collected:
             n = r["n"]

@@ -259,3 +259,29 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     got = top.collect()
     assert 0 < len(got) <= 5
     assert all(r["centroid_id"] in cells for r in got)
+
+
+def test_embedding_drift_agg_no_explode_partial_agg(spark):
+    """The per-dimension moment aggregation is one scan with map-side
+    partial aggregation — no Generate (posexplode) of n x dim element
+    rows ever appears in the plan."""
+    from driftspark.ann import _embedding_moment_frame
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tagged = (
+        emb.where(F.col("vec_id") % 2 == 0)
+        .select(F.lit(0).alias("__side"), F.col("embedding").alias("__v"))
+        .unionByName(
+            emb.where(F.col("vec_id") % 2 == 1).select(
+                F.lit(1).alias("__side"), F.col("embedding").alias("__v")
+            )
+        )
+        .where(F.size("__v") == 64)
+    )
+    agg = _embedding_moment_frame(tagged, 64)
+    plan = _plan(agg)
+    assert "Generate" not in plan  # no explode
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # only the embedding (and vec_id filter) columns are read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "label" not in read_schema
