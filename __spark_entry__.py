@@ -458,6 +458,127 @@ def _embedding_drift_sql(dim: int = EMBDRIFT_DIM, shift_dims: int = EMBDRIFT_SHI
     """
 
 
+def _stream_emb_input(spark, sf_dir):
+    """Micro-batch files for the streaming embedding oracle: batch k =
+    odd vec_id with vec_id % 4 == 2k+1, embeddings cast to double with
+    the standard +0.5 shift on the first EMBDRIFT_SHIFT_DIMS dims —
+    membership and shift re-derivable in DuckDB from the registered
+    embeddings view.  Same content-keyed dir + mtime-pinning conventions
+    as _stream_batch_input."""
+    import glob as _glob
+    import time
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i < EMBDRIFT_SHIFT_DIMS, F.lit(0.5)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    in_dir = _oracle_scratch_path(
+        "streamembin", [_stream_emb_input], sf_dir=sf_dir,
+        shift_dims=EMBDRIFT_SHIFT_DIMS,
+    ).removesuffix(".parquet")
+    if not all(_glob.glob(f"{in_dir}/b{k}/*.parquet") for k in range(2)):
+        for k in range(2):
+            shifted.where(F.col("vec_id") % 4 == 2 * k + 1).select(
+                "embedding"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b{k}")
+    t0 = time.time() - 1_000
+    for k in range(2):
+        for fp in sorted(_glob.glob(f"{in_dir}/b{k}/*.parquet")):
+            os.utime(fp, (t0 + 10 * k, t0 + 10 * k))
+    return emb, in_dir
+
+
+def _q_streaming_embedding(spark, sf_dir):
+    """Stateful-streaming embedding monitor oracle: the cumulative
+    applyInPandasWithState operator's FINAL emission over the micro-batch
+    files must equal a plain batch Welch-z computation over ALL odd
+    vec_ids — DuckDB re-derives the per-dimension moments, the drifted-dim
+    set, and max |z| from the registered embeddings view directly (the
+    final cumulative value is batch-order-invariant by design)."""
+    import tempfile
+    import uuid
+
+    from driftspark.streaming import (
+        cumulative_embedding_drift_stream,
+        fit_embedding_moments,
+    )
+
+    emb, in_dir = _stream_emb_input(spark, sf_dir)
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    moments = fit_embedding_moments(ref, "embedding", dim=EMBDRIFT_DIM)
+    stream = (
+        spark.readStream.schema("embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b*")
+    )
+    out = cumulative_embedding_drift_stream(stream, moments)
+    work = tempfile.mkdtemp(prefix="driftspark_streamemb_")
+    qn = f"cum_emb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming oracle query timed out"
+    pdf = spark.sql(f"SELECT * FROM {qn}").toPandas()
+    final = pdf.sort_values("n_seen").iloc[-1]
+    dims = ",".join(str(int(j)) for j in sorted(final["drifted_dims"]))
+    return spark.createDataFrame(
+        [(
+            int(final["n_seen"]), int(final["n_drifted"]), dims,
+            round(float(final["max_abs_z"]), 4), bool(final["passed"]),
+        )],
+        "n_seen long, n_drifted int, drifted_dims string, "
+        "max_abs_z double, passed boolean",
+    )
+
+
+def _streaming_embedding_sql(
+    dim: int = EMBDRIFT_DIM,
+    shift_dims: int = EMBDRIFT_SHIFT_DIMS,
+    z_threshold: float = 4.0,
+) -> str:
+    z = "(m1 - m0) / (sqrt(v0/n0 + v1/n1) + 1e-12)"
+    return f"""
+        WITH el AS (
+          SELECT vec_id % 2 AS side, CAST(j - 1 AS INTEGER) AS dim,
+                 CAST(embedding[j] AS DOUBLE)
+                 + (CASE WHEN vec_id % 2 = 1 AND j <= {shift_dims}
+                         THEN 0.5 ELSE 0.0 END) AS v
+          FROM embeddings CROSS JOIN range(1, {dim} + 1) t(j)
+        ),
+        st AS (
+          SELECT dim, side, count(*) AS n, sum(v) AS s, sum(v*v) AS q
+          FROM el GROUP BY dim, side
+        ),
+        m AS (
+          SELECT r.dim, r.n AS n0, t.n AS n1,
+                 r.s / r.n AS m0, t.s / t.n AS m1,
+                 greatest(r.q / r.n - (r.s/r.n)*(r.s/r.n), 0.0) AS v0,
+                 greatest(t.q / t.n - (t.s/t.n)*(t.s/t.n), 0.0) AS v1
+          FROM (SELECT * FROM st WHERE side = 0) r
+          JOIN (SELECT * FROM st WHERE side = 1) t USING (dim)
+        ),
+        zt AS (SELECT dim, n1, {z} AS z FROM m)
+        SELECT (SELECT max(n1) FROM zt) AS n_seen,
+               CAST(count(*) FILTER (WHERE abs(z) >= {z_threshold}) AS INTEGER)
+                 AS n_drifted,
+               COALESCE(string_agg(CAST(dim AS VARCHAR), ',' ORDER BY dim)
+                 FILTER (WHERE abs(z) >= {z_threshold}), '') AS drifted_dims,
+               round(max(abs(z)), 4) AS max_abs_z,
+               count(*) FILTER (WHERE abs(z) >= {z_threshold}) = 0 AS passed
+        FROM zt
+    """
+
+
 def _q_domain_classifier(spark, sf_dir):
     """A16/A17 (rows-only: RandomForest training is not SQL-expressible —
     behavioral oracles live in tests/test_detectors2.py): classifier
@@ -1753,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "streaming_verdicts": _q_streaming_verdicts,
         "streaming_cumulative": _q_streaming_cumulative,
+        "streaming_embedding": _q_streaming_embedding,
         "mmd_stat": _q_mmd_stat,
         "timeline": _q_timeline,
         "timeline_features": _q_timeline_features,
@@ -3052,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
         "streaming_verdicts": _streaming_verdicts_sql(),
         "streaming_cumulative": _streaming_cumulative_sql(),
+        "streaming_embedding": _streaming_embedding_sql(),
         "mmd_stat": _mmd_stat_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "timeline": (

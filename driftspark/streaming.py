@@ -681,3 +681,120 @@ def cumulative_chi2_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def fit_embedding_moments(ref_df: DataFrame, vec_col: str = "embedding", dim=None):
+    """(n, mean, var) of the reference embedding corpus — the broadcastable
+    fitted state for :func:`cumulative_embedding_drift_stream`.  One
+    column-pruned scan feeding 2*dim+1 partial-sum expressions
+    (ann._embedding_moment_frame); population variance (ddof=0)."""
+    from driftspark.ann import _embedding_moment_frame
+
+    if dim is None:
+        first = ref_df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("fit_embedding_moments: empty reference")
+        dim = int(first["d"])
+    tagged = ref_df.select(
+        F.lit(0).alias("__side"), F.col(vec_col).alias("__v")
+    ).where(F.size("__v") == dim)
+    rows = _embedding_moment_frame(tagged, dim).collect()
+    if not rows or rows[0]["n"] == 0:
+        raise ValueError(f"fit_embedding_moments: no reference rows of dim {dim}")
+    r = rows[0]
+    n = int(r["n"])
+    mean = np.array([r[f"s{j}"] / n for j in range(dim)])
+    var = np.maximum(np.array([r[f"q{j}"] / n for j in range(dim)]) - mean * mean, 0.0)
+    return n, mean, var
+
+
+def cumulative_embedding_drift_stream(
+    stream_df: DataFrame,
+    ref_moments,
+    vec_col: str = "embedding",
+    z_threshold: float = 4.0,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    cumulative per-dimension embedding moments persist in group state, so
+    every trigger emits the Welch-z drift of ALL embeddings seen so far
+    against the fitted reference moments — slow representation drift that
+    no single micro-batch exposes accumulates until it flags.
+
+    State is one (count, sum-vector, sumsq-vector) triple — O(dim) doubles
+    forever, regardless of stream volume.  A stateless mapInPandas partial
+    stage reduces every input partition to a single moment row before the
+    stateful shuffle, so the one state task receives O(partitions) rows
+    per trigger, never raw embeddings.  Emits
+    (n_seen, n_drifted, drifted_dims, max_abs_z, passed) in update mode.
+    """
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n0, mean0, var0 = ref_moments
+    mean0 = np.asarray(mean0, dtype=np.float64)
+    var0 = np.asarray(var0, dtype=np.float64)
+    dim = len(mean0)
+
+    filtered = stream_df.select(F.col(vec_col).alias("__v")).where(
+        F.size("__v") == dim
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"].values]
+            )
+            yield pd_.DataFrame(
+                {
+                    "g": ["emb"],
+                    "n": [len(M)],
+                    "s": [M.sum(axis=0).tolist()],
+                    "q": [(M * M).sum(axis=0).tolist()],
+                }
+            )
+
+    part = filtered.mapInPandas(
+        partials, schema="g string, n long, s array<double>, q array<double>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_st, s_st, q_st = state.get
+            n = int(n_st)
+            s = np.asarray(s_st, dtype=np.float64)
+            q = np.asarray(q_st, dtype=np.float64)
+        else:
+            n, s, q = 0, np.zeros(dim), np.zeros(dim)
+        for pdf in pdfs:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                s = s + np.asarray(pdf["s"].iloc[i], dtype=np.float64)
+                q = q + np.asarray(pdf["q"].iloc[i], dtype=np.float64)
+        state.update((n, s.tolist(), q.tolist()))
+        if n > 0:
+            m1 = s / n
+            v1 = np.maximum(q / n - m1 * m1, 0.0)
+            z = (m1 - mean0) / (np.sqrt(var0 / n0 + v1 / n) + 1e-12)
+        else:
+            z = np.zeros(dim)
+        drifted = np.flatnonzero(np.abs(z) >= z_threshold)
+        yield pd_.DataFrame(
+            {
+                "n_seen": [n],
+                "n_drifted": [int(len(drifted))],
+                "drifted_dims": [[int(j) for j in drifted]],
+                "max_abs_z": [float(np.abs(z).max()) if dim else 0.0],
+                "passed": [bool(len(drifted) == 0)],
+            }
+        )
+
+    return part.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType="n_seen long, n_drifted int, drifted_dims array<int>, "
+                         "max_abs_z double, passed boolean",
+        stateStructType="n long, s array<double>, q array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

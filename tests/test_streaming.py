@@ -773,3 +773,63 @@ def test_cumulative_stream_state_stays_bounded_under_adversarial_batches(spark):
         assert sum(last_k) == 300 * n_batches
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cumulative_embedding_drift_stateful_stream(spark):
+    """applyInPandasWithState embedding monitor: cumulative moments across
+    micro-batches — the final emission equals the BATCH embedding_drift
+    over everything streamed, and the state is one O(dim) triple."""
+    from driftspark.ann import embedding_drift
+    from driftspark.streaming import (
+        cumulative_embedding_drift_stream,
+        fit_embedding_moments,
+    )
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.RandomState(17)
+    d = 16
+    ref_pdf = pd.DataFrame({"embedding": [v.tolist() for v in rng.normal(0, 1, (3000, d))]})
+    ref_df = spark.createDataFrame(ref_pdf)
+    moments = fit_embedding_moments(ref_df, "embedding", dim=d)
+    assert moments[0] == 3000 and len(moments[1]) == d
+
+    def batch(n):
+        M = rng.normal(0, 1, (n, d))
+        M[:, 2] += 0.35  # weak per-batch, strong cumulative
+        M[:, 5] -= 0.35
+        return pd.DataFrame({"embedding": [v.tolist() for v in M]})
+
+    b0, b1 = batch(700), batch(700)
+    spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+
+    stream = (
+        spark.readStream.schema("embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/*")
+    )
+    out = cumulative_embedding_drift_stream(stream, moments, "embedding")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cumemb")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream timed out"
+
+    updates = spark.sql("SELECT * FROM cumemb").toPandas()
+    final = updates.sort_values("n_seen").iloc[-1]
+    assert final["n_seen"] == 1400
+
+    # batch oracle: embedding_drift over ref vs union of both batches
+    both = spark.createDataFrame(pd.concat([b0, b1]))
+    batch_out = embedding_drift(ref_df, both, "embedding").toPandas()
+    batch_drifted = sorted(batch_out[batch_out["drifted"]]["dim"].tolist())
+    assert sorted(final["drifted_dims"]) == batch_drifted == [2, 5]
+    assert final["n_drifted"] == 2
+    assert final["max_abs_z"] == pytest.approx(
+        batch_out["z"].abs().max(), rel=1e-9
+    )
+    assert bool(final["passed"]) is False
