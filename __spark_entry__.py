@@ -49,6 +49,23 @@ def _split(df: DataFrame, key: str):
     return df.where(F.col(key) % 2 == 0), df.where(F.col(key) % 2 == 1)
 
 
+def _roundhu(x, n: int):
+    """Round a driver-side float exactly like DuckDB's round(double, n)
+    (and Spark's F.round): HALF_UP on the shortest decimal repr.  Python's
+    built-in round is half-even on the binary value — verified divergent
+    (round(0.1234565, 6): py 0.123456, duckdb/F.round 0.123457), so every
+    oracle-compared float that is rounded on the driver goes through this.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    q = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship query (smoke check on sf0.001)
 # ---------------------------------------------------------------------------
@@ -103,7 +120,7 @@ def _q_quantile_edges(spark, sf_dir):
 
     ref, _ = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     edges = quantile_edges(ref, ["l_extendedprice"], 10)["l_extendedprice"]
-    rows = [(i, round(float(e), 6)) for i, e in enumerate(edges)]
+    rows = [(i, _roundhu(e, 6)) for i, e in enumerate(edges)]
     return spark.createDataFrame(rows, "idx int, edge double")
 
 
@@ -132,7 +149,7 @@ def _q_psi_price(spark, sf_dir):
     rp, tp = props["l_extendedprice"]
     psi = psi_from_proportions(rp, tp)
     return spark.createDataFrame(
-        [("l_extendedprice", round(psi, 9), severity_from_psi(psi))],
+        [("l_extendedprice", _roundhu(psi, 9), severity_from_psi(psi))],
         "feature string, psi double, severity string",
     )
 
@@ -143,7 +160,7 @@ def _q_ks_d(spark, sf_dir):
 
     ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     d = ks_d_all(ref, test, ["l_quantity", "l_extendedprice"])
-    rows = [(c, round(v[0], 9), v[1], v[2]) for c, v in sorted(d.items())]
+    rows = [(c, _roundhu(v[0], 9), v[1], v[2]) for c, v in sorted(d.items())]
     return spark.createDataFrame(rows, "feature string, ks_d double, n long, m long")
 
 
@@ -158,7 +175,7 @@ def _q_chi2_returnflag(spark, sf_dir):
     expected = rv / rv.sum() * tv.sum()
     stat = float(np.sum((tv - expected) ** 2 / expected))
     return spark.createDataFrame(
-        [("l_returnflag", round(stat, 6), int(valid.sum()))],
+        [("l_returnflag", _roundhu(stat, 6), int(valid.sum()))],
         "feature string, chi2_stat double, n_categories int",
     )
 
@@ -254,11 +271,11 @@ def _q_cbpe_shift(spark, sf_dir):
     m = r.metadata
     return spark.createDataFrame(
         [(
-            round(float(r.statistic), 6),
+            _roundhu(r.statistic, 6),
             int(m["n_valid_bins"]),
-            round(float(m["ref_mean_confidence"]), 6),
-            round(float(m["test_mean_confidence"]), 6),
-            round(float(m["confidence_shift"]), 6),
+            _roundhu(m["ref_mean_confidence"], 6),
+            _roundhu(m["test_mean_confidence"], 6),
+            _roundhu(m["confidence_shift"], 6),
         )],
         "chi2_stat double, n_valid_bins int, ref_mean_conf double, "
         "test_mean_conf double, confidence_shift double",
@@ -427,8 +444,12 @@ def _q_embedding_drift(spark, sf_dir):
     ).orderBy("dim")
 
 
-def _embedding_drift_sql(dim: int = EMBDRIFT_DIM, shift_dims: int = EMBDRIFT_SHIFT_DIMS) -> str:
-    z = "(m1 - m0) / (sqrt(v0/n0 + v1/n1) + 1e-12)"
+def _emb_moments_cte(dim: int, shift_dims: int) -> str:
+    """Shared per-dimension moment derivation (el → st → m) used by BOTH
+    the batch embedding_drift oracle and the streaming-embedding oracle:
+    unnest the embeddings view via CROSS JOIN range, apply the standard
+    +0.5 shift to the odd (test) side's first ``shift_dims`` dims, and
+    reduce to per-dim (n, mean, population variance) per side."""
     return f"""
         WITH el AS (
           SELECT vec_id % 2 AS side, CAST(j - 1 AS INTEGER) AS dim,
@@ -449,6 +470,13 @@ def _embedding_drift_sql(dim: int = EMBDRIFT_DIM, shift_dims: int = EMBDRIFT_SHI
           FROM (SELECT * FROM st WHERE side = 0) r
           JOIN (SELECT * FROM st WHERE side = 1) t USING (dim)
         )
+    """
+
+
+def _embedding_drift_sql(dim: int = EMBDRIFT_DIM, shift_dims: int = EMBDRIFT_SHIFT_DIMS) -> str:
+    z = "(m1 - m0) / (sqrt(v0/n0 + v1/n1) + 1e-12)"
+    return f"""
+        {_emb_moments_cte(dim, shift_dims)}
         SELECT dim, round(m0, 6) AS ref_mean, round(m1, 6) AS test_mean,
                round(m1 - m0, 6) AS mean_shift,
                round(sqrt(v0), 6) AS ref_std, round(sqrt(v1), 6) AS test_std,
@@ -478,9 +506,9 @@ def _stream_emb_input(spark, sf_dir):
         ).alias("embedding"),
     )
     in_dir = _oracle_scratch_path(
-        "streamembin", [_stream_emb_input], sf_dir=sf_dir,
+        "streamembin", [_stream_emb_input], suffix="", sf_dir=sf_dir,
         shift_dims=EMBDRIFT_SHIFT_DIMS,
-    ).removesuffix(".parquet")
+    )
     if not all(_glob.glob(f"{in_dir}/b{k}/*.parquet") for k in range(2)):
         for k in range(2):
             shifted.where(F.col("vec_id") % 4 == 2 * k + 1).select(
@@ -534,7 +562,7 @@ def _q_streaming_embedding(spark, sf_dir):
     return spark.createDataFrame(
         [(
             int(final["n_seen"]), int(final["n_drifted"]), dims,
-            round(float(final["max_abs_z"]), 4), bool(final["passed"]),
+            _roundhu(final["max_abs_z"], 4), bool(final["passed"]),
         )],
         "n_seen long, n_drifted int, drifted_dims string, "
         "max_abs_z double, passed boolean",
@@ -548,25 +576,7 @@ def _streaming_embedding_sql(
 ) -> str:
     z = "(m1 - m0) / (sqrt(v0/n0 + v1/n1) + 1e-12)"
     return f"""
-        WITH el AS (
-          SELECT vec_id % 2 AS side, CAST(j - 1 AS INTEGER) AS dim,
-                 CAST(embedding[j] AS DOUBLE)
-                 + (CASE WHEN vec_id % 2 = 1 AND j <= {shift_dims}
-                         THEN 0.5 ELSE 0.0 END) AS v
-          FROM embeddings CROSS JOIN range(1, {dim} + 1) t(j)
-        ),
-        st AS (
-          SELECT dim, side, count(*) AS n, sum(v) AS s, sum(v*v) AS q
-          FROM el GROUP BY dim, side
-        ),
-        m AS (
-          SELECT r.dim, r.n AS n0, t.n AS n1,
-                 r.s / r.n AS m0, t.s / t.n AS m1,
-                 greatest(r.q / r.n - (r.s/r.n)*(r.s/r.n), 0.0) AS v0,
-                 greatest(t.q / t.n - (t.s/t.n)*(t.s/t.n), 0.0) AS v1
-          FROM (SELECT * FROM st WHERE side = 0) r
-          JOIN (SELECT * FROM st WHERE side = 1) t USING (dim)
-        ),
+        {_emb_moments_cte(dim, shift_dims)},
         zt AS (SELECT dim, n1, {z} AS z FROM m)
         SELECT (SELECT max(n1) FROM zt) AS n_seen,
                CAST(count(*) FILTER (WHERE abs(z) >= {z_threshold}) AS INTEGER)
@@ -600,7 +610,7 @@ def _q_domain_classifier(spark, sf_dir):
     imps = dict(res.metadata["top_features"])
     return spark.createDataFrame(
         [
-            (c, round(float(imps.get(c, 0.0)), 6), round(float(res.score), 6),
+            (c, _roundhu(imps.get(c, 0.0), 6), _roundhu(res.score, 6),
              bool(res.drift_detected))
             for c in sorted(cols)
         ],
@@ -1302,8 +1312,9 @@ def _stream_batch_input(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(STREAM_COLS)
     ref = li.where(F.col("l_orderkey") % 2 == 0)
     in_dir = _oracle_scratch_path(
-        "streamin", [_stream_batch_input], sf_dir=sf_dir, cols=tuple(STREAM_COLS)
-    ).removesuffix(".parquet")
+        "streamin", [_stream_batch_input], suffix="", sf_dir=sf_dir,
+        cols=tuple(STREAM_COLS),
+    )
     # self-healing guard: require ALL batch files (a killed or raced run
     # that committed only b0 would otherwise poison the content-keyed dir
     # forever — the key changes only when the generator source does)
@@ -1452,7 +1463,7 @@ def _q_streaming_cumulative(spark, sf_dir):
                 rows.append(
                     (
                         str(r["feature"]), check, int(r["n_seen"]),
-                        round(float(r[stat_col]), 6),
+                        _roundhu(r[stat_col], 6),
                     )
                 )
     finally:
@@ -1603,7 +1614,7 @@ def _q_timeline_summary(spark, sf_dir):
     return spark.createDataFrame(
         [(
             s["total_years"], s["detectors_count"], s["total_drift_events"],
-            round(s["avg_accuracy"], 9), s["accuracy_range"][0],
+            _roundhu(s["avg_accuracy"], 9), s["accuracy_range"][0],
             s["accuracy_range"][1], s["unique_drifted_features"],
         )],
         "total_years long, detectors_count long, total_drift_events long, "
@@ -1757,7 +1768,7 @@ def _q_mmd_stat(spark, sf_dir):
     res = det.detect(SparkDataset(test, feature_cols=cols, metadata_cols=keys))
     return spark.createDataFrame(
         [(
-            "mmd", round(float(res.score), 6), res.severity.value,
+            "mmd", _roundhu(res.score, 6), res.severity.value,
             bool(res.drift_detected), res.metadata["actual_ref_samples"],
             res.metadata["actual_test_samples"],
         )],

@@ -158,6 +158,11 @@ def embedding_near_duplicates(
 
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError(
+                f"cannot infer dim: empty input or NULL {vec_col} in first row"
+                " — pass dim explicitly"
+            )
         dim = int(first["d"])
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
@@ -346,8 +351,11 @@ def embedding_drift(
     convention as the LSH/IVF plane checks)."""
     if dim is None:
         first = ref.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            raise ValueError("embedding_drift: empty reference")
+        if first is None or first["d"] is None:
+            raise ValueError(
+                "embedding_drift: empty reference or NULL embedding in first"
+                " row — pass dim explicitly"
+            )
         dim = int(first["d"])
 
     tagged = (

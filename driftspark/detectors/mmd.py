@@ -101,6 +101,10 @@ class MMD(BaseDriftDetector):
         # keys — feature doubles would hit cross-engine float formatting).
         self.sample_hash = sample_hash
         self.sample_key_cols = list(sample_key_cols) if sample_key_cols else None
+        if sample_hash not in ("xxhash64", "md5"):
+            raise ValueError(
+                f"sample_hash must be 'xxhash64' or 'md5', got {sample_hash!r}"
+            )
         if sample_hash == "md5" and not self.sample_key_cols:
             raise ValueError("sample_hash='md5' requires sample_key_cols")
 

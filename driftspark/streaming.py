@@ -692,8 +692,11 @@ def fit_embedding_moments(ref_df: DataFrame, vec_col: str = "embedding", dim=Non
 
     if dim is None:
         first = ref_df.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            raise ValueError("fit_embedding_moments: empty reference")
+        if first is None or first["d"] is None:
+            raise ValueError(
+                "fit_embedding_moments: empty reference or NULL embedding in"
+                " first row — pass dim explicitly"
+            )
         dim = int(first["d"])
     tagged = ref_df.select(
         F.lit(0).alias("__side"), F.col(vec_col).alias("__v")

@@ -21,8 +21,12 @@ Format quirks mirrored from the reference loader:
   ``pipelines.*.detection``.
 - ``get_performance_metrics`` uses Python ``or`` fallbacks, so a 0.0 in
   metadata falls through to the year-level value — mirrored exactly.
-- ``get_feature_drift_timeline`` takes the FIRST pipeline carrying a
-  localization (dict insertion order) — mirrored via posexplode order.
+- ``get_feature_drift_timeline`` takes the FIRST pipeline whose dict
+  CONTAINS a ``localization`` key (dict insertion order, even when the
+  value is null) — mirrored via posexplode order + map_contains_key.
+- ``get_detector_timeline`` skips falsy detectors-dict entries and breaks
+  at the first matching pipeline; ``get_available_detectors`` unions
+  detectors-dict keys and pipeline names per year (no either/or).
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _MAP = "map<string,string>"
 _DETECTION_SCHEMA = (
@@ -92,7 +97,11 @@ class DriftResultsTimeline:
                     "ydata",
                 )
             )
-            self._years = raw
+            # every accessor derives from this frame and summary_stats
+            # touches it four times — persist the parsed (source, year,
+            # ydata) rows so a results lake is read + JSON-split once,
+            # spilling to disk rather than re-scanning.
+            self._years = raw.persist(StorageLevel.MEMORY_AND_DISK)
         return self._years
 
     def _pipelines_df(self) -> DataFrame:
@@ -107,9 +116,15 @@ class DriftResultsTimeline:
         )
 
     def _detections_df(self) -> DataFrame:
-        """(source, year, detector_name, detection struct) from BOTH
-        formats: the ``detectors`` dict when present, else
-        ``pipelines.*.detection`` (data_loader.py:100-128)."""
+        """(source, year, detector_name, det, branch, pos, entry_truthy)
+        from BOTH formats: the ``detectors`` dict when present, else
+        ``pipelines.*.detection`` (data_loader.py:100-128).
+
+        ``branch``/``pos``/``entry_truthy`` let each accessor apply the
+        reference's exact selection rules: ``detector_timeline`` keeps only
+        Python-truthy detectors-dict entries (``if detector_result:``) and
+        BREAKS at the first matching pipeline (pos order), while
+        ``all_detectors_timeline`` emits every row of both branches."""
         years = self.years_df().withColumn(
             "dmap", F.from_json(F.get_json_object("ydata", "$.detectors"), _MAP)
         ).withColumn("n_det", F.coalesce(F.size("dmap"), F.lit(0)))
@@ -121,6 +136,16 @@ class DriftResultsTimeline:
                 F.explode("dmap").alias("detector_name", "djson"),
             )
             .withColumn("det", F.from_json("djson", _DETECTION_SCHEMA))
+            .withColumn("branch", F.lit("detectors"))
+            .withColumn("pos", F.lit(None).cast("int"))
+            # Python truthiness of the dict entry: non-null, non-empty obj
+            .withColumn(
+                "entry_truthy",
+                F.coalesce(
+                    F.size(F.map_keys(F.from_json("djson", _MAP))) > 0,
+                    F.lit(False),
+                ),
+            )
         )
         from_pipelines = (
             years.where(F.col("n_det") <= 0)
@@ -137,10 +162,18 @@ class DriftResultsTimeline:
                     F.get_json_object("pdata", "$.detection"), _DETECTION_SCHEMA
                 ),
             )
-            .where(F.col("det.detector_name").isNotNull())
+            .where(
+                F.col("det.detector_name").isNotNull()
+                & (F.col("det.detector_name") != "")
+            )
             .withColumn("detector_name", F.col("det.detector_name"))
+            .withColumn("branch", F.lit("pipelines"))
+            .withColumn("entry_truthy", F.lit(True))
         )
-        cols = ["source", "year", "detector_name", "det"]
+        cols = [
+            "source", "year", "detector_name", "det",
+            "branch", "pos", "entry_truthy",
+        ]
         return from_detectors.select(cols).unionByName(
             from_pipelines.select(cols)
         )
@@ -149,10 +182,25 @@ class DriftResultsTimeline:
 
     def detector_timeline(self, detector_name: str) -> DataFrame:
         """year, drift_detected, severity, score, p_value, threshold for
-        one detector (data_loader.py:33-81; defaults False/'none'/0.0)."""
+        one detector (data_loader.py:33-81; defaults False/'none'/0.0).
+
+        Mirrors the reference's selection exactly: a falsy detectors-dict
+        entry is skipped (``if detector_result:``), and the pipelines
+        fallback takes only the FIRST pipeline whose detection matches
+        (the loop ``break``s, data_loader.py:60-65)."""
+        d = self._detections_df().where(F.col("detector_name") == detector_name)
+        from_det = d.where(
+            (F.col("branch") == "detectors") & F.col("entry_truthy")
+        )
+        w = Window.partitionBy("source", "year").orderBy("pos")
+        from_pipe = (
+            d.where(F.col("branch") == "pipelines")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
         return (
-            self._detections_df()
-            .where(F.col("detector_name") == detector_name)
+            from_det.unionByName(from_pipe)
             .select(
                 "year",
                 F.coalesce("det.drift_detected", F.lit(False)).alias(
@@ -187,27 +235,43 @@ class DriftResultsTimeline:
 
     def feature_drift_timeline(self) -> DataFrame:
         """year, feature, drift_score, drift_detected, severity — from the
-        year's direct localization, else the FIRST pipeline carrying one
-        (data_loader.py:137-180)."""
+        year's direct localization if TRUTHY, else the FIRST pipeline whose
+        dict CONTAINS the ``localization`` key (data_loader.py:137-180).
+
+        Two reference quirks mirrored exactly: the direct value falls
+        through only when Python-falsy (null OR empty object), and the
+        pipeline loop breaks on key PRESENCE — a first pipeline carrying
+        an explicit ``"localization": null`` wins the break and the year
+        then emits nothing."""
         direct = self.years_df().select(
             "source",
             "year",
             F.get_json_object("ydata", "$.localization").alias("ljson"),
+        ).withColumn(
+            "direct_ok",
+            F.coalesce(
+                F.size(F.map_keys(F.from_json("ljson", _MAP))) > 0,
+                F.lit(False),
+            ),
         )
         w = Window.partitionBy("source", "year").orderBy("pos")
         first_pipeline = (
             self._pipelines_df()
-            .withColumn("ljson", F.get_json_object("pdata", "$.localization"))
-            .where(F.col("ljson").isNotNull())
+            .withColumn("pmap", F.from_json("pdata", _MAP))
+            .where(F.map_contains_key("pmap", "localization"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("source", "year", "ljson")
+            .select(
+                "source",
+                "year",
+                F.element_at("pmap", F.lit("localization")).alias("ljson"),
+            )
         )
         loc = (
-            direct.where(F.col("ljson").isNotNull())
+            direct.where(F.col("direct_ok")).select("source", "year", "ljson")
             .unionByName(
-                direct.where(F.col("ljson").isNull())
-                .drop("ljson")
+                direct.where(~F.col("direct_ok"))
+                .select("source", "year")
                 .join(first_pipeline, ["source", "year"], "inner")
             )
             .withColumn(
@@ -295,10 +359,33 @@ class DriftResultsTimeline:
         ]
 
     def available_detectors(self) -> List[str]:
+        """Sorted distinct detector names (data_loader.py:259-282).
+
+        The reference UNIONS detectors-dict keys AND pipeline detection
+        names within every year (no either/or routing, unlike the timeline
+        frames) — so a year carrying both contributes both sets."""
+        from_keys = self.years_df().select(
+            F.explode(
+                F.map_keys(
+                    F.from_json(F.get_json_object("ydata", "$.detectors"), _MAP)
+                )
+            ).alias("detector_name")
+        )
+        from_pipes = (
+            self._pipelines_df()
+            .select(
+                F.get_json_object("pdata", "$.detection.detector_name").alias(
+                    "detector_name"
+                )
+            )
+            .where(
+                F.col("detector_name").isNotNull()
+                & (F.col("detector_name") != "")
+            )
+        )
         return [
             r["detector_name"]
-            for r in self._detections_df()
-            .select("detector_name")
+            for r in from_keys.unionByName(from_pipes)
             .distinct()
             .orderBy("detector_name")
             .collect()

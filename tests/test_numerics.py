@@ -156,3 +156,31 @@ def test_qcut_edges_matches_pandas():
     _, pd_edges = pd.qcut(pd.Series(values), q=10, retbins=True, duplicates="drop")
     ours = nm.qcut_edges(values, 10)
     assert np.allclose(ours, pd_edges, rtol=1e-12)
+
+
+def test_roundhu_matches_duckdb_round():
+    """Driver-side oracle rounding (_roundhu) must agree with DuckDB's
+    round(double, n) — HALF_UP on the shortest decimal repr — including
+    the tie values where Python's built-in half-even round diverges
+    (CLAUDE.md: round floats identically on the Spark AND DuckDB side)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _roundhu
+
+    con = duckdb.connect()
+    vals = [
+        0.1234565, -0.1234565, 0.1234575, 0.0625, 2.675, 0.5, 1.5,
+        0.00048828125, 3.0517578125e-05, 0.1, 1 / 3, math.pi, 1e-12, 0.0,
+    ] + list(np.random.default_rng(7).uniform(-2, 2, 200))
+    for v in vals:
+        for n in (4, 6, 9):
+            duck = con.execute(
+                f"select round(cast({v!r} as double), {n})"
+            ).fetchone()[0]
+            assert _roundhu(v, n) == duck, (v, n)
+    # the divergence this guards against: Python round is half-even
+    assert round(0.1234565, 6) != _roundhu(0.1234565, 6)
+    assert _roundhu(None, 6) is None

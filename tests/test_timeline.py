@@ -207,6 +207,87 @@ def test_distribution_shift_timeline_own_format(tl, raw):
     assert checked == len(got) > 0
 
 
+def test_reference_selection_quirks(spark, tmp_path):
+    """The loader's exact selection rules on adversarial shapes:
+
+    - feature_drift: pipeline loop breaks on localization KEY PRESENCE
+      (data_loader.py:160-165) — a first pipeline with an explicit null
+      localization wins the break and the year emits nothing; a falsy
+      DIRECT localization ({}) falls through to the pipelines.
+    - detector_timeline: first matching pipeline only (break,
+      data_loader.py:60-65); falsy detectors-dict entries skipped
+      (``if detector_result:``).  all_detectors_timeline has neither rule.
+    - available_detectors: detectors-dict keys UNION pipeline names per
+      year (data_loader.py:266-280) — not either/or."""
+    loc = {
+        "feature_drifts": [
+            {
+                "feature_name": "px",
+                "drift_detected": True,
+                "score": 0.9,
+                "p_value": 0.01,
+                "severity": "high",
+            }
+        ]
+    }
+    det = lambda name, score: {  # noqa: E731
+        "detector_name": name,
+        "drift_detected": False,
+        "severity": "none",
+        "score": score,
+    }
+    doc = {
+        # null-localization first pipeline wins the break -> year silent
+        "2020": {
+            "pipelines": {
+                "A": {"detection": det("ks_test", 0.1), "localization": None},
+                "B": {"detection": det("ks_test", 0.2), "localization": loc},
+            }
+        },
+        # falsy DIRECT localization falls through to the pipeline's
+        "2021": {
+            "localization": {},
+            "pipelines": {"C": {"detection": det("psi", 0.3), "localization": loc}},
+        },
+        # falsy detectors-dict entry + union-visibility pipeline detector
+        "2022": {
+            "detectors": {"ks_test": {}, "chi2": {"score": 0.4}},
+            "pipelines": {"D": {"detection": det("mmd", 0.5)}},
+        },
+    }
+    (tmp_path / "r.json").write_text(json.dumps(doc))
+    tl = DriftResultsTimeline(spark, str(tmp_path))
+
+    feat = tl.feature_drift_timeline().toPandas()
+    assert list(feat["year"]) == [2021] and list(feat["feature"]) == ["px"]
+
+    ks = tl.detector_timeline("ks_test").toPandas()
+    # 2020: first matching pipeline only (score 0.1); 2022: {} entry skipped
+    assert [(r.year, r.score) for r in ks.itertuples(index=False)] == [
+        (2020, 0.1)
+    ]
+    chi2 = tl.detector_timeline("chi2").toPandas()
+    assert [(r.year, r.score) for r in chi2.itertuples(index=False)] == [
+        (2022, 0.4)
+    ]
+    # 2022 routed to the detectors branch: the mmd pipeline is invisible
+    # to the timeline frames...
+    assert tl.detector_timeline("mmd").toPandas().empty
+    alltl = tl.all_detectors_timeline().toPandas()
+    # ...all_detectors keeps every 2020 pipeline row AND the falsy entry
+    assert [
+        (r.year, r.detector, r.score) for r in alltl.itertuples(index=False)
+    ] == [
+        (2020, "Ks Test", 0.1),
+        (2020, "Ks Test", 0.2),
+        (2021, "Psi", 0.3),
+        (2022, "Chi2", 0.4),
+        (2022, "Ks Test", 0.0),
+    ]
+    # ...but available_detectors unions both sources within 2022
+    assert tl.available_detectors() == ["chi2", "ks_test", "mmd", "psi"]
+
+
 def test_detectors_dict_format_and_yearly_results_wrapper(spark, tmp_path):
     """The alternate JSON shapes the reference loader accepts: a
     ``yearly_results`` wrapper, a ``detectors`` dict (no pipelines), and
