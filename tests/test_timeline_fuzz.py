@@ -1,0 +1,220 @@
+"""Randomized timeline parity: many generated results-JSON documents vs a
+compact pandas mirror of the reference loader's exact loops
+(examples/dashboard/data_loader.py).  One distributed read over the whole
+directory; the mirror runs per-file and concatenates — any divergence in
+the selection quirks (either/or routing, truthiness skips, first-match
+breaks, key-presence breaks, or-fallbacks) surfaces as a multiset diff."""
+
+import json
+import random
+
+import pandas as pd
+
+from driftspark.timeline import DriftResultsTimeline
+
+DETECTORS = ["ks_test", "psi", "mmd", "cbpe"]
+FEATURES = ["age", "income", "hours"]
+
+
+def _maybe(rng, p):
+    return rng.random() < p
+
+
+def _detection(rng, name):
+    d = {"detector_name": name}
+    if _maybe(rng, 0.8):
+        d["drift_detected"] = rng.random() < 0.5
+    if _maybe(rng, 0.8):
+        d["severity"] = rng.choice(["none", "low", "high"])
+    if _maybe(rng, 0.8):
+        d["score"] = round(rng.random(), 3)
+    if _maybe(rng, 0.5):
+        d["p_value"] = round(rng.random(), 3)
+    return d
+
+
+def _localization(rng):
+    r = rng.random()
+    if r < 0.25:
+        return None
+    if r < 0.4:
+        return {}
+    if r < 0.55:
+        return {"feature_drifts": []}
+    return {
+        "feature_drifts": [
+            {
+                "feature_name": f,
+                "drift_detected": rng.random() < 0.5,
+                "score": round(rng.random(), 3),
+                "p_value": round(rng.random(), 3),
+                **({"severity": rng.choice(["low", "high"])} if _maybe(rng, 0.7) else {}),
+            }
+            for f in rng.sample(FEATURES, rng.randint(1, len(FEATURES)))
+        ]
+    }
+
+
+def _year_data(rng):
+    yd = {}
+    if _maybe(rng, 0.5):  # detectors-dict format (sometimes empty)
+        yd["detectors"] = {
+            n: ({} if _maybe(rng, 0.2) else _detection(rng, n))
+            for n in rng.sample(DETECTORS, rng.randint(0, 3))
+        }
+    if _maybe(rng, 0.8):  # pipelines format (may coexist)
+        pipelines = {}
+        for i in range(rng.randint(0, 3)):
+            p = {}
+            if _maybe(rng, 0.9):
+                p["detection"] = _detection(rng, rng.choice(DETECTORS))
+            if _maybe(rng, 0.6):
+                p["localization"] = _localization(rng)
+            pipelines[f"P{i}"] = p
+        yd["pipelines"] = pipelines
+    if _maybe(rng, 0.4):
+        yd["localization"] = _localization(rng)
+    if _maybe(rng, 0.6):
+        # 0.0 must fall through the reference's Python-`or` to year level
+        yd["metadata"] = {
+            "test_accuracy": rng.choice([0.0, round(rng.random(), 3)]),
+            "accuracy_delta": rng.choice([0.0, -0.01]),
+        }
+    if _maybe(rng, 0.7):
+        yd["actual_accuracy"] = round(rng.random(), 3)
+        yd["accuracy_drop"] = round(rng.random() / 10, 3)
+    return yd
+
+
+def _document(rng):
+    years = {str(y): _year_data(rng) for y in rng.sample(range(2010, 2020), rng.randint(1, 4))}
+    if _maybe(rng, 0.3):
+        years["run_config"] = {"note": "skip me"}
+    return {"yearly_results": years} if _maybe(rng, 0.5) else years
+
+
+# -- compact mirror of the reference loader's loops -----------------------
+
+def _years(doc):
+    data = doc.get("yearly_results", doc)
+    return [(y, d) for y, d in data.items() if y.isdigit()]
+
+
+def _mirror_detector_timeline(doc, name):
+    rows = []
+    for y, yd in _years(doc):
+        det = dict(yd.get("detectors", {}))
+        if not det:
+            for p in yd.get("pipelines", {}).values():
+                d = p.get("detection", {})
+                if d.get("detector_name") == name:
+                    det[name] = d
+                    break
+        r = det.get(name)
+        if r:
+            rows.append((int(y), r.get("drift_detected", False),
+                         r.get("severity", "none"), r.get("score", 0.0),
+                         r.get("p_value")))
+    return rows
+
+
+def _mirror_all_detectors(doc):
+    rows = []
+    for y, yd in _years(doc):
+        det = yd.get("detectors", {})
+        items = (
+            det.items()
+            if det
+            else [
+                (p["detection"]["detector_name"], p["detection"])
+                for p in yd.get("pipelines", {}).values()
+                if p.get("detection", {}).get("detector_name")
+            ]
+        )
+        for n, r in items:
+            rows.append((int(y), n.replace("_", " ").title(),
+                         r.get("drift_detected", False),
+                         r.get("severity", "none"), r.get("score", 0.0)))
+    return rows
+
+
+def _mirror_feature_drift(doc):
+    rows = []
+    for y, yd in _years(doc):
+        loc = yd.get("localization")
+        if not loc:
+            for p in yd.get("pipelines", {}).values():
+                if "localization" in p:
+                    loc = p["localization"]
+                    break
+        if loc and loc.get("feature_drifts"):
+            for fd in loc["feature_drifts"]:
+                rows.append((int(y), fd["feature_name"], fd["score"],
+                             fd["drift_detected"], fd.get("severity", "none")))
+    return rows
+
+
+def _mirror_perf(doc):
+    rows = []
+    for y, yd in _years(doc):
+        meta = yd.get("metadata", {})
+        rows.append((int(y),
+                     meta.get("test_accuracy") or yd.get("actual_accuracy", 0.0),
+                     meta.get("accuracy_delta") or yd.get("accuracy_drop", 0.0)))
+    return rows
+
+
+def _mirror_available_detectors(doc):
+    names = set()
+    for _, yd in _years(doc):
+        names.update(yd.get("detectors", {}).keys())
+        for p in yd.get("pipelines", {}).values():
+            n = p.get("detection", {}).get("detector_name")
+            if n:
+                names.add(n)
+    return names
+
+
+def test_random_documents_match_reference_mirror(spark, tmp_path):
+    rng = random.Random(20260817)
+    docs = [_document(rng) for _ in range(40)]
+    for i, doc in enumerate(docs):
+        (tmp_path / f"r{i:02d}.json").write_text(json.dumps(doc))
+    tl = DriftResultsTimeline(spark, str(tmp_path))
+
+    def multiset(rows):
+        # Counter, not sorted: None (absent p_value) doesn't order vs float
+        from collections import Counter
+
+        return Counter(
+            tuple(None if isinstance(v, float) and pd.isna(v) else v for v in r)
+            for r in rows
+        )
+
+    for name in DETECTORS:
+        got = tl.detector_timeline(name).drop("threshold").toPandas()
+        exp = [r for d in docs for r in _mirror_detector_timeline(d, name)]
+        assert multiset(got.itertuples(index=False)) == multiset(exp), name
+
+    got = tl.all_detectors_timeline().toPandas()
+    exp = [r for d in docs for r in _mirror_all_detectors(d)]
+    assert multiset(got.itertuples(index=False)) == multiset(exp)
+
+    got = tl.feature_drift_timeline().toPandas()
+    exp = [r for d in docs for r in _mirror_feature_drift(d)]
+    assert multiset(got.itertuples(index=False)) == multiset(exp)
+
+    got = tl.performance_metrics().toPandas()
+    exp = [r for d in docs for r in _mirror_perf(d)]
+    # both sides parse the same JSON decimal literals to IEEE doubles, so
+    # exact equality holds (values are 3-decimal literals, no arithmetic)
+    assert multiset(
+        (r.year, float(r.accuracy), float(r.accuracy_delta))
+        for r in got.itertuples(index=False)
+    ) == multiset((y, float(a), float(d)) for y, a, d in exp)
+
+    exp_names = set().union(*(_mirror_available_detectors(d) for d in docs))
+    assert tl.available_detectors() == sorted(exp_names)
+
+    exp_years = sorted({int(y) for d in docs for y, _ in _years(d)})
+    assert tl.available_years() == exp_years
