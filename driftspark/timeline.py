@@ -50,10 +50,6 @@ _RCA_SCHEMA = (
     "analyzer_name string, feature_importances map<string,double>, "
     "recommendations array<string>"
 )
-_DIST_CHANGE_SCHEMA = (
-    "map<string,struct<ref_importance double, test_importance double, "
-    "change double>>"
-)
 
 
 class DriftResultsTimeline:
@@ -393,11 +389,21 @@ class DriftResultsTimeline:
 
     def rca_results(self) -> DataFrame:
         """year, detector, analyzer, feature_importances,
-        recommendations, n_recommendations (data_loader.py:262-300)."""
+        recommendations, n_recommendations (data_loader.py:262-300).
+
+        The reference keeps a pipeline only when its rca is Python-truthy
+        (``if rca:``) — an explicit null OR empty-object rca is skipped,
+        mirrored with the same non-empty-map check as the localization
+        truthiness rule."""
         pl = (
             self._pipelines_df()
             .withColumn("rjson", F.get_json_object("pdata", "$.rca"))
-            .where(F.col("rjson").isNotNull())
+            .where(
+                F.coalesce(
+                    F.size(F.map_keys(F.from_json("rjson", _MAP))) > 0,
+                    F.lit(False),
+                )
+            )
             .withColumn("rca", F.from_json("rjson", _RCA_SCHEMA))
             .withColumn(
                 "det",
@@ -421,17 +427,26 @@ class DriftResultsTimeline:
         """year, feature, ref_importance, test_importance, change,
         abs_change from rca.distribution_changes (data_loader.py:302-351;
         .get defaults 0.0, change defaults test - ref)."""
+        value_schema = (
+            "ref_importance double, test_importance double, change double"
+        )
         pl = (
             self._pipelines_df()
             .withColumn(
-                "dc",
+                "dcm",
                 F.from_json(
                     F.get_json_object("pdata", "$.rca.distribution_changes"),
-                    _DIST_CHANGE_SCHEMA,
+                    _MAP,
                 ),
             )
-            .where(F.size(F.map_keys("dc")) > 0)
-            .select("year", F.explode("dc").alias("feature", "v"))
+            .where(F.size(F.map_keys("dcm")) > 0)
+            .select("year", F.explode("dcm").alias("feature", "vjson"))
+            # reference skips non-dict feature values (isinstance check,
+            # data_loader.py:341); a struct-typed from_json can't tell a
+            # scalar from an object with other keys (both parse to a null/
+            # empty struct), so the object test is on the raw JSON value
+            .where(F.ltrim("vjson").startswith("{"))
+            .withColumn("v", F.from_json("vjson", value_schema))
         )
         ref_imp = F.coalesce("v.ref_importance", F.lit(0.0))
         test_imp = F.coalesce("v.test_importance", F.lit(0.0))

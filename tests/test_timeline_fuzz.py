@@ -55,6 +55,41 @@ def _localization(rng):
     }
 
 
+def _rca(rng):
+    r = rng.random()
+    if r < 0.25:
+        return None
+    if r < 0.4:
+        return {}
+    rca = {}
+    if _maybe(rng, 0.7):
+        rca["analyzer_name"] = rng.choice(["shap", "perm"])
+    if _maybe(rng, 0.7):
+        rca["feature_importances"] = {
+            f: round(rng.random(), 3)
+            for f in rng.sample(FEATURES, rng.randint(0, 2))
+        }
+    if _maybe(rng, 0.7):
+        rca["recommendations"] = ["check " + f for f in rng.sample(FEATURES, rng.randint(0, 2))]
+    if _maybe(rng, 0.7):
+        rca["distribution_changes"] = {
+            f: rng.choice(
+                [
+                    0.5,  # non-dict value: reference's isinstance skips it
+                    {"ref_importance": round(rng.random(), 3)},
+                    {
+                        "ref_importance": round(rng.random(), 3),
+                        "test_importance": round(rng.random(), 3),
+                        "change": round(rng.random(), 3),
+                    },
+                    {"other_key": 1.0},
+                ]
+            )
+            for f in rng.sample(FEATURES, rng.randint(0, 3))
+        }
+    return rca
+
+
 def _year_data(rng):
     yd = {}
     if _maybe(rng, 0.5):  # detectors-dict format (sometimes empty)
@@ -70,6 +105,8 @@ def _year_data(rng):
                 p["detection"] = _detection(rng, rng.choice(DETECTORS))
             if _maybe(rng, 0.6):
                 p["localization"] = _localization(rng)
+            if _maybe(rng, 0.6):
+                p["rca"] = _rca(rng)
             pipelines[f"P{i}"] = p
         yd["pipelines"] = pipelines
     if _maybe(rng, 0.4):
@@ -164,6 +201,40 @@ def _mirror_perf(doc):
     return rows
 
 
+def _mirror_rca(doc):
+    rows = []
+    for y, yd in _years(doc):
+        for p in yd.get("pipelines", {}).values():
+            rca = p.get("rca")
+            if rca:
+                rows.append(
+                    (
+                        int(y),
+                        p.get("detection", {}).get("detector_name", "unknown"),
+                        rca.get("analyzer_name", "unknown"),
+                        tuple(sorted(rca.get("feature_importances", {}).items())),
+                        tuple(rca.get("recommendations", [])),
+                        len(rca.get("recommendations", [])),
+                    )
+                )
+    return rows
+
+
+def _mirror_importance_changes(doc):
+    rows = []
+    for y, yd in _years(doc):
+        for p in yd.get("pipelines", {}).values():
+            rca = p.get("rca")
+            if rca and rca.get("distribution_changes"):
+                for f, v in rca["distribution_changes"].items():
+                    if isinstance(v, dict):
+                        ref = v.get("ref_importance", 0.0)
+                        test = v.get("test_importance", 0.0)
+                        change = v.get("change", test - ref)
+                        rows.append((int(y), f, ref, test, change, abs(change)))
+    return rows
+
+
 def _mirror_available_detectors(doc):
     names = set()
     for _, yd in _years(doc):
@@ -212,6 +283,34 @@ def test_random_documents_match_reference_mirror(spark, tmp_path):
         (r.year, float(r.accuracy), float(r.accuracy_delta))
         for r in got.itertuples(index=False)
     ) == multiset((y, float(a), float(d)) for y, a, d in exp)
+
+    got = tl.rca_results().toPandas()
+    got_rows = [
+        (
+            r.year,
+            r.detector,
+            r.analyzer,
+            tuple(sorted((r.feature_importances or {}).items())),
+            tuple(r.recommendations if r.recommendations is not None else ()),
+            r.n_recommendations,
+        )
+        for r in got.itertuples(index=False)
+    ]
+    exp = [r for d in docs for r in _mirror_rca(d)]
+    # reference defaults absent importances/recommendations to {} / [];
+    # the Spark frame carries nulls — normalized above to the same tuples
+    assert multiset(got_rows) == multiset(exp)
+
+    got = tl.feature_importance_changes().toPandas()
+    exp = [r for d in docs for r in _mirror_importance_changes(d)]
+    assert multiset(
+        (r.year, r.feature, float(r.ref_importance), float(r.test_importance),
+         float(r.change), float(r.abs_change))
+        for r in got.itertuples(index=False)
+    ) == multiset(
+        (y, f, float(a), float(b), float(c), float(ab))
+        for y, f, a, b, c, ab in exp
+    )
 
     exp_names = set().union(*(_mirror_available_detectors(d) for d in docs))
     assert tl.available_detectors() == sorted(exp_names)
