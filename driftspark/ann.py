@@ -158,7 +158,8 @@ def embedding_near_duplicates(
 
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None or first["d"] is None:
+        if first is None or first["d"] is None or int(first["d"]) < 0:
+            # size(NULL) is NULL under ANSI but -1 under legacy semantics
             raise ValueError(
                 f"cannot infer dim: empty input or NULL {vec_col} in first row"
                 " — pass dim explicitly"
@@ -351,7 +352,8 @@ def embedding_drift(
     convention as the LSH/IVF plane checks)."""
     if dim is None:
         first = ref.select(F.size(vec_col).alias("d")).first()
-        if first is None or first["d"] is None:
+        if first is None or first["d"] is None or int(first["d"]) < 0:
+            # size(NULL) is NULL under ANSI but -1 under legacy semantics
             raise ValueError(
                 "embedding_drift: empty reference or NULL embedding in first"
                 " row — pass dim explicitly"

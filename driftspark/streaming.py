@@ -692,7 +692,8 @@ def fit_embedding_moments(ref_df: DataFrame, vec_col: str = "embedding", dim=Non
 
     if dim is None:
         first = ref_df.select(F.size(vec_col).alias("d")).first()
-        if first is None or first["d"] is None:
+        if first is None or first["d"] is None or int(first["d"]) < 0:
+            # size(NULL) is NULL under ANSI but -1 under legacy semantics
             raise ValueError(
                 "fit_embedding_moments: empty reference or NULL embedding in"
                 " first row — pass dim explicitly"

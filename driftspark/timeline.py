@@ -52,6 +52,16 @@ _RCA_SCHEMA = (
 )
 
 
+def _json_obj_truthy(col) -> "F.Column":
+    """Python truthiness of a JSON value that must be a dict to count:
+    non-null AND a non-empty object — null, ``{}``, and non-object values
+    are all falsy (the reference loader's ``if localization:`` /
+    ``if detector_result:`` / ``if rca:`` checks)."""
+    return F.coalesce(
+        F.size(F.map_keys(F.from_json(col, _MAP))) > 0, F.lit(False)
+    )
+
+
 class DriftResultsTimeline:
     """Timeline frames over drift-results JSON files.
 
@@ -65,6 +75,22 @@ class DriftResultsTimeline:
         self.spark = spark
         self.path = path
         self._years: Optional[DataFrame] = None
+
+    def unpersist(self) -> None:
+        """Release the cached base frame.  Spark's CacheManager does not
+        garbage-collect Dataset caches with the Python object, so a
+        long-lived session constructing many timelines (one per dashboard
+        request/path) must release each — use this, or the instance as a
+        context manager."""
+        if self._years is not None:
+            self._years.unpersist()
+            self._years = None
+
+    def __enter__(self) -> "DriftResultsTimeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
     # -- base frames --------------------------------------------------
 
@@ -134,14 +160,7 @@ class DriftResultsTimeline:
             .withColumn("det", F.from_json("djson", _DETECTION_SCHEMA))
             .withColumn("branch", F.lit("detectors"))
             .withColumn("pos", F.lit(None).cast("int"))
-            # Python truthiness of the dict entry: non-null, non-empty obj
-            .withColumn(
-                "entry_truthy",
-                F.coalesce(
-                    F.size(F.map_keys(F.from_json("djson", _MAP))) > 0,
-                    F.lit(False),
-                ),
-            )
+            .withColumn("entry_truthy", _json_obj_truthy("djson"))
         )
         from_pipelines = (
             years.where(F.col("n_det") <= 0)
@@ -243,13 +262,7 @@ class DriftResultsTimeline:
             "source",
             "year",
             F.get_json_object("ydata", "$.localization").alias("ljson"),
-        ).withColumn(
-            "direct_ok",
-            F.coalesce(
-                F.size(F.map_keys(F.from_json("ljson", _MAP))) > 0,
-                F.lit(False),
-            ),
-        )
+        ).withColumn("direct_ok", _json_obj_truthy("ljson"))
         w = Window.partitionBy("source", "year").orderBy("pos")
         first_pipeline = (
             self._pipelines_df()
@@ -398,12 +411,7 @@ class DriftResultsTimeline:
         pl = (
             self._pipelines_df()
             .withColumn("rjson", F.get_json_object("pdata", "$.rca"))
-            .where(
-                F.coalesce(
-                    F.size(F.map_keys(F.from_json("rjson", _MAP))) > 0,
-                    F.lit(False),
-                )
-            )
+            .where(_json_obj_truthy("rjson"))
             .withColumn("rca", F.from_json("rjson", _RCA_SCHEMA))
             .withColumn(
                 "det",
@@ -427,30 +435,33 @@ class DriftResultsTimeline:
         """year, feature, ref_importance, test_importance, change,
         abs_change from rca.distribution_changes (data_loader.py:302-351;
         .get defaults 0.0, change defaults test - ref)."""
-        value_schema = (
-            "ref_importance double, test_importance double, change double"
-        )
         pl = (
             self._pipelines_df()
             .withColumn(
                 "dcm",
                 F.from_json(
                     F.get_json_object("pdata", "$.rca.distribution_changes"),
-                    _MAP,
+                    "map<string,variant>",
                 ),
             )
             .where(F.size(F.map_keys("dcm")) > 0)
-            .select("year", F.explode("dcm").alias("feature", "vjson"))
-            # reference skips non-dict feature values (isinstance check,
+            .select("year", F.explode("dcm").alias("feature", "vv"))
+            # reference keeps only dict feature values (isinstance check,
             # data_loader.py:341); a struct-typed from_json can't tell a
-            # scalar from an object with other keys (both parse to a null/
-            # empty struct), so the object test is on the raw JSON value
-            .where(F.ltrim("vjson").startswith("{"))
-            .withColumn("v", F.from_json("vjson", value_schema))
+            # scalar from an object with other keys (both parse to a null
+            # struct), and a map<string,string> parse unquotes JSON strings
+            # (a STRING value "{...}" would masquerade as an object) — the
+            # variant type carries the true JSON type, so the object test
+            # is exact for every value shape
+            .where(F.schema_of_variant("vv").startswith("OBJECT"))
         )
-        ref_imp = F.coalesce("v.ref_importance", F.lit(0.0))
-        test_imp = F.coalesce("v.test_importance", F.lit(0.0))
-        change = F.coalesce(F.col("v.change"), test_imp - ref_imp)
+
+        def _get(field):
+            return F.try_variant_get("vv", f"$.{field}", "double")
+
+        ref_imp = F.coalesce(_get("ref_importance"), F.lit(0.0))
+        test_imp = F.coalesce(_get("test_importance"), F.lit(0.0))
+        change = F.coalesce(_get("change"), test_imp - ref_imp)
         return pl.select(
             "year",
             "feature",

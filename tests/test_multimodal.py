@@ -360,6 +360,28 @@ def test_embedding_drift_requires_both_sides(spark):
         embedding_drift(ref, empty, "embedding")
 
 
+def test_embedding_dim_inference_null_first_row(spark):
+    """A NULL embedding in the physically-first reference row must raise
+    the documented loud ValueError from every dim-inference site, not a
+    cryptic int(None)/int(-1) failure (size(NULL) is NULL under ANSI but
+    -1 under legacy semantics — both rejected)."""
+    from driftspark.ann import embedding_drift, embedding_near_duplicates
+    from driftspark.streaming import fit_embedding_moments
+
+    nullfirst = spark.createDataFrame(
+        [(0, None), (1, [0.0, 1.0])], "id long, embedding array<double>"
+    ).coalesce(1).orderBy("id")
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        embedding_drift(nullfirst, nullfirst, "embedding")
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        fit_embedding_moments(nullfirst, "embedding")
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        embedding_near_duplicates(nullfirst, "id", "embedding")
+    # explicit dim still works over the same data (NULL row filtered out)
+    d = embedding_drift(nullfirst, nullfirst, "embedding", dim=2)
+    assert d.count() == 2
+
+
 def test_embedding_drift_summarizer_path_matches(spark):
     """The wide-dim Summarizer path (single JVM vector accumulator) agrees
     with the per-dimension expression path to float tolerance."""

@@ -164,10 +164,11 @@ def test_roundhu_matches_duckdb_round():
     the tie values where Python's built-in half-even round diverges
     (CLAUDE.md: round floats identically on the Spark AND DuckDB side)."""
     import sys
+    from pathlib import Path
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from __spark_entry__ import _roundhu
 
     con = duckdb.connect()

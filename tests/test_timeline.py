@@ -273,8 +273,14 @@ def test_reference_selection_quirks(spark, tmp_path):
     # 2022 routed to the detectors branch: the mmd pipeline is invisible
     # to the timeline frames...
     assert tl.detector_timeline("mmd").toPandas().empty
-    alltl = tl.all_detectors_timeline().toPandas()
     # ...all_detectors keeps every 2020 pipeline row AND the falsy entry
+    # (sorted by score too — the frame's (year, detector) sort leaves the
+    # two 2020 Ks Test rows in a plan-dependent tie order)
+    alltl = (
+        tl.all_detectors_timeline()
+        .toPandas()
+        .sort_values(["year", "detector", "score"])
+    )
     assert [
         (r.year, r.detector, r.score) for r in alltl.itertuples(index=False)
     ] == [

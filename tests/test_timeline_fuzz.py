@@ -76,6 +76,9 @@ def _rca(rng):
             f: rng.choice(
                 [
                     0.5,  # non-dict value: reference's isinstance skips it
+                    # a STRING whose content looks like a JSON object must
+                    # also be skipped (variant type test, not text sniffing)
+                    '{"ref_importance": 9.0}',
                     {"ref_importance": round(rng.random(), 3)},
                     {
                         "ref_importance": round(rng.random(), 3),
