@@ -320,3 +320,28 @@ def test_random_documents_match_reference_mirror(spark, tmp_path):
 
     exp_years = sorted({int(y) for d in docs for y, _ in _years(d)})
     assert tl.available_years() == exp_years
+
+    # summary_stats: reference derives it from the same three frames
+    # (data_loader.py:220-247) — year count, distinct detectors, drift
+    # events, accuracy mean/range, distinct drifted features
+    import pytest
+
+    s = tl.summary_stats()
+    all_rows = [r for d in docs for r in _mirror_all_detectors(d)]
+    perf_rows = [r for d in docs for r in _mirror_perf(d)]
+    feat_rows = [r for d in docs for r in _mirror_feature_drift(d)]
+    accs = [a for _, a, _ in perf_rows]
+    # multi-file generalization: distinct years across the lake (the
+    # coherent extension of the reference's single-document key count,
+    # matching available_years)
+    assert s["total_years"] == len(exp_years)
+    assert s["detectors_count"] == len({r[1] for r in all_rows})
+    assert s["total_drift_events"] == sum(1 for r in all_rows if r[2])
+    assert s["avg_accuracy"] == pytest.approx(sum(accs) / len(accs))
+    assert s["accuracy_range"] == (
+        pytest.approx(min(accs)),
+        pytest.approx(max(accs)),
+    )
+    assert s["unique_drifted_features"] == len(
+        {r[1] for r in feat_rows if r[3]}
+    )
