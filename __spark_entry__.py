@@ -1623,6 +1623,81 @@ def _q_timeline_summary(spark, sf_dir):
     )
 
 
+def _q_timeline_charts(spark, sf_dir):
+    """Chart-data frames (the dashboard visualizations.py transforms —
+    severity value_counts, top-drifted-feature means, per-run top-3 rca
+    recommendation expansion) as one tagged union the DuckDB oracle
+    re-derives from the same results JSON.  The pivot frames are covered
+    by pytest mirrors (dynamic year columns don't suit a fixed-schema
+    oracle row set)."""
+    from driftspark.timeline import DriftResultsTimeline
+
+    path = _oracle_results_path()
+    _ensure_oracle_results_json(path)
+    tl = DriftResultsTimeline(spark, path)
+    sev = tl.severity_distribution().select(
+        F.lit("severity").alias("chart"),
+        F.col("severity").alias("k"),
+        F.lit("").alias("k2"),
+        F.col("count").cast("double").alias("v"),
+    )
+    top = tl.top_drifted_features(3).select(
+        F.lit("top_features").alias("chart"),
+        F.col("feature").alias("k"),
+        F.lit("").alias("k2"),
+        F.round("drift_score", 9).alias("v"),
+    )
+    recs = tl.rca_recommendations_table().select(
+        F.lit("rca_recs").alias("chart"),
+        F.concat_ws("|", F.col("year").cast("string"), "detector").alias("k"),
+        F.col("recommendation").alias("k2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return sev.unionByName(top).unionByName(recs).orderBy("chart", "k", "k2")
+
+
+def _timeline_charts_sql(path: str) -> str:
+    return f"""
+        WITH {_timeline_cte(path)},
+        {_timeline_loc_cte()},
+        sevd AS (
+          SELECT 'severity' AS chart,
+                 COALESCE(det ->> '$.severity', 'none') AS k,
+                 '' AS k2, CAST(count(*) AS DOUBLE) AS v
+          FROM detections GROUP BY 2
+        ),
+        topf AS (
+          SELECT 'top_features' AS chart, feature AS k, '' AS k2,
+                 round(avg(drift_score), 9) AS v
+          FROM feature_rows WHERE drift_detected
+          GROUP BY feature ORDER BY avg(drift_score) DESC, feature LIMIT 3
+        ),
+        rca_rows AS (
+          SELECT CAST(ys AS INTEGER) AS year,
+                 COALESCE((yd -> '$.pipelines' -> pk)
+                   ->> '$.detection.detector_name', 'unknown')
+                   AS detector_name,
+                 (yd -> '$.pipelines' -> pk) -> '$.rca' AS rca
+          FROM yr, unnest(json_keys(yd, '$.pipelines')) AS t(pk)
+          -- Python truthiness: rca must be a non-empty object
+          WHERE len(json_keys((yd -> '$.pipelines' -> pk) -> '$.rca')) > 0
+        ),
+        recs AS (
+          SELECT 'rca_recs' AS chart,
+                 CAST(year AS VARCHAR) || '|' || {_TITLE_SQL} AS k,
+                 unnest((CAST(rca -> '$.recommendations' AS VARCHAR[]))[1:3])
+                   AS k2,
+                 CAST(NULL AS DOUBLE) AS v
+          FROM rca_rows
+        )
+        SELECT * FROM (
+          SELECT * FROM sevd
+          UNION ALL SELECT * FROM topf
+          UNION ALL SELECT * FROM recs
+        ) ORDER BY chart, k, k2
+    """
+
+
 def _timeline_cte(path: str) -> str:
     """Shared DuckDB CTE prefix: years + detections from either format."""
     return f"""
@@ -1890,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline": _q_timeline,
         "timeline_features": _q_timeline_features,
         "timeline_summary": _q_timeline_summary,
+        "timeline_charts": _q_timeline_charts,
     }
 
 
@@ -3199,5 +3275,9 @@ def oracle_sql() -> dict[str, str]:
         "timeline_summary": (
             _ensure_oracle_results_json(_oracle_results_path())
             or _timeline_summary_sql(_oracle_results_path())
+        ),
+        "timeline_charts": (
+            _ensure_oracle_results_json(_oracle_results_path())
+            or _timeline_charts_sql(_oracle_results_path())
         ),
     }

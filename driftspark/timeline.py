@@ -471,6 +471,101 @@ class DriftResultsTimeline:
             F.abs(change).alias("abs_change"),
         )
 
+    # -- chart-data frames (visualizations.py transforms) --------------
+    # The reference dashboard's chart builders
+    # (examples/dashboard/visualizations.py) are plotly figures — plotting
+    # itself is out of engine scope (no plotly in env), but each builder
+    # first reshapes its input frame; those transforms are the remaining
+    # data surface, reproduced here as DataFrame accessors a user can feed
+    # to any chart library.
+
+    def feature_drift_pivot(self) -> DataFrame:
+        """feature × year mean drift_score matrix
+        (visualizations.py:118-136 create_feature_heatmap pivot_table).
+        One column per year (named by the year), rows sorted by feature."""
+        years = self.available_years()
+        return (
+            self.feature_drift_timeline()
+            .groupBy("feature")
+            .pivot("year", years)
+            .avg("drift_score")
+            .orderBy("feature")
+        )
+
+    def severity_distribution(self) -> DataFrame:
+        """severity, count over the all-detectors timeline
+        (visualizations.py:213-224 create_severity_distribution
+        value_counts), count-descending with a severity tiebreak."""
+        return (
+            self.all_detectors_timeline()
+            .groupBy("severity")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "severity")
+        )
+
+    def top_drifted_features(self, top_n: int = 10) -> DataFrame:
+        """feature, drift_score — mean score of DRIFTED rows per feature,
+        top ``top_n`` by score (visualizations.py:286-299
+        create_top_drifted_features), feature tiebreak for determinism."""
+        return (
+            self.feature_drift_timeline()
+            .where("drift_detected")
+            .groupBy("feature")
+            .agg(F.avg("drift_score").alias("drift_score"))
+            .orderBy(F.desc("drift_score"), "feature")
+            .limit(top_n)
+        )
+
+    def importance_change_series(self, top_features: int = 5) -> DataFrame:
+        """year, feature, change — restricted to the ``top_features``
+        features with the largest mean |change|
+        (visualizations.py:374-394 create_importance_change_timeline)."""
+        changes = self.feature_importance_changes()
+        top = (
+            changes.groupBy("feature")
+            .agg(F.avg("abs_change").alias("__avg"))
+            .orderBy(F.desc("__avg"), "feature")
+            .limit(top_features)
+            .select("feature")
+        )
+        return (
+            changes.join(F.broadcast(top), "feature")
+            .select("year", "feature", "change")
+            .orderBy("year", "feature")
+        )
+
+    def importance_change_pivot(self) -> DataFrame:
+        """feature × year mean importance-change matrix
+        (visualizations.py:448-468 create_feature_importance_heatmap)."""
+        years = self.available_years()
+        return (
+            self.feature_importance_changes()
+            .groupBy("feature")
+            .pivot("year", years)
+            .avg("change")
+            .orderBy("feature")
+        )
+
+    def rca_recommendations_table(self, per_run: int = 3) -> DataFrame:
+        """year, detector (title-cased), recommendation — the first
+        ``per_run`` recommendations of each rca row
+        (visualizations.py:419-446 create_rca_recommendations_table)."""
+        return (
+            self.rca_results()
+            .where(F.size("recommendations") > 0)
+            .select(
+                "year",
+                F.initcap(F.replace("detector", F.lit("_"), F.lit(" "))).alias(
+                    "detector"
+                ),
+                F.posexplode(F.slice("recommendations", 1, per_run)).alias(
+                    "rec_rank", "recommendation"
+                ),
+            )
+            .select("year", "detector", "recommendation")
+            .orderBy("year", "detector", "recommendation")
+        )
+
     def distribution_shift_timeline(self) -> DataFrame:
         """year, feature, ref_mean, test_mean, mean_shift, std_shift,
         separability_importance — the engine's OWN rca distribution_changes

@@ -207,6 +207,71 @@ def test_distribution_shift_timeline_own_format(tl, raw):
     assert checked == len(got) > 0
 
 
+def test_chart_data_frames_match_visualization_transforms(tl, raw):
+    """The dashboard chart builders' data reshapes
+    (examples/dashboard/visualizations.py) vs pandas mirrors of each
+    transform over the committed results."""
+    feat = tl.feature_drift_timeline().toPandas()
+
+    # create_feature_heatmap pivot (feature x year mean drift_score)
+    got = tl.feature_drift_pivot().toPandas().set_index("feature")
+    exp = feat.pivot_table(
+        index="feature", columns="year", values="drift_score", aggfunc="mean"
+    )
+    assert list(got.index) == sorted(exp.index)
+    for y in exp.columns:
+        for f in exp.index:
+            assert got.loc[f, str(y)] == pytest.approx(exp.loc[f, y])
+
+    # create_severity_distribution value_counts
+    got = tl.severity_distribution().toPandas()
+    exp_counts = (
+        tl.all_detectors_timeline().toPandas()["severity"].value_counts()
+    )
+    assert dict(zip(got["severity"], got["count"])) == exp_counts.to_dict()
+    assert list(got["count"]) == sorted(got["count"], reverse=True)
+
+    # create_top_drifted_features top-N mean over drifted rows
+    got = tl.top_drifted_features(top_n=3).toPandas()
+    exp_top = (
+        feat[feat["drift_detected"]]
+        .groupby("feature")["drift_score"]
+        .mean()
+        .sort_values(ascending=False)
+        .head(3)
+    )
+    assert list(got["feature"]) == list(exp_top.index)
+    assert list(got["drift_score"]) == pytest.approx(list(exp_top.values))
+
+    # create_importance_change_timeline top-feature filter
+    changes = tl.feature_importance_changes().toPandas()
+    got = tl.importance_change_series(top_features=2).toPandas()
+    exp_feats = set(
+        changes.groupby("feature")["abs_change"].mean().nlargest(2).index
+    )
+    assert set(got["feature"]) == exp_feats
+    assert len(got) == len(changes[changes["feature"].isin(exp_feats)])
+
+    # create_feature_importance_heatmap pivot — our emitted changes are
+    # all 0.0 under the reference's key mapping, so assert shape + zeros
+    got = tl.importance_change_pivot().toPandas()
+    assert (got.drop(columns="feature").fillna(0.0) == 0.0).all().all()
+
+    # create_rca_recommendations_table expansion (top 3 per rca row)
+    got = tl.rca_recommendations_table().toPandas()
+    exp_rows = []
+    for _, r in tl.rca_results().toPandas().iterrows():
+        recs = r["recommendations"]
+        for rec in (list(recs) if recs is not None else [])[:3]:
+            exp_rows.append(
+                (r["year"], r["detector"].replace("_", " ").title(), rec)
+            )
+    assert sorted(tuple(t) for t in got.itertuples(index=False)) == sorted(
+        exp_rows
+    )
+    assert len(exp_rows) > 0
+
+
 def test_reference_selection_quirks(spark, tmp_path):
     """The loader's exact selection rules on adversarial shapes:
 
