@@ -1560,6 +1560,20 @@ def _synth_results_payload() -> dict:
         },
         "actual_accuracy": 0.85,
     }
+    # an EMPTY detectors dict must fall through to the pipelines format
+    # on both engines (the loader's `if not detector_results:` routing)
+    payload["2020"] = {
+        "detectors": {},
+        "pipelines": {
+            "MMD": {
+                "detection": {
+                    "detector_name": "mmd", "drift_detected": True,
+                    "severity": "medium", "score": 0.21, "threshold": 0.05,
+                }
+            }
+        },
+        "actual_accuracy": 0.84,
+    }
     return payload
 
 
@@ -1721,7 +1735,11 @@ def _timeline_cte(path: str) -> str:
                    AS detector_name,
                  (yd -> '$.pipelines' -> pk) -> '$.detection' AS det
           FROM yr, unnest(json_keys(yd, '$.pipelines')) AS t(pk)
-          WHERE json_keys(yd, '$.detectors') IS NULL
+          -- empty-detectors routing must match Spark/reference: an empty
+          -- detectors dict ALSO falls through to pipelines
+          -- (json_keys of an empty object is [] which IS NOT NULL,
+          --  so a bare IS NULL test would wrongly keep the year out)
+          WHERE COALESCE(len(json_keys(yd, '$.detectors')), 0) = 0
             -- full parens: ->> binds LOOSER than IS NOT NULL in duckdb
             AND ((yd -> '$.pipelines' -> pk) ->> '$.detection.detector_name')
                 IS NOT NULL

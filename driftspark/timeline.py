@@ -482,12 +482,13 @@ class DriftResultsTimeline:
     def feature_drift_pivot(self) -> DataFrame:
         """feature × year mean drift_score matrix
         (visualizations.py:118-136 create_feature_heatmap pivot_table).
-        One column per year (named by the year), rows sorted by feature."""
-        years = self.available_years()
+        One column per year PRESENT IN THE FRAME (pandas pivot_table
+        semantics — a year with no feature drift contributes no column,
+        unlike available_years()), rows sorted by feature."""
         return (
             self.feature_drift_timeline()
             .groupBy("feature")
-            .pivot("year", years)
+            .pivot("year")
             .avg("drift_score")
             .orderBy("feature")
         )
@@ -536,19 +537,21 @@ class DriftResultsTimeline:
 
     def importance_change_pivot(self) -> DataFrame:
         """feature × year mean importance-change matrix
-        (visualizations.py:448-468 create_feature_importance_heatmap)."""
-        years = self.available_years()
+        (visualizations.py:448-468 create_feature_importance_heatmap);
+        like feature_drift_pivot, columns are only the years the changes
+        frame carries."""
         return (
             self.feature_importance_changes()
             .groupBy("feature")
-            .pivot("year", years)
+            .pivot("year")
             .avg("change")
             .orderBy("feature")
         )
 
     def rca_recommendations_table(self, per_run: int = 3) -> DataFrame:
         """year, detector (title-cased), recommendation — the first
-        ``per_run`` recommendations of each rca row
+        ``per_run`` recommendations of each rca row, kept in their
+        original list order within a run
         (visualizations.py:419-446 create_rca_recommendations_table)."""
         return (
             self.rca_results()
@@ -562,8 +565,8 @@ class DriftResultsTimeline:
                     "rec_rank", "recommendation"
                 ),
             )
+            .orderBy("year", "detector", "rec_rank")
             .select("year", "detector", "recommendation")
-            .orderBy("year", "detector", "recommendation")
         )
 
     def distribution_shift_timeline(self) -> DataFrame:

@@ -207,18 +207,21 @@ def test_distribution_shift_timeline_own_format(tl, raw):
     assert checked == len(got) > 0
 
 
-def test_chart_data_frames_match_visualization_transforms(tl, raw):
+def test_chart_data_frames_match_visualization_transforms(tl):
     """The dashboard chart builders' data reshapes
     (examples/dashboard/visualizations.py) vs pandas mirrors of each
     transform over the committed results."""
     feat = tl.feature_drift_timeline().toPandas()
 
-    # create_feature_heatmap pivot (feature x year mean drift_score)
+    # create_feature_heatmap pivot (feature x year mean drift_score) —
+    # column set must be exactly the years present in the frame (pandas
+    # pivot_table semantics: no phantom all-null columns for other years)
     got = tl.feature_drift_pivot().toPandas().set_index("feature")
     exp = feat.pivot_table(
         index="feature", columns="year", values="drift_score", aggfunc="mean"
     )
     assert list(got.index) == sorted(exp.index)
+    assert sorted(got.columns) == sorted(str(y) for y in exp.columns)
     for y in exp.columns:
         for f in exp.index:
             assert got.loc[f, str(y)] == pytest.approx(exp.loc[f, y])
@@ -257,18 +260,20 @@ def test_chart_data_frames_match_visualization_transforms(tl, raw):
     got = tl.importance_change_pivot().toPandas()
     assert (got.drop(columns="feature").fillna(0.0) == 0.0).all().all()
 
-    # create_rca_recommendations_table expansion (top 3 per rca row)
+    # create_rca_recommendations_table expansion (top 3 per rca row,
+    # ORIGINAL list order within a run — the reference enumerates the
+    # list, it does not alphabetize)
     got = tl.rca_recommendations_table().toPandas()
     exp_rows = []
-    for _, r in tl.rca_results().toPandas().iterrows():
+    for _, r in (
+        tl.rca_results().toPandas().sort_values(["year", "detector"]).iterrows()
+    ):
         recs = r["recommendations"]
         for rec in (list(recs) if recs is not None else [])[:3]:
             exp_rows.append(
                 (r["year"], r["detector"].replace("_", " ").title(), rec)
             )
-    assert sorted(tuple(t) for t in got.itertuples(index=False)) == sorted(
-        exp_rows
-    )
+    assert [tuple(t) for t in got.itertuples(index=False)] == exp_rows
     assert len(exp_rows) > 0
 
 
