@@ -207,6 +207,20 @@ def test_distribution_shift_timeline_own_format(tl, raw):
     assert checked == len(got) > 0
 
 
+def test_timeline_demo_runs(spark, capsys):
+    """examples/timeline_demo.py (the dashboard-data walkthrough) runs
+    against the committed golden results and yields non-empty frames."""
+    from examples.timeline_demo import main
+
+    frames = main(RESULTS, spark=spark)
+    assert not frames["all_detectors"].empty
+    assert not frames["feature_drift"].empty
+    assert frames["summary"]["total_years"] == 3
+    assert not frames["recommendations"].empty
+    out = capsys.readouterr().out
+    assert "== summary ==" in out and "top drifted features" in out
+
+
 def test_chart_data_frames_match_visualization_transforms(tl):
     """The dashboard chart builders' data reshapes
     (examples/dashboard/visualizations.py) vs pandas mirrors of each
