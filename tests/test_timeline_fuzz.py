@@ -249,8 +249,12 @@ def _mirror_available_detectors(doc):
     return names
 
 
-def test_random_documents_match_reference_mirror(spark, tmp_path):
-    rng = random.Random(20260817)
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [20260817, 911])
+def test_random_documents_match_reference_mirror(spark, tmp_path, seed):
+    rng = random.Random(seed)
     docs = [_document(rng) for _ in range(40)]
     for i, doc in enumerate(docs):
         (tmp_path / f"r{i:02d}.json").write_text(json.dumps(doc))
