@@ -165,6 +165,37 @@ def digitize_clip_expr(col: str, edges: np.ndarray, n_bins: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def histogram_proportions_one(
+    df: DataFrame, edges_map: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Single-side variant of :func:`histogram_proportions` — identical
+    bin/denominator semantics, but ONE global aggregation over one frame
+    (no union, no group key): half the scan of passing the same frame as
+    both sides, which matters when the frame is every streaming
+    micro-batch.  An empty frame yields all-zero proportions."""
+    if not edges_map:
+        return {}
+    cols = list(edges_map)
+    aggs = []
+    for c in cols:
+        b = bucket_expr(c, edges_map[c])
+        for i in range(len(edges_map[c]) - 1):
+            aggs.append(
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"{c}||{i}")
+            )
+        aggs.append(F.count(b).alias(f"{c}||total"))
+    r = df.select(*cols).agg(*aggs).first()
+    out: Dict[str, np.ndarray] = {}
+    for c in cols:
+        total = r[f"{c}||total"] or 0
+        counts = np.array(
+            [r[f"{c}||{i}"] or 0 for i in range(len(edges_map[c]) - 1)],
+            dtype=np.float64,
+        )
+        out[c] = counts / total if total > 0 else counts
+    return out
+
+
 def histogram_proportions(
     ref_df: DataFrame,
     test_df: DataFrame,

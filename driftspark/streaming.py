@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from driftspark.numerics import psi_from_proportions, severity_from_psi
-from driftspark.stats import histogram_proportions, quantile_edges
+from driftspark.stats import histogram_proportions_one, quantile_edges
 
 logger = logging.getLogger(__name__)
 
@@ -102,8 +102,9 @@ class StreamingDriftMonitor:
         self.edges: Dict[str, np.ndarray] = quantile_edges(
             reference_df, self.numeric_cols, n_bins
         )
-        props = histogram_proportions(reference_df, reference_df, self.edges)
-        self.ref_props: Dict[str, np.ndarray] = {c: p[0] for c, p in props.items()}
+        self.ref_props: Dict[str, np.ndarray] = histogram_proportions_one(
+            reference_df, self.edges
+        )
         # the same mass-quantum-thinned ECDF state the batch verdict suite
         # broadcasts (verdicts.fit_ks_reference_ecdf) — fitted once here,
         # scored against every micro-batch
@@ -111,6 +112,14 @@ class StreamingDriftMonitor:
             fit_ks_reference_ecdf(reference_df, self.ks_cols, max_ref_ecdf_points)
             if self.ks_cols
             else {}
+        )
+        # broadcast the fitted ECDF ONCE: per-trigger scoring passes this
+        # handle so the (potentially tens-of-MB) state is not re-serialized
+        # and re-shipped on every micro-batch
+        self._b_ks_ecdf = (
+            reference_df.sparkSession.sparkContext.broadcast(self.ks_ecdf)
+            if self.ks_ecdf
+            else None
         )
 
     def score_batch(self, batch_df: DataFrame) -> list:
@@ -120,9 +129,9 @@ class StreamingDriftMonitor:
         from driftspark.numerics import ks_2samp_pvalue, severity_from_pvalue
         from driftspark.verdicts import ks_d_against_ecdf
 
-        hists = histogram_proportions(batch_df, batch_df, self.edges)
+        hists = histogram_proportions_one(batch_df, self.edges)
         rows = []
-        for c, (test_p, _) in hists.items():
+        for c, test_p in hists.items():
             psi = (
                 psi_from_proportions(self.ref_props[c], test_p, self.min_bin_size)
                 if test_p.sum() > 0
@@ -158,7 +167,7 @@ class StreamingDriftMonitor:
             ks_rows = ks_d_against_ecdf(
                 batch_df.withColumn("__grp", F.lit(0)),
                 [c for c in self.ks_cols if c in self.ks_ecdf],
-                self.ks_ecdf,
+                self._b_ks_ecdf,
                 "__grp",
             ).collect()
             for r in ks_rows:
@@ -683,11 +692,19 @@ def cumulative_chi2_stream(
     )
 
 
-def fit_embedding_moments(ref_df: DataFrame, vec_col: str = "embedding", dim=None):
+def fit_embedding_moments(
+    ref_df: DataFrame,
+    vec_col: str = "embedding",
+    dim=None,
+    max_codegen_dim: int = 256,
+):
     """(n, mean, var) of the reference embedding corpus — the broadcastable
     fitted state for :func:`cumulative_embedding_drift_stream`.  One
     column-pruned scan feeding 2*dim+1 partial-sum expressions
-    (ann._embedding_moment_frame); population variance (ddof=0)."""
+    (ann._embedding_moment_frame) up to ``max_codegen_dim``; wider
+    embeddings (768/1536 would bloat whole-stage codegen with thousands of
+    expressions) use the same pyspark.ml ``Summarizer`` vector aggregate
+    as ann.embedding_drift.  Population variance (ddof=0) either way."""
     from driftspark.ann import _embedding_moment_frame
 
     if dim is None:
@@ -702,13 +719,40 @@ def fit_embedding_moments(ref_df: DataFrame, vec_col: str = "embedding", dim=Non
     tagged = ref_df.select(
         F.lit(0).alias("__side"), F.col(vec_col).alias("__v")
     ).where(F.size("__v") == dim)
-    rows = _embedding_moment_frame(tagged, dim).collect()
-    if not rows or rows[0]["n"] == 0:
+    if dim <= max_codegen_dim:
+        rows = _embedding_moment_frame(tagged, dim).collect()
+        if not rows or rows[0]["n"] == 0:
+            raise ValueError(
+                f"fit_embedding_moments: no reference rows of dim {dim}"
+            )
+        r = rows[0]
+        n = int(r["n"])
+        mean = np.array([r[f"s{j}"] / n for j in range(dim)])
+        var = np.maximum(
+            np.array([r[f"q{j}"] / n for j in range(dim)]) - mean * mean, 0.0
+        )
+        return n, mean, var
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    vec = tagged.select(
+        array_to_vector(F.col("__v").cast("array<double>")).alias("__v")
+    )
+    s = vec.agg(
+        Summarizer.metrics("mean", "variance", "count")
+        .summary(F.col("__v"))
+        .alias("s")
+    ).first()["s"]
+    n = int(s["count"])
+    if n == 0:
         raise ValueError(f"fit_embedding_moments: no reference rows of dim {dim}")
-    r = rows[0]
-    n = int(r["n"])
-    mean = np.array([r[f"s{j}"] / n for j in range(dim)])
-    var = np.maximum(np.array([r[f"q{j}"] / n for j in range(dim)]) - mean * mean, 0.0)
+    mean = np.asarray(s["mean"].toArray(), dtype=np.float64)
+    # Summarizer variance is ddof=1; the engine convention is population
+    var = np.maximum(
+        np.asarray(s["variance"].toArray(), dtype=np.float64)
+        * (max(n - 1, 0) / n),
+        0.0,
+    )
     return n, mean, var
 
 
@@ -743,7 +787,7 @@ def cumulative_embedding_drift_stream(
         F.size("__v") == dim
     )
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -143,8 +143,17 @@ def psi_by_partition(
     w = Window.partitionBy("part", "feature")
     rsum = F.sum("r").over(w)
     tsum = F.sum("t").over(w)
-    e = F.greatest(F.col("r") / rsum, F.lit(min_bin_size))
-    a = F.greatest(F.col("t") / tsum, F.lit(min_bin_size))
+    # try_divide: a partition whose values are ALL out-of-range/NULL for a
+    # feature has tsum = 0 — under Spark's default ANSI mode a plain
+    # division would abort the whole job exactly on the fully-shifted
+    # partition it exists to flag.  NULL proportions clamp to
+    # min_bin_size (greatest skips NULLs): the no-in-range-data side
+    # renormalizes to uniform, and n_test = 0 in the verdict row marks the
+    # case.  PSI is an in-range-SHAPE statistic — the mass exodus itself
+    # is the KS check's job (it scores all values, D -> 1 here); locked by
+    # test_fully_shifted_partition_does_not_abort.
+    e = F.greatest(F.try_divide(F.col("r"), rsum), F.lit(min_bin_size))
+    a = F.greatest(F.try_divide(F.col("t"), tsum), F.lit(min_bin_size))
     scored = j.select(
         "part",
         "feature",
@@ -194,7 +203,13 @@ def ks_d_by_partition(
     ref_vals = melt(ref_df, False).groupBy("feature", "value").agg(
         F.count(F.lit(1)).alias("r")
     )
-    parts = test_df.select(F.col(part_col).alias("part")).distinct()
+    # NULL partition ids belong to no partition: excluded here (the
+    # verdict-suite psi/chi2 paths count and warn about the same rows)
+    parts = (
+        test_df.where(F.col(part_col).isNotNull())
+        .select(F.col(part_col).alias("part"))
+        .distinct()
+    )
     ref_per_part = ref_vals.crossJoin(F.broadcast(parts)).withColumn("t", F.lit(0))
     test_vals = (
         melt(test_df, True)
@@ -214,20 +229,28 @@ def ks_d_by_partition(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("part", "feature")
+    # try_divide: the ref cross-join manufactures a (part, feature) group
+    # for EVERY partition, so a partition with no in-range test values for
+    # a feature has sum(t) = 0 — ANSI division would abort the job; the
+    # m = 0 groups are dropped below instead (no data, no verdict)
     scored = g.select(
         "part",
         "feature",
         F.abs(
-            F.sum("r").over(w_cum) / F.sum("r").over(w_all)
-            - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
+            F.try_divide(F.sum("r").over(w_cum), F.sum("r").over(w_all))
+            - F.try_divide(F.sum("t").over(w_cum), F.sum("t").over(w_all))
         ).alias("diff"),
         F.sum("r").over(w_all).alias("n"),
         F.sum("t").over(w_all).alias("m"),
     )
-    return scored.groupBy("part", "feature").agg(
-        F.max("diff").alias("d"),
-        F.first("n").alias("n"),
-        F.first("m").alias("m"),
+    return (
+        scored.groupBy("part", "feature")
+        .agg(
+            F.max("diff").alias("d"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
+        .where((F.col("m") > 0) & (F.col("n") > 0))
     )
 
 
@@ -444,12 +467,18 @@ def fit_ks_reference_ecdf(
 def ks_d_against_ecdf(
     test_df: DataFrame,
     cols: Sequence[str],
-    ecdf: Dict[str, tuple],
+    ecdf,
     part_col: str = "part",
     preaggregate: bool = False,
 ) -> DataFrame:
     """(part, feature, d, n, m) — exact KS D of each test group's sample
     vs a PRE-FITTED broadcast reference ECDF (see fit_ks_reference_ecdf).
+
+    ``ecdf`` is the fitted dict OR an existing ``pyspark.Broadcast`` of it
+    (repeat callers — the streaming monitor — broadcast once and pass the
+    handle).  Columns absent from the fitted state are skipped with a
+    warning; test rows with a NULL ``part_col`` are excluded (the verdict
+    suite's psi/chi2 paths count and warn about the same rows).
 
     ``preaggregate=True`` reduces the test side to (part, feature, value,
     count) before anything reaches the pandas groups, so the per-group
@@ -464,9 +493,32 @@ def ks_d_against_ecdf(
     right for continuous columns (distinct ≈ rows), where pre-aggregation
     would double the shuffled volume for no shrink."""
     spark = test_df.sparkSession
-    b_ecdf = spark.sparkContext.broadcast(ecdf)
+    # accept a pre-made Broadcast so a long-running caller (the streaming
+    # monitor scores every micro-batch against the same fitted state) does
+    # not re-serialize and re-ship up to max_ref_ecdf_points pairs per call
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(ecdf, Broadcast):
+        b_ecdf, ecdf_keys = ecdf, set(ecdf.value)
+    else:
+        b_ecdf, ecdf_keys = spark.sparkContext.broadcast(ecdf), set(ecdf)
+    # a column absent from the fitted state (all-NULL/NaN reference
+    # column — fit_ks_reference_ecdf's melt drops it) cannot be scored:
+    # skip it loudly instead of a KeyError inside applyInPandas (the
+    # streaming monitor applies the same filter, streaming.py)
+    missing = [c for c in cols if c not in ecdf_keys]
+    if missing:
+        logger.warning(
+            "ks_d_against_ecdf: no fitted reference ECDF for %s "
+            "(all-NULL/NaN reference column?) — skipped",
+            missing,
+        )
+        cols = [c for c in cols if c in ecdf_keys]
     # output schema preserves the partition column's original type
     part_sql_type = test_df.schema[part_col].dataType.simpleString()
+    out_schema = f"part {part_sql_type}, feature string, d double, n long, m long"
+    if not cols:
+        return spark.createDataFrame([], out_schema)
 
     def compute(key, pdf):
         part, feat = key
@@ -491,14 +543,18 @@ def ks_d_against_ecdf(
             {"part": [part], "feature": [feat], "d": [d], "n": [n], "m": [m]}
         )
 
-    melted = _melt_feature_values(test_df, cols, part_col)
+    # NULL-part rows are excluded like psi/chi2 (which count + warn about
+    # them in the verdict suite) — a part=NULL verdict row belongs to no
+    # partition; the filter is free (streaming's literal group never is)
+    melted = _melt_feature_values(test_df, cols, part_col).where(
+        F.col("part").isNotNull()
+    )
     if preaggregate:
         melted = melted.groupBy("part", "feature", "value").agg(
             F.count(F.lit(1)).alias("c")
         )
     return melted.groupBy("part", "feature").applyInPandas(
-        compute,
-        schema=f"part {part_sql_type}, feature string, d double, n long, m long",
+        compute, schema=out_schema
     )
 
 
@@ -777,18 +833,26 @@ def partition_verdicts(
         if approx_quantile_error is not None:
             # scale path: Greenwald-Khanna approximate edges (at 10^12 rows
             # an exact percentile sort is not realistic; pd.qcut parity
-            # paths keep the exact default)
-            probs = [i / n_bins for i in range(n_bins + 1)]
-            raw = ref_df.approxQuantile(
-                list(numeric_cols), probs, approx_quantile_error
+            # paths keep the exact default).  The shared helper applies the
+            # SAME post-processing as the exact path — duplicate edges
+            # dropped, constant columns fall back to uniform edges — so a
+            # constant-in-reference column keeps its PSI verdict here too.
+            from driftspark.stats import approx_quantile_edges
+
+            edges_map = approx_quantile_edges(
+                ref_df, list(numeric_cols), n_bins, approx_quantile_error
             )
-            edges_map = {
-                c: np.unique(np.array(e, dtype=np.float64))
-                for c, e in zip(numeric_cols, raw)
-                if len(e) > 0
-            }
         else:
             edges_map = quantile_edges(ref_df, numeric_cols, n_bins)
+        if not edges_map:
+            # every numeric column all-NULL in the reference: no fitted
+            # bins means no PSI verdicts, not a failed verdict suite
+            logger.warning(
+                "partition_verdicts: no PSI edges could be fitted for %s "
+                "(all-NULL reference columns?) — PSI checks skipped",
+                list(numeric_cols),
+            )
+            return []
         return psi_by_partition(ref_df, test_df, edges_map, part_col).collect()
 
     def run_ks():

@@ -301,3 +301,129 @@ def test_null_part_rows_warned_not_silent(spark, caplog):
     assert any("NULL part" in r.message for r in caplog.records)
     assert {r["part"] for r in chi_rows} == {"p1"}
     assert all(r["n_test"] == 1000 for r in chi_rows)
+
+
+def test_fully_shifted_partition_does_not_abort(spark):
+    """A partition whose values are ALL outside the fitted bin range used
+    to throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode (tsum = 0)
+    — exactly the fully-drifted case the suite exists to flag.  It must
+    emit a finite max-divergence PSI verdict with n_test = 0 instead."""
+    rng = np.random.RandomState(11)
+    ref = pd.DataFrame({"x": rng.normal(0, 1, 2000), "part": "p0", "split": "ref"})
+    ok = pd.DataFrame({"x": rng.normal(0, 1, 500), "part": "p1", "split": "test"})
+    shifted = pd.DataFrame({"x": np.full(500, 1e6), "part": "p2", "split": "test"})
+    df = spark.createDataFrame(pd.concat([ref, ok, shifted]))
+    out = partition_verdicts(df, ["x"], part_col="part").collect()
+    psi = {r["part"]: r for r in out if r["check"] == "psi"}
+    assert set(psi) == {"p1", "p2"}
+    # PSI is an in-range-shape statistic: the empty-in-range side clamps
+    # to uniform and n_test = 0 marks the case; the mass exodus itself is
+    # the KS check's job (it scores ALL values: D ~= 1 here)
+    assert psi["p2"]["n_test"] == 0
+    assert np.isfinite(psi["p2"]["statistic"])
+    ks = {r["part"]: r for r in out if r["check"] == "ks"}
+    assert ks["p2"]["statistic"] > 0.99 and not ks["p2"]["passed"]
+    assert ks["p1"]["passed"]
+    # the healthy partition is unaffected
+    assert psi["p1"]["n_test"] == 500
+
+
+def test_all_nan_reference_ks_column_skipped_loudly(spark, caplog):
+    """An all-NaN reference column has no fitted ECDF; the batch KS path
+    used to KeyError inside applyInPandas and kill the whole job — it must
+    skip the column with a warning (the streaming monitor already did)."""
+    import logging
+
+    rng = np.random.RandomState(12)
+    ref = pd.DataFrame({
+        "x": rng.normal(0, 1, 1000),
+        "y": np.nan,
+        "part": "R",
+        "split": "ref",
+    })
+    test = pd.DataFrame({
+        "x": rng.normal(0, 1, 1000),
+        "y": rng.normal(0, 1, 1000),
+        "part": "p1",
+        "split": "test",
+    })
+    df = spark.createDataFrame(pd.concat([ref, test]))
+    with caplog.at_level(logging.WARNING, logger="driftspark.verdicts"):
+        out = partition_verdicts(df, ["x", "y"], part_col="part").collect()
+    assert any("no fitted reference ECDF" in r.message for r in caplog.records)
+    ks = {(r["part"], r["feature"]) for r in out if r["check"] == "ks"}
+    assert ks == {("p1", "x")}  # y skipped, x still scored
+    # PSI likewise only fits x (quantile_edges drops the all-NULL column)
+    psi = {(r["part"], r["feature"]) for r in out if r["check"] == "psi"}
+    assert psi == {("p1", "x")}
+
+
+def test_ks_null_part_rows_excluded(spark):
+    """KS verdicts must not emit a part=NULL row (psi/chi2 exclude + warn;
+    KS used to silently include one)."""
+    from driftspark.verdicts import ks_d_by_partition_broadcast
+
+    rng = np.random.RandomState(13)
+    ref = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 1000)}))
+    test = spark.createDataFrame(pd.DataFrame({
+        "x": rng.normal(0, 1, 1000),
+        "part": ["p1"] * 500 + [None] * 500,
+    }))
+    rows = ks_d_by_partition_broadcast(ref, test, ["x"]).collect()
+    assert {r["part"] for r in rows} == {"p1"}
+    assert all(r["m"] == 500 for r in rows)
+    # windowed variant: same exclusion + no empty manufactured groups
+    win = ks_d_by_partition(ref, test, ["x"]).collect()
+    assert {r["part"] for r in win} == {"p1"}
+
+
+def test_windowed_ks_partition_with_no_values(spark):
+    """The windowed KS variant cross-joins reference values with EVERY
+    partition — a partition whose rows are all NULL for a feature used to
+    divide by a zero test total under ANSI.  It must drop the empty
+    (part, feature) group instead of aborting."""
+    rng = np.random.RandomState(14)
+    ref = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0, 1, 500)}))
+    test = spark.createDataFrame(pd.DataFrame({
+        "x": np.concatenate([rng.normal(0, 1, 300), np.full(200, np.nan)]),
+        "part": ["p1"] * 300 + ["p2"] * 200,
+    }))
+    rows = ks_d_by_partition(ref, test, ["x"]).collect()
+    assert {r["part"] for r in rows} == {"p1"}
+
+
+def test_approx_edges_constant_column_keeps_verdict(spark):
+    """The approx-quantile scale path must fall back to uniform edges for
+    a constant reference column like the exact path does, not silently
+    drop the feature from PSI coverage."""
+    rng = np.random.RandomState(15)
+    ref = pd.DataFrame({"x": 5.0, "y": rng.normal(0, 1, 1000), "part": "R",
+                        "split": "ref"}, index=range(1000))
+    test = pd.DataFrame({"x": rng.normal(7, 1, 1000), "y": rng.normal(0, 1, 1000),
+                         "part": "p1", "split": "test"})
+    df = spark.createDataFrame(pd.concat([ref, test]))
+    out = partition_verdicts(
+        df, ["x", "y"], part_col="part", approx_quantile_error=1e-3
+    ).collect()
+    psi_feats = {r["feature"] for r in out if r["check"] == "psi"}
+    assert psi_feats == {"x", "y"}
+
+
+def test_all_null_numeric_cols_skip_psi_gracefully(spark, caplog):
+    """Every numeric column all-NULL in the reference: PSI skipped with a
+    warning, KS/chi2 still run (used to ValueError the whole suite)."""
+    import logging
+
+    rng = np.random.RandomState(16)
+    ref = pd.DataFrame({"x": np.nan, "cat": rng.choice(["a", "b"], 800),
+                        "part": "R", "split": "ref"}, index=range(800))
+    test = pd.DataFrame({"x": np.nan, "cat": rng.choice(["a", "b"], 800),
+                         "part": "p1", "split": "test"})
+    df = spark.createDataFrame(pd.concat([ref, test]))
+    with caplog.at_level(logging.WARNING, logger="driftspark.verdicts"):
+        out = partition_verdicts(
+            df, ["x"], cat_cols=["cat"], part_col="part"
+        ).collect()
+    assert any("PSI checks skipped" in r.message for r in caplog.records)
+    checks = {r["check"] for r in out}
+    assert checks == {"chi2"}  # x has no ECDF either; chi2 still ran

@@ -833,3 +833,51 @@ def test_cumulative_embedding_drift_stateful_stream(spark):
         batch_out["z"].abs().max(), rel=1e-9
     )
     assert bool(final["passed"]) is False
+
+
+def test_fit_embedding_moments_summarizer_parity(spark):
+    """Above max_codegen_dim the fit switches to the pyspark.ml Summarizer
+    vector aggregate — its (n, mean, population var) must match the
+    codegen partial-sum path on the same data."""
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.streaming import fit_embedding_moments
+
+    rng = np.random.RandomState(21)
+    vecs = [rng.normal(0, 1, 6).tolist() for _ in range(300)]
+    df = spark.createDataFrame(pd.DataFrame({"embedding": vecs}))
+    n_a, mean_a, var_a = fit_embedding_moments(df, max_codegen_dim=256)
+    n_b, mean_b, var_b = fit_embedding_moments(df, max_codegen_dim=2)
+    assert n_a == n_b == 300
+    assert np.allclose(mean_a, mean_b, rtol=1e-12)
+    assert np.allclose(var_a, var_b, rtol=1e-9)
+
+
+def test_histogram_proportions_one_parity(spark):
+    """The single-side histogram helper must match the two-sided union
+    version bin for bin (it halves the per-micro-batch scan)."""
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.stats import (
+        histogram_proportions,
+        histogram_proportions_one,
+        quantile_edges,
+    )
+
+    rng = np.random.RandomState(22)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": rng.normal(0, 1, 2000), "y": rng.uniform(0, 5, 2000)})
+    )
+    edges = quantile_edges(df, ["x", "y"], 8)
+    two = histogram_proportions(df, df, edges)
+    one = histogram_proportions_one(df, edges)
+    for c in edges:
+        assert np.array_equal(one[c], two[c][0])
+        assert np.array_equal(one[c], two[c][1])
+    # empty frame: all-zero proportions, no KeyError
+    empty = df.where("false")
+    z = histogram_proportions_one(empty, edges)
+    for c in edges:
+        assert z[c].sum() == 0.0
