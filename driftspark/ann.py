@@ -39,7 +39,9 @@ def cosine_similarity_col(vec_col: Column, query: Sequence[float]) -> Column:
     """cos(vec, query) as a whole-stage-codegen column expression."""
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
-    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    # try_divide: a zero-norm vector has no defined cosine — NULL (which
+    # sorts last / fails every >= filter) instead of an ANSI-mode abort
+    return F.try_divide(_dot(vec_col, q), _norm(vec_col) * F.lit(qn))
 
 
 def cosine_topk(
@@ -195,7 +197,9 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "va", "vb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = F.try_divide(
+        _dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))
+    )
     return (
         cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= min_cosine)
@@ -442,7 +446,9 @@ def knn_pairs_exact(
         raise ValueError(f"knn_pairs_exact is O(n^2); {n} rows > {max_rows}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = F.try_divide(
+        _dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))
+    )
     pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
         "id_a", "id_b", cos.alias("cosine")
     )

@@ -61,7 +61,8 @@ def profile_columns(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"nul||{c}").alias("null_count"),
-                (F.col(f"nul||{c}") / F.col("__n")).alias("null_rate"),
+                # try_divide: an empty frame has __n = 0 (ANSI abort)
+                F.try_divide(F.col(f"nul||{c}"), F.col("__n")).alias("null_rate"),
                 F.col(f"adc||{c}").alias("approx_distinct"),
                 (F.col(f"min||{c}") if is_num else F.lit(None).cast("double")).alias("min"),
                 (F.col(f"max||{c}") if is_num else F.lit(None).cast("double")).alias("max"),

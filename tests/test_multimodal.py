@@ -404,3 +404,27 @@ def test_embedding_drift_summarizer_path_matches(spark):
             rtol=1e-9, atol=1e-12,
         )
     assert (a.sort_values("dim")["drifted"].values == b.sort_values("dim")["drifted"].values).all()
+
+
+def test_zero_norm_embedding_does_not_abort(spark):
+    """An all-zero embedding has no defined cosine: under Spark 4's
+    default ANSI mode the norm-product division used to abort the job.
+    The NULL cosine must drop the vector from near-dup pairs and top-k
+    results instead."""
+    from driftspark.ann import cosine_topk, embedding_near_duplicates
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),
+        (2, [0.0, 0.0]),  # zero norm
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    top = cosine_topk(df, "id", "embedding", [1.0, 0.0], k=3).collect()
+    assert [r["id"] for r in top][:2] == [0, 1]
+    assert all(r["cosine"] is not None for r in top[:2])
+    pairs = embedding_near_duplicates(
+        df, "id", "embedding", min_cosine=0.9, max_bucket_size=10
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids
+    assert all(2 not in p for p in ids)
