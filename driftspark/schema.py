@@ -129,7 +129,8 @@ def run_expectations(
             F.lit(e.name).alias("expectation"),
             F.col("__n").alias("n_rows"),
             F.col(f"__v{i}").alias("n_violations"),
-            (F.col(f"__v{i}") / F.col("__n")).alias("violation_rate"),
+            # try_divide: an empty frame has __n = 0 (ANSI abort)
+            F.try_divide(F.col(f"__v{i}"), F.col("__n")).alias("violation_rate"),
             (F.col(f"__v{i}") == 0).alias("passed"),
         )
         for i, e in enumerate(expectations)

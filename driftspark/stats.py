@@ -28,11 +28,14 @@ Semantics parity notes (reference = /root/reference/src/drift_autopsy):
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 MIN_BIN_SIZE_DEFAULT = 0.001
 
@@ -444,8 +447,25 @@ def ks_d_all(
             F.sum("t").alias("m"),
         ).collect()
         nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
-        small = [r["feature"] for r in totals if r["nd"] <= bucketed_threshold]
-        big = [r["feature"] for r in totals if r["nd"] > bucketed_threshold]
+        # a side with zero non-null values for a feature has no ECDF —
+        # KS is undefined AND the window's sum()/total division would
+        # abort under Spark 4's default ANSI mode; drop such features
+        # here (callers already skip absent keys / n==0 rows)
+        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
+        if degenerate:
+            logger.warning(
+                "ks_d_all: no non-null values on one side for %s — skipped",
+                sorted(degenerate),
+            )
+        ok = set(nm) - set(degenerate)
+        small = [
+            r["feature"] for r in totals
+            if r["nd"] <= bucketed_threshold and r["feature"] in ok
+        ]
+        big = [
+            r["feature"] for r in totals
+            if r["nd"] > bucketed_threshold and r["feature"] in ok
+        ]
 
         out: Dict[str, Tuple[float, int, int]] = {}
         if small:

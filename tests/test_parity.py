@@ -196,3 +196,29 @@ def test_ks_d_bucketed_exactly_matches_window(frame, spark):
     for col in ("a", "b"):
         assert forced[col][1:] == base[col][1:]
         assert abs(forced[col][0] - base[col][0]) < 1e-15
+
+
+def test_ks_d_all_one_sided_feature_skipped_loudly(spark, caplog):
+    """A feature with zero non-null values on one side has no ECDF: under
+    Spark 4's default ANSI mode the window's total division used to abort
+    the whole KS job — it must skip the feature with a warning (callers
+    already handle absent keys)."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from driftspark.stats import ks_d_all
+
+    rng = np.random.RandomState(31)
+    ref = spark.createDataFrame(
+        pd.DataFrame({"x": rng.normal(0, 1, 400), "y": np.nan})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"x": rng.normal(1, 1, 400), "y": rng.normal(0, 1, 400)})
+    )
+    with caplog.at_level(logging.WARNING, logger="driftspark.stats"):
+        d = ks_d_all(ref, test, ["x", "y"])
+    assert set(d) == {"x"}
+    assert d["x"][0] > 0.2
+    assert any("skipped" in r.message for r in caplog.records)
