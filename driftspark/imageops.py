@@ -147,6 +147,13 @@ def average_hash64(pixels: np.ndarray) -> int:
     phash:int64 column (BASELINE.json:15) and the phash-distribution
     histograms (SURVEY.md §2.4 A24)."""
     gray = pixels.astype(np.float64).mean(axis=2)
+    # images smaller than 8px in a dimension can't form 8 blocks — repeat
+    # rows/cols up to >= 8 first (deterministic nearest-neighbor upsample;
+    # a no-op for the >= 8px images every locked oracle runs on)
+    if gray.shape[0] < 8:
+        gray = np.repeat(gray, -(-8 // gray.shape[0]), axis=0)
+    if gray.shape[1] < 8:
+        gray = np.repeat(gray, -(-8 // gray.shape[1]), axis=1)
     h, w = gray.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
@@ -185,10 +192,18 @@ def _check_batches(
             "decode_error": np.array([None] * n, dtype=object),
         }
         for i in range(n):
+            rb, tb = pdf["ref_bytes"].iloc[i], pdf["test_bytes"].iloc[i]
+            if rb is None or tb is None:
+                # one side of the pair is absent (full-outer join): the
+                # worst integrity failure — never a silent pass
+                side = "ref" if rb is None else "test"
+                out["decode_error"][i] = f"missing_{side}_copy"
+                out["caption_ok"][i] = False
+                continue
             try:
                 fmt = pdf["fmt"].iloc[i]
-                ref_px = decode_image(pdf["ref_bytes"].iloc[i], fmt)
-                test_px = decode_image(pdf["test_bytes"].iloc[i], fmt)
+                ref_px = decode_image(rb, fmt)
+                test_px = decode_image(tb, fmt)
                 if ref_px.shape != test_px.shape:
                     out["decode_error"][i] = "shape mismatch"
                     continue
@@ -212,6 +227,10 @@ def validate_image_payloads(ref_df, test_df, min_psnr: float = 40.0):
 
     Returns a DataFrame (image_id, psnr, pixels_ok, caption_ok,
     decode_error).  Violations = rows where NOT (pixels_ok AND caption_ok).
+    The join is FULL OUTER: an image_id present on only one side (a copy
+    dropped during ingestion — arguably the worst integrity failure) emits
+    a violation row with decode_error = missing_ref_copy/missing_test_copy
+    instead of silently vanishing from an inner join.
 
     Scale notes: the equi-join on image_id is a shuffle join co-locating
     each pair (AQE handles skew); the decode runs inside mapInPandas over
@@ -233,7 +252,7 @@ def validate_image_payloads(ref_df, test_df, min_psnr: float = 40.0):
                 F.col("caption").alias("test_caption"),
             ),
             "image_id",
-            "inner",
+            "full_outer",
         )
     )
     return joined.mapInPandas(

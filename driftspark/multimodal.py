@@ -47,8 +47,10 @@ def pixel_feature_values(px: np.ndarray) -> tuple:
     Returns (width, height, mean_r, mean_g, mean_b, brightness, contrast,
     edge_density)."""
     g = px.astype(np.float64).mean(axis=2)
-    gx = np.abs(np.diff(g, axis=1)).mean()
-    gy = np.abs(np.diff(g, axis=0)).mean()
+    # 1-pixel-wide/tall images have no gradient in that axis: 0.0, not a
+    # NaN-with-RuntimeWarning from the empty diff's mean
+    gx = np.abs(np.diff(g, axis=1)).mean() if g.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(g, axis=0)).mean() if g.shape[0] > 1 else 0.0
     return (
         px.shape[1],
         px.shape[0],
@@ -101,29 +103,37 @@ def image_features(df: DataFrame) -> DataFrame:
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded as PNG (REAL path).
 
-    Output: image_id, bytes (png), w, h."""
+    Output: image_id, bytes (png; NULL on failure), w, h, decode_error —
+    corrupt payloads surface as error rows like every other decode path
+    here (one truncated image must not abort a million-row job)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, payloads, errs = [], [], []
             for i in range(len(pdf)):
-                px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
-                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
-                resized = px[ys][:, xs]
                 ids.append(pdf["image_id"].iloc[i])
-                payloads.append(encode_png(resized))
+                try:
+                    px = decode_image(pdf["bytes"].iloc[i], pdf["fmt"].iloc[i])
+                    ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
+                    payloads.append(encode_png(px[ys][:, xs]))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — corrupt payloads are data
+                    payloads.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     "image_id": ids,
                     "bytes": pd.Series(payloads, dtype=object),
                     "w": np.full(len(ids), target_w, dtype=np.int32),
                     "h": np.full(len(ids), target_h, dtype=np.int32),
+                    "decode_error": pd.Series(errs, dtype=object),
                 }
             )
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
-        run, schema="image_id string, bytes binary, w int, h int"
+        run,
+        schema="image_id string, bytes binary, w int, h int, decode_error string",
     )
 
 
@@ -259,8 +269,12 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     out["duration_sec"][i] = len(samples) / sr if sr else np.nan
                     out["rms"][i] = float(np.sqrt(np.mean(samples**2)))
                     out["peak"][i] = float(np.abs(samples).max())
-                    out["zero_crossing_rate"][i] = float(
-                        (np.diff(np.signbit(samples)) != 0).mean()
+                    # single-sample clips have no crossings (empty diff
+                    # would warn and yield NaN)
+                    out["zero_crossing_rate"][i] = (
+                        float((np.diff(np.signbit(samples)) != 0).mean())
+                        if len(samples) > 1
+                        else 0.0
                     )
                 except NotImplementedError as e:
                     out["decode_error"][i] = str(e)
@@ -278,8 +292,10 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     """Encode (n, h, w, 3) uint8 RGB frames as a standard uncompressed AVI
-    (RIFF 'AVI ', 'DIB ' video stream, 24-bit bottom-up BGR with 4-byte
-    row padding) — plays in any mainstream player."""
+    (RIFF 'AVI ', single 'DIB ' video stream, 24-bit bottom-up BGR with
+    4-byte row padding, no index chunk).  Mainstream players accept this
+    single-stream layout; the matching decoder handles exactly this shape
+    (no audio streams, no idx1 — see _avi_layout)."""
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, c = frames.shape
     if c != 3:
@@ -303,8 +319,10 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
+    # flags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must
+    # NOT be promised — strict demuxers seek the index when the flag is set
     avih = struct.pack(
-        "<14I", 1_000_000 // fps, size_image * fps, 0, 0x10, n, 0, 1,
+        "<14I", 1_000_000 // fps, size_image * fps, 0, 0, n, 0, 1,
         size_image, w, h, 0, 0, 0, 0,
     )
     # AVISTREAMHEADER: flags, priority, language, initial_frames, scale,
@@ -323,11 +341,11 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi_frame(data: bytes, frame_idx: int) -> np.ndarray:
-    """Decode one frame of an uncompressed ('DIB '/24-bit) AVI payload to
-    (h, w, 3) uint8 RGB.  Stdlib RIFF walk; only the requested frame's
-    bytes are touched.  Indices past the end clamp to the last frame
-    (matching the fake codec's behavior)."""
+def _avi_layout(data: bytes):
+    """One RIFF walk → (w, h, top_down, row_bytes, frame (offset, size)
+    list) for a SINGLE-video-stream uncompressed AVI (the shape encode_avi
+    produces; stream-00 frame chunks, first strf wins — multi-stream files
+    from other muxers are not supported without PyAV/ffmpeg)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
@@ -359,13 +377,35 @@ def decode_avi_frame(data: bytes, frame_idx: int) -> np.ndarray:
             f"(got bits={dims['bits']} compression={dims['comp']})"
         )
     w, h = dims["w"], abs(dims["h"])
-    top_down = dims["h"] < 0
-    start, size = frames[min(frame_idx, len(frames) - 1)]
-    row_bytes = (w * 3 + 3) & ~3
+    return w, h, dims["h"] < 0, (w * 3 + 3) & ~3, frames
+
+
+def _avi_extract(data, w, h, top_down, row_bytes, frame):
+    start, size = frame
+    # trust the chunk's declared size: a short frame chunk must surface
+    # as a decode error, not silently read the NEXT chunk's bytes as
+    # pixels (this is a validation engine — corrupt payloads are data)
+    if size < row_bytes * h:
+        raise ValueError(
+            f"frame chunk truncated: {size} bytes < {row_bytes * h} expected"
+        )
     raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=start)
     rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
     bgr = rows if top_down else rows[::-1]
     return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def decode_avi_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Decode one frame of an uncompressed ('DIB '/24-bit) AVI payload to
+    (h, w, 3) uint8 RGB.  Stdlib RIFF walk; only the requested frame's
+    bytes are touched.  Indices past the end clamp to the last frame
+    (matching the fake codec's behavior); negative indices are rejected."""
+    if frame_idx < 0:
+        raise ValueError("frame_idx must be >= 0")
+    w, h, top_down, row_bytes, frames = _avi_layout(data)
+    return _avi_extract(
+        data, w, h, top_down, row_bytes, frames[min(frame_idx, len(frames) - 1)]
+    )
 
 
 _FAKE_VIDEO_MAGIC = b"FAKV"
@@ -381,19 +421,24 @@ def encode_fake_video(frames: np.ndarray) -> bytes:
     )
 
 
+_STUB_VIDEO_MSG = (
+    "only uncompressed RIFF/AVI payloads are decodable without "
+    "external video libs; pass AVI bytes (encode_avi) or fake-codec "
+    "payloads with fake=True"
+)
+
+
 def _decode_video_frame(data: bytes, frame_idx: int, fake: bool) -> np.ndarray:
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_frame(data, frame_idx)  # REAL path: raw-DIB AVI
     if data[:4] == _FAKE_VIDEO_MAGIC and fake:
+        if frame_idx < 0:
+            raise ValueError("frame_idx must be >= 0")
         f, h, w = struct.unpack(">III", data[4:16])
         raw = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
         return raw.reshape(f, h, w, 3)[min(frame_idx, f - 1)]
     # compressed containers (mp4/h264/vp9) would need PyAV/ffmpeg
-    raise NotImplementedError(
-        "only uncompressed RIFF/AVI payloads are decodable without "
-        "external video libs; pass AVI bytes (encode_avi) or fake-codec "
-        "payloads with fake=True"
-    )
+    raise NotImplementedError(_STUB_VIDEO_MSG)
 
 FRAME_SAMPLE_SCHEMA = (
     "video_id string, frame_idx int, bytes binary, decode_error string"
@@ -410,16 +455,52 @@ def sample_frames(df: DataFrame, frame_indices, fake: bool = False) -> DataFrame
         for pdf in batches:
             rows = {"video_id": [], "frame_idx": [], "bytes": [], "decode_error": []}
             for i in range(len(pdf)):
+                data = pdf["bytes"].iloc[i]
+                vid = str(pdf["video_id"].iloc[i])
+                # parse the container ONCE per payload — the single-frame
+                # API re-walks the whole RIFF chunk tree (or re-inflates
+                # the fake payload) per index: O(k*n) for k sampled
+                # indices over an n-frame video, vs O(n + k) here.
+                # Error strings stay identical to _decode_video_frame's
+                # (the oracle truth builder probes that function).
+                extract = None
+                payload_err = None
+                try:
+                    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                        w_, h_, td, rb, frames = _avi_layout(data)
+
+                        def extract(fi, _d=data, _w=w_, _h=h_, _td=td, _rb=rb, _fr=frames):
+                            if fi < 0:
+                                raise ValueError("frame_idx must be >= 0")
+                            return _avi_extract(
+                                _d, _w, _h, _td, _rb, _fr[min(fi, len(_fr) - 1)]
+                            )
+                    elif data[:4] == _FAKE_VIDEO_MAGIC and fake:
+                        f_, hh, ww = struct.unpack(">III", data[4:16])
+                        raw = np.frombuffer(
+                            zlib.decompress(data[16:]), dtype=np.uint8
+                        ).reshape(f_, hh, ww, 3)
+
+                        def extract(fi, _raw=raw, _f=f_):
+                            if fi < 0:
+                                raise ValueError("frame_idx must be >= 0")
+                            return _raw[min(fi, _f - 1)]
+                    else:
+                        raise NotImplementedError(_STUB_VIDEO_MSG)
+                except NotImplementedError as e:
+                    payload_err = str(e)
+                except Exception as e:  # noqa: BLE001
+                    payload_err = f"{type(e).__name__}: {e}"
                 for fi in idx_list:
-                    rows["video_id"].append(str(pdf["video_id"].iloc[i]))
+                    rows["video_id"].append(vid)
                     rows["frame_idx"].append(fi)
-                    try:
-                        frame = _decode_video_frame(pdf["bytes"].iloc[i], fi, fake)
-                        rows["bytes"].append(encode_png(frame))
-                        rows["decode_error"].append(None)
-                    except NotImplementedError as e:
+                    if payload_err is not None:
                         rows["bytes"].append(None)
-                        rows["decode_error"].append(str(e))
+                        rows["decode_error"].append(payload_err)
+                        continue
+                    try:
+                        rows["bytes"].append(encode_png(extract(fi)))
+                        rows["decode_error"].append(None)
                     except Exception as e:  # noqa: BLE001
                         rows["bytes"].append(None)
                         rows["decode_error"].append(f"{type(e).__name__}: {e}")

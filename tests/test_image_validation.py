@@ -244,3 +244,55 @@ def test_image_feature_truth_matches_spark_features(spark):
         assert np.array_equal(got[spark_col].values, want[truth_col].values), spark_col
     assert np.array_equal(got["width"].values, want["w"].values)
     assert np.array_equal(got["height"].values, want["h"].values)
+
+
+def test_average_hash_small_images():
+    """Sub-8px images used to crash the reshape; they must hash (rows/cols
+    repeated up to 8 first) and images >= 8px are bit-identical to the
+    original block math."""
+    from driftspark.imageops import average_hash64
+
+    rng = np.random.RandomState(41)
+    for shape in [(1, 1), (5, 5), (3, 20), (20, 3), (7, 9)]:
+        px = rng.randint(0, 255, (*shape, 3)).astype(np.uint8)
+        v = average_hash64(px)
+        assert isinstance(v, int)
+        assert -(1 << 63) <= v < (1 << 63)
+    # >= 8px: unchanged vs the direct block computation
+    px = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+    gray = px.astype(np.float64).mean(axis=2)
+    blocks = gray.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    expected = 0
+    for i, b in enumerate(bits):
+        if b:
+            expected |= 1 << i
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert average_hash64(px) == expected
+
+
+def test_payload_validation_reports_missing_copies(spark):
+    """An image_id present on only one side must be a violation row
+    (missing_ref_copy / missing_test_copy), not silently dropped by an
+    inner join."""
+    from driftspark.imageops import encode_png, validate_image_payloads
+
+    rng = np.random.RandomState(42)
+
+    def rows(ids):
+        return [
+            (f"img_{i}", bytearray(encode_png(rng.randint(0, 255, (8, 8, 3)).astype(np.uint8))),
+             "png", f"cap {i}")
+            for i in ids
+        ]
+
+    schema = "image_id string, bytes binary, fmt string, caption string"
+    ref = spark.createDataFrame(rows([0, 1, 2]), schema)
+    test = spark.createDataFrame(rows([1, 2, 3]), schema)
+    got = {r["image_id"]: r for r in validate_image_payloads(ref, test).collect()}
+    assert set(got) == {"img_0", "img_1", "img_2", "img_3"}
+    assert got["img_0"]["decode_error"] == "missing_test_copy"
+    assert got["img_3"]["decode_error"] == "missing_ref_copy"
+    for mid in ("img_0", "img_3"):
+        assert not got[mid]["pixels_ok"] and not got[mid]["caption_ok"]

@@ -428,3 +428,70 @@ def test_zero_norm_embedding_does_not_abort(spark):
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in ids
     assert all(2 not in p for p in ids)
+
+
+def test_avi_truncated_frame_chunk_is_error_not_garbage():
+    """A frame chunk shorter than row_bytes*h must raise (surfacing as a
+    decode_error row), not silently read the NEXT chunk's bytes as
+    pixels."""
+    import struct as st
+
+    from driftspark.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 255, (2, 8, 8, 3)).astype(np.uint8)
+    data = bytearray(encode_avi(frames))
+    # shrink the first '00db' chunk's declared size by half
+    i = bytes(data).index(b"00db")
+    size = st.unpack("<I", data[i + 4 : i + 8])[0]
+    st.pack_into("<I", data, i + 4, size // 2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_frame(bytes(data), 0)
+
+
+def test_negative_frame_index_rejected(spark):
+    from driftspark.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 255, (4, 8, 8, 3)).astype(np.uint8)
+    avi = encode_avi(frames)
+    with pytest.raises(ValueError, match=">= 0"):
+        decode_avi_frame(avi, -1)
+    df = spark.createDataFrame(
+        pd.DataFrame([("v0", avi)], columns=["video_id", "bytes"])
+    )
+    out = sample_frames(df, [-1, 0]).toPandas().set_index("frame_idx")
+    assert ">= 0" in out.loc[-1, "decode_error"]
+    assert out.loc[0, "decode_error"] is None
+
+
+def test_one_pixel_image_features_no_nan(spark):
+    from driftspark.imageops import encode_png
+
+    px = np.full((1, 1, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([("i0", bytearray(encode_png(px)), "png")],
+                     columns=["image_id", "bytes", "fmt"])
+    )
+    row = image_features(df).first()
+    assert row["decode_error"] is None
+    assert row["edge_density"] == 0.0
+    assert row["brightness"] == pytest.approx(200.0)
+
+
+def test_resize_images_corrupt_payload_survives(spark):
+    """One truncated payload must emit a decode_error row, not abort the
+    whole job (the lone decode path that used to raise through Spark)."""
+    t = synth_image_table(spark, 10, with_bytes=True, num_partitions=1)
+    corrupt = spark.createDataFrame(
+        pd.DataFrame([("bad_row", bytearray(b"\x89PNGtruncated"), "png")],
+                     columns=["image_id", "bytes", "fmt"])
+    )
+    out = resize_images(
+        t.select("image_id", "bytes", "fmt").unionByName(corrupt), 4, 4
+    ).toPandas().set_index("image_id")
+    assert out.loc["bad_row", "decode_error"] is not None
+    assert out.loc["bad_row", "bytes"] is None
+    good = out.drop(index="bad_row")
+    assert good["decode_error"].isna().all()
+    assert len(good) == 10
