@@ -77,7 +77,9 @@ def uniqueness_violations(
     aggregate output — no row movement); when small it is broadcast so
     the violation join is shuffle-free on the base table side."""
     key_cols = list(key_cols)
-    dups = duplicate_keys(df, key_cols, salt_buckets)
+    # cache: the count probe and the violation join otherwise each run
+    # the full key-grain aggregation (two scans of the base table)
+    dups = duplicate_keys(df, key_cols, salt_buckets).cache()
     right = F.broadcast(dups) if dups.count() <= broadcast_row_limit else dups
     return df.join(right, on=key_cols, how="inner")
 
@@ -85,17 +87,21 @@ def uniqueness_violations(
 def uniqueness_report(
     df: DataFrame, key_cols: Sequence[str], group_col: Optional[str] = None
 ) -> DataFrame:
-    """Per-group uniqueness metrics: rows, exact distinct keys, approx
-    distinct (HLL++ pre-check, SURVEY.md J4), duplicate rows."""
+    """Per-group uniqueness metrics: rows, exact distinct keys,
+    duplicate rows/keys, unique_ok (SURVEY.md J4)."""
     key_cols = list(key_cols)
-    key = F.concat_ws("", *key_cols)
     gcols = [group_col] if group_col else []
     counted = df.groupBy(*gcols, *key_cols).agg(F.count(F.lit(1)).alias("c"))
+    # coalesce: the UNGROUPED variant over an empty frame yields one row
+    # of NULL sums — an empty table is trivially unique_ok, not NULL
     return counted.groupBy(*gcols).agg(
-        F.sum("c").alias("n_rows"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct_keys"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
-        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_dup_rows"),
+        F.coalesce(F.sum((F.col("c") > 1).cast("long")), F.lit(0))
+        .cast("long").alias("n_dup_keys"),
     ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
 
 
@@ -135,11 +141,17 @@ def uniqueness_check(
             .agg(F.count(F.lit(1)).alias("c"))
             .cache()
         )
+    # coalesce: a global agg over an EMPTY frame returns one row whose
+    # sums are NULL — int(None) crashed below and unique_ok was NULL
+    # instead of True for an empty (trivially unique) table
     report = counted.groupBy().agg(
-        F.sum("c").alias("n_rows"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct_keys"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
-        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_dup_rows"),
+        F.coalesce(F.sum((F.col("c") > 1).cast("long")), F.lit(0))
+        .cast("long").alias("n_dup_keys"),
     ).withColumn("unique_ok", F.col("n_dup_keys") == 0)
     # ONE action materializes the cached counts AND yields the broadcast
     # decision: the report row already carries n_dup_keys, so no separate
@@ -173,6 +185,10 @@ def referential_violations(
     True/False force the strategy.  At scale a non-broadcastable parent
     goes through sort-merge with AQE skew-join splitting (enabled in
     driftspark.session)."""
+    # SQL FK semantics (MATCH SIMPLE): a NULL foreign key is SATISFIED —
+    # the anti-join would otherwise report every NULL-FK row as a
+    # violation (NULL never equi-matches)
+    child = child.where(F.col(child_key).isNotNull())
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent is None:
         approx_n = parent.agg(

@@ -37,13 +37,29 @@ def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> 
     return t.distinct() if distinct else t
 
 
+def _content_hash(content_cols: Sequence[str]):
+    """Collision-proof content hash shared by exact_duplicates and
+    exact_dedup.  One column hashes directly; multiple columns hash the
+    per-column md5s joined with a delimiter plus an explicit NULL token —
+    the former concat_ws(separator) both SKIPPED NULLs (("x", NULL) vs
+    (NULL, "x") collided, and exact_dedup would DELETE the distinct row)
+    and was ambiguous for values containing the separator byte."""
+    if len(content_cols) == 1:
+        return F.md5(F.col(content_cols[0]).cast("string"))
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<NULL>"))
+        for c in content_cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
 def exact_duplicates(
     df: DataFrame, content_cols: Sequence[str], id_col: Optional[str] = None
 ) -> DataFrame:
     """Exact-content duplicate groups: (content_hash, dup_count [, ids]).
 
     Hash-groupBy — the canonical first dedup pass; partial agg map-side."""
-    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    h = _content_hash(content_cols)
     g = df.select(h.alias("content_hash"), *( [F.col(id_col)] if id_col else [] ))
     agg = [F.count(F.lit(1)).alias("dup_count")]
     if id_col:
@@ -54,7 +70,7 @@ def exact_duplicates(
 def exact_dedup(df: DataFrame, content_cols: Sequence[str], order_col: str) -> DataFrame:
     """Keep one row per content hash (smallest order_col) — distributed
     keep-first via window rank, no collect."""
-    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    h = _content_hash(content_cols)
     w = Window.partitionBy(h).orderBy(F.col(order_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -112,8 +128,25 @@ def lsh_candidate_pairs(
     bands of ``n_hashes/bands`` rows; docs sharing any band bucket are
     candidates.  Self-join happens per (band, bucket) with oversized
     buckets dropped (boilerplate guard).  Returns (id_a, id_b) distinct,
-    id_a < id_b."""
+    id_a < id_b.
+
+    A group of more than ``max_bucket_size`` docs with the IDENTICAL full
+    signature saturates every one of its band buckets, so the cap alone
+    would drop ALL the group's pairs — such groups emit min-id star pairs
+    instead (the simhash hamming-0 fix is the precedent), and downstream
+    Jaccard verification still checks every emitted pair."""
     rows_per_band = n_hashes // bands
+    if rows_per_band == 0:
+        raise ValueError(
+            f"bands={bands} > n_hashes={n_hashes}: every band would hash "
+            "zero signature rows (one constant bucket for the whole corpus)"
+        )
+    if n_hashes % bands:
+        logger.warning(
+            "lsh_candidate_pairs: n_hashes=%d not divisible by bands=%d — "
+            "the trailing %d hash(es) are unused for banding",
+            n_hashes, bands, n_hashes % bands,
+        )
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -128,12 +161,27 @@ def lsh_candidate_pairs(
     ).where(F.col("__sz") <= max_bucket_size)
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
-    return (
+    banded = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    wsig = Window.partitionBy("fs")
+    star = (
+        signatures.select(
+            "id",
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{k}") for k in range(n_hashes)])
+            ).alias("fs"),
+        )
+        .withColumn("__sz", F.count(F.lit(1)).over(wsig))
+        .where(F.col("__sz") > max_bucket_size)
+        .withColumn("__root", F.min("id").over(wsig))
+        .where(F.col("id") != F.col("__root"))
+        .select(F.col("__root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return banded.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_near_duplicates(
@@ -144,6 +192,7 @@ def minhash_near_duplicates(
     bands: int = 4,
     min_jaccard: float = 0.7,
     storage_level=None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact token-Jaccard verification of candidates only.  Returns
@@ -167,7 +216,7 @@ def minhash_near_duplicates(
     lvl = storage_level or StorageLevel.MEMORY_AND_DISK
     tok = tokens(df, id_col, text_col).persist(lvl)
     sigs = _signatures_from_tokens(tok, n_hashes).persist(lvl)
-    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, max_bucket_size)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     # count shared tokens by joining token lists through the candidate pair
     shared = (
@@ -232,6 +281,7 @@ def drop_near_duplicates(
     bands: int = 4,
     min_jaccard: float = 0.8,
     max_rounds: int = 20,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Remove near-duplicate documents, keeping the smallest id of each
     duplicate group (cluster representative).
@@ -245,7 +295,8 @@ def drop_near_duplicates(
     representative instead of silently keeping every 2^rounds-th hop.
     ``localCheckpoint`` truncates the per-round lineage."""
     pairs = minhash_near_duplicates(
-        df, id_col, text_col, n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+        min_jaccard=min_jaccard, max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
     # label propagation: each node's label = min(label of neighbors, self)
     edges = pairs.unionByName(
@@ -413,8 +464,10 @@ def simhash_near_duplicates(
         a.join(b, ["chunk", "v"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
-        .distinct()
+        # filter BEFORE the distinct: far-apart pairs drop map-side
+        # instead of flowing through the dedup shuffle
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     # star pairs first so hamming-0 duplicates survive even when every
     # chunk bucket of a mega-cluster exceeds the cap

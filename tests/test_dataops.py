@@ -308,3 +308,79 @@ def test_simhash_neardup_one_bit_per_chunk_recall(spark):
         for r in phash_near_duplicates(prows).collect()
     }
     assert pgot == {("a", "b"): 4}
+
+
+def test_content_hash_no_multicolumn_collisions(spark):
+    """Multi-column content hashing must not collide across column
+    boundaries or NULL placements — the former separator-join deleted
+    genuinely distinct rows in exact_dedup."""
+    rows = [
+        (0, "ab", "c"),
+        (1, "a", "bc"),
+        (2, "x", None),
+        (3, None, "x"),
+        (4, "x", None),  # true duplicate of row 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    kept = exact_dedup(df, ["a", "b"], "doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3]
+    groups = exact_duplicates(df, ["a", "b"], id_col="doc_id").collect()
+    assert len(groups) == 1 and sorted(groups[0]["ids"]) == [2, 4]
+
+
+def test_lsh_mega_cluster_star_pairs(spark):
+    """An identical-content cluster larger than max_bucket_size saturates
+    every band bucket; the bucket cap alone dropped ALL its pairs and
+    drop_near_duplicates silently kept the whole cluster.  Star pairs now
+    keep the cluster collapsible."""
+    from driftspark.dedup import drop_near_duplicates, minhash_near_duplicates
+
+    docs = [(i, "the exact same boilerplate text repeated") for i in range(30)]
+    docs += [(100, "another unique document entirely different words")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_near_duplicates(
+        df, "doc_id", "text", min_jaccard=0.9, max_bucket_size=10
+    ).collect()
+    # min-id star: 0 paired with every other cluster member
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, i) for i in range(1, 30)}
+    kept = drop_near_duplicates(
+        df, "doc_id", "text", min_jaccard=0.9, max_bucket_size=10
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 100]
+
+
+def test_lsh_bands_validated(spark):
+    from driftspark.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=4)
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(sigs, n_hashes=4, bands=8)
+
+
+def test_uniqueness_empty_frame(spark):
+    """An empty table is trivially unique: report zeros + unique_ok=True
+    (the global agg's NULL sums used to crash uniqueness_check)."""
+    from driftspark.constraints import uniqueness_check, uniqueness_report
+
+    empty = spark.createDataFrame([], "k long, v string")
+    rep, viol = uniqueness_check(empty, ["k"])
+    row = rep.first()
+    assert row["n_rows"] == 0 and row["n_dup_keys"] == 0
+    assert row["unique_ok"] is True
+    assert viol.count() == 0
+    row2 = uniqueness_report(empty, ["k"]).first()
+    assert row2["n_rows"] == 0 and row2["unique_ok"] is True
+
+
+def test_referential_null_fk_satisfied(spark):
+    """SQL MATCH SIMPLE semantics: a NULL foreign key is satisfied, not a
+    violation (the anti-join used to report every NULL-FK row)."""
+    from driftspark.constraints import referential_violations
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, None), (12, 99)], "id long, fk long"
+    )
+    v = referential_violations(child, "fk", parent, "pk").collect()
+    assert [r["id"] for r in v] == [12]
