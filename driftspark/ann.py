@@ -9,12 +9,15 @@ band; exact cosine re-rank on the (small) candidate set.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -314,6 +317,39 @@ class IVFIndex:
         )
 
 
+def _valid_vec(vec_col, dim: int):
+    """Moment-path validity predicate: exact ``dim`` AND every element
+    non-NULL.  A NULL element would be SKIPPED by F.sum while n counts
+    the row (biased mean), and arrives in pandas as NaN — in the
+    cumulative streaming state it would poison (s, q) for the affected
+    dimensions forever (z=NaN never crosses a threshold).  Batch and
+    streaming must share this guard (CLAUDE.md guard-parity rule).
+    NULL arrays fail both conjuncts (NULL → row dropped)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return (F.size(c) == dim) & F.forall(c, lambda x: x.isNotNull())
+
+
+def _warn_invalid_vecs(tagged_raw: DataFrame, dim: int, where: str) -> None:
+    """Count + warn rows the moment paths drop (wrong dim / NULL element /
+    NULL array) — the psi/chi2 null-part convention: observable, never
+    silent.  One extra column-pruned job at fit/detect time."""
+    bad = (
+        tagged_raw.where(~F.coalesce(_valid_vec("__v", dim), F.lit(False)))
+        .groupBy("__side")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if bad:
+        detail = ", ".join(
+            f"side {r['__side']}: {r['c']}" for r in sorted(bad, key=lambda r: r["__side"])
+        )
+        logger.warning(
+            "%s: dropped rows with wrong-dim/NULL-element embeddings (%s); "
+            "they are excluded from the moments",
+            where, detail,
+        )
+
+
 def _embedding_moment_frame(tagged: DataFrame, dim: int) -> DataFrame:
     """Per-side count + per-dimension sum / sum-of-squares as ONE
     aggregation over 2*dim+1 expressions (two result rows).  Split out so
@@ -364,11 +400,13 @@ def embedding_drift(
             )
         dim = int(first["d"])
 
-    tagged = (
-        ref.select(F.lit(0).alias("__side"), F.col(vec_col).alias("__v"))
-        .unionByName(test.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__v")))
-        .where(F.size("__v") == dim)  # loud-by-absence: mismatched rows drop
+    tagged_raw = ref.select(
+        F.lit(0).alias("__side"), F.col(vec_col).alias("__v")
+    ).unionByName(
+        test.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__v"))
     )
+    _warn_invalid_vecs(tagged_raw, dim, "embedding_drift")
+    tagged = tagged_raw.where(_valid_vec("__v", dim))
     if dim <= max_codegen_dim:
         collected = _embedding_moment_frame(tagged, dim).collect()
         stats = {}

@@ -22,10 +22,13 @@ Design notes for 10^12-row scale:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 BROADCAST_ROW_LIMIT = 2_000_000
 
@@ -77,9 +80,14 @@ def uniqueness_violations(
     aggregate output — no row movement); when small it is broadcast so
     the violation join is shuffle-free on the base table side."""
     key_cols = list(key_cols)
-    # cache: the count probe and the violation join otherwise each run
-    # the full key-grain aggregation (two scans of the base table)
-    dups = duplicate_keys(df, key_cols, salt_buckets).cache()
+    # localCheckpoint (NOT .cache()): the count probe and the violation
+    # join otherwise each run the full key-grain aggregation, but a
+    # CacheManager entry leaks one cached table per call in long-lived
+    # sessions — checkpoint blocks are reclaimed by the ContextCleaner
+    # when the frame is garbage-collected.  Trade-off: lineage is
+    # truncated, so an executor loss fails the job instead of
+    # recomputing (drop_near_duplicates precedent).
+    dups = duplicate_keys(df, key_cols, salt_buckets).localCheckpoint()
     right = F.broadcast(dups) if dups.count() <= broadcast_row_limit else dups
     return df.join(right, on=key_cols, how="inner")
 
@@ -113,14 +121,12 @@ def uniqueness_check(
 ):
     """Report + violations from ONE key-count aggregation.
 
-    The per-key counts are computed once and cached;
-    the report aggregate and the duplicate-key filter both derive from it,
-    halving the key-grain shuffle work vs calling uniqueness_report and
-    uniqueness_violations separately.  Returns (report_df, violations_df).
-    The cache stays alive so the lazily-returned violations frame can
-    reuse it at action time; callers done with the violations can release
-    it via spark.catalog.clearCache() or by unpersisting through the
-    violations plan's lineage.
+    The per-key counts are computed once (localCheckpoint — blocks are
+    GC-reclaimed, unlike a CacheManager .cache() entry, which leaked one
+    table per call in long-lived sessions); the report aggregate and the
+    duplicate-key filter both derive from it, halving the key-grain
+    shuffle work vs calling uniqueness_report and uniqueness_violations
+    separately.  Returns (report_df, violations_df).
     """
     key_cols = list(key_cols)
     if salt_buckets:
@@ -132,14 +138,14 @@ def uniqueness_check(
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .groupBy(*key_cols)
             .agg(F.sum("__cnt").alias("c"))
-            .cache()
+            .localCheckpoint()
         )
     else:
         counted = (
             df.select(*key_cols)
             .groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("c"))
-            .cache()
+            .localCheckpoint()
         )
     # coalesce: a global agg over an EMPTY frame returns one row whose
     # sums are NULL — int(None) crashed below and unique_ok was NULL
@@ -176,8 +182,17 @@ def referential_violations(
     parent_key: str,
     broadcast_parent: Optional[bool] = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+    nulls_violate: bool = False,
 ) -> DataFrame:
     """Child rows whose key has no match in parent (LEFT ANTI join).
+
+    NULL foreign keys follow SQL MATCH SIMPLE by default (a NULL FK is
+    SATISFIED — the anti-join would otherwise report every NULL-FK row,
+    since NULL never equi-matches); they are COUNTED and warned rather
+    than silently dropped (the psi/chi2 null-part convention), skipping
+    the probe entirely when the schema marks the column non-nullable.
+    ``nulls_violate=True`` restores the stricter pre-r5 behavior: NULL-FK
+    rows are appended to the violation output (lazily — no count probe).
 
     ``broadcast_parent=None`` (auto): the parent key cardinality is sized
     with approx_count_distinct (HLL — ONE parallel pass over parent, no
@@ -185,9 +200,20 @@ def referential_violations(
     True/False force the strategy.  At scale a non-broadcastable parent
     goes through sort-merge with AQE skew-join splitting (enabled in
     driftspark.session)."""
-    # SQL FK semantics (MATCH SIMPLE): a NULL foreign key is SATISFIED —
-    # the anti-join would otherwise report every NULL-FK row as a
-    # violation (NULL never equi-matches)
+    null_rows = None
+    if nulls_violate:
+        null_rows = child.where(F.col(child_key).isNull())
+    elif child.schema[child_key].nullable:
+        # column-pruned IS NULL count (parquet null-count stats serve it
+        # without decoding values) so the MATCH SIMPLE drop is observable
+        n_null = child.where(F.col(child_key).isNull()).count()
+        if n_null:
+            logger.warning(
+                "referential_violations: %d child row(s) have NULL %s and "
+                "are treated as SATISFIED (SQL MATCH SIMPLE); pass "
+                "nulls_violate=True to report them as violations",
+                n_null, child_key,
+            )
     child = child.where(F.col(child_key).isNotNull())
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent is None:
@@ -199,4 +225,5 @@ def referential_violations(
         # and pressure driver/executor memory right at the boundary
         broadcast_parent = int(approx_n) <= int(broadcast_row_limit * 0.95)
     right = F.broadcast(parent_keys) if broadcast_parent else parent_keys
-    return child.join(right, on=child_key, how="left_anti")
+    anti = child.join(right, on=child_key, how="left_anti")
+    return anti.unionByName(null_rows) if null_rows is not None else anti

@@ -134,7 +134,10 @@ def lsh_candidate_pairs(
     signature saturates every one of its band buckets, so the cap alone
     would drop ALL the group's pairs — such groups emit min-id star pairs
     instead (the simhash hamming-0 fix is the precedent), and downstream
-    Jaccard verification still checks every emitted pair."""
+    Jaccard verification still checks every emitted pair.  The star scan
+    is bounded: only cap-dropped docs can belong to such a cluster, so the
+    full-signature window runs over that (usually empty) subset, not the
+    corpus."""
     rows_per_band = n_hashes // bands
     if rows_per_band == 0:
         raise ValueError(
@@ -156,9 +159,10 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    sized = buckets.withColumn(
+    counted = buckets.withColumn(
         "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("__sz") <= max_bucket_size)
+    )
+    sized = counted.where(F.col("__sz") <= max_bucket_size)
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     banded = (
@@ -167,9 +171,37 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    star = _star_pairs(
+        signatures, _cap_dropped_ids(counted, max_bucket_size),
+        n_hashes, max_bucket_size,
+    )
+    return banded.unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+
+def _cap_dropped_ids(counted: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Ids whose band-0 bucket exceeded the cap — the ONLY possible members
+    of an over-cap identical-signature cluster (such a cluster saturates
+    every one of its band buckets, band 0 included).  Derived from the same
+    windowed frame the cap filter uses, so Catalyst reuses the bucket-size
+    exchange instead of adding a shuffle; each doc has exactly one band-0
+    row, so the result is already id-unique."""
+    return counted.where(
+        (F.col("band") == 0) & (F.col("__sz") > max_bucket_size)
+    ).select("id")
+
+
+def _star_pairs(
+    signatures: DataFrame, candidate_ids: DataFrame,
+    n_hashes: int, max_bucket_size: int,
+) -> DataFrame:
+    """Min-id star pairs of identical-FULL-signature clusters larger than
+    ``max_bucket_size``, scanning only ``candidate_ids`` (the cap-dropped
+    subset — empty when no bucket is hot, so the common case costs one
+    cheap join on an empty build side instead of a full-corpus shuffle)."""
     wsig = Window.partitionBy("fs")
-    star = (
-        signatures.select(
+    return (
+        signatures.join(candidate_ids, "id")
+        .select(
             "id",
             F.md5(
                 F.concat_ws("|", *[F.col(f"mh{k}") for k in range(n_hashes)])
@@ -181,7 +213,6 @@ def lsh_candidate_pairs(
         .where(F.col("id") != F.col("__root"))
         .select(F.col("__root").alias("id_a"), F.col("id").alias("id_b"))
     )
-    return banded.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_near_duplicates(

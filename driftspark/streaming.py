@@ -716,9 +716,13 @@ def fit_embedding_moments(
                 " first row — pass dim explicitly"
             )
         dim = int(first["d"])
-    tagged = ref_df.select(
+    from driftspark.ann import _valid_vec, _warn_invalid_vecs
+
+    tagged_raw = ref_df.select(
         F.lit(0).alias("__side"), F.col(vec_col).alias("__v")
-    ).where(F.size("__v") == dim)
+    )
+    _warn_invalid_vecs(tagged_raw, dim, "fit_embedding_moments")
+    tagged = tagged_raw.where(_valid_vec("__v", dim))
     if dim <= max_codegen_dim:
         rows = _embedding_moment_frame(tagged, dim).collect()
         if not rows or rows[0]["n"] == 0:
@@ -783,8 +787,15 @@ def cumulative_embedding_drift_stream(
     var0 = np.asarray(var0, dtype=np.float64)
     dim = len(mean0)
 
+    # size AND no-NULL-element guard (shared with the batch paths): a NULL
+    # element reaches pandas as NaN and would poison the cumulative (s, q)
+    # state for its dimensions FOREVER (z=NaN never crosses a threshold).
+    # Streams cannot count+warn eagerly, so invalid rows drop silently
+    # here; the batch/fit paths warn via ann._warn_invalid_vecs.
+    from driftspark.ann import _valid_vec
+
     filtered = stream_df.select(F.col(vec_col).alias("__v")).where(
-        F.size("__v") == dim
+        _valid_vec("__v", dim)
     )
 
     def partials(batches):

@@ -62,6 +62,20 @@ def _json_obj_truthy(col) -> "F.Column":
     )
 
 
+def _py_title(col) -> "F.Column":
+    """Python ``str.title()`` parity for ``'_'``-to-space detector names.
+
+    ``F.initcap`` only capitalizes after WHITESPACE, but ``str.title()``
+    capitalizes a letter after ANY non-letter: ``'ks_2samp'`` must render
+    ``'Ks 2Samp'``, not initcap's ``'Ks 2samp'``.  Mirror it by inserting
+    a ``\\x01 + space`` marker after every non-letter (so initcap sees a
+    word boundary there too), then stripping the markers.  ASCII-letter
+    boundaries only — detector names are ASCII identifiers."""
+    spaced = F.replace(col, F.lit("_"), F.lit(" "))
+    marked = F.regexp_replace(spaced, "([^A-Za-z])", "$1\x01 ")
+    return F.regexp_replace(F.initcap(marked), "\x01 ", "")
+
+
 class DriftResultsTimeline:
     """Timeline frames over drift-results JSON files.
 
@@ -236,9 +250,7 @@ class DriftResultsTimeline:
             self._detections_df()
             .select(
                 "year",
-                F.initcap(F.replace("detector_name", F.lit("_"), F.lit(" "))).alias(
-                    "detector"
-                ),
+                _py_title(F.col("detector_name")).alias("detector"),
                 F.coalesce("det.drift_detected", F.lit(False)).alias(
                     "drift_detected"
                 ),
@@ -558,9 +570,7 @@ class DriftResultsTimeline:
             .where(F.size("recommendations") > 0)
             .select(
                 "year",
-                F.initcap(F.replace("detector", F.lit("_"), F.lit(" "))).alias(
-                    "detector"
-                ),
+                _py_title(F.col("detector")).alias("detector"),
                 F.posexplode(F.slice("recommendations", 1, per_run)).alias(
                     "rec_rank", "recommendation"
                 ),

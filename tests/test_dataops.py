@@ -349,6 +349,89 @@ def test_lsh_mega_cluster_star_pairs(spark):
     assert sorted(r["doc_id"] for r in kept) == [0, 100]
 
 
+def test_lsh_star_pass_input_is_cap_dropped_subset(spark):
+    """The mega-cluster star pass must scan ONLY docs dropped by the
+    bucket cap (an over-cap identical-signature cluster saturates every
+    band bucket, band 0 included) — not the whole corpus.  r5 ran the
+    full-signature window unconditionally over the corpus; this locks the
+    bounded derivation."""
+    from pyspark.sql import Window
+
+    from driftspark.dedup import (
+        _cap_dropped_ids,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 30 identical docs (over the cap of 10) + unique fillers
+    docs = [(i, "same boilerplate text every time") for i in range(30)]
+    docs += [(100 + i, f"unique filler number {i} with word{i} token{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=16)
+
+    # rebuild the counted band-bucket frame exactly as lsh_candidate_pairs does
+    from driftspark import dedup as D
+
+    rows_per_band = 16 // 4
+    band_structs = []
+    for b in range(4):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+    counted = buckets.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    )
+    dropped = {r["id"] for r in _cap_dropped_ids(counted, 10).collect()}
+    # exactly the mega-cluster members, none of the fillers
+    assert dropped == set(range(30))
+    # and the star pairs over that subset are the full min-id star
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10).collect()
+    }
+    assert {(0, i) for i in range(1, 30)} <= pairs
+    # with a cap nothing exceeds, the dropped subset is empty → no star rows
+    assert _cap_dropped_ids(counted, 1000).count() == 0
+
+
+def test_lsh_hot_bucket_without_mega_cluster_no_star(spark):
+    """A band bucket can exceed the cap without any identical-FULL-
+    signature cluster (docs agreeing on one band only).  The star pass
+    must emit nothing, and pairs sharing OTHER under-cap band buckets
+    must still be found."""
+    from driftspark.dedup import lsh_candidate_pairs
+
+    # hand-built signatures: 12 docs share band 0 (mh0..mh3) but differ
+    # everywhere else; docs 50/51 share band 2 only (found via band 2).
+    rows = []
+    for i in range(12):
+        sig = [f"b0h{k}" for k in range(4)] + [f"u{i}h{k}" for k in range(4, 16)]
+        rows.append((i, *sig))
+    shared_b2 = [f"pairh{k}" for k in range(8, 12)]
+    for j, doc in enumerate((50, 51)):
+        sig = (
+            [f"x{doc}h{k}" for k in range(8)]
+            + shared_b2
+            + [f"x{doc}h{k}" for k in range(12, 16)]
+        )
+        rows.append((doc, *sig))
+    schema = "id long, " + ", ".join(f"mh{k} string" for k in range(16))
+    sigs = spark.createDataFrame(rows, schema)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10).collect()
+    }
+    # band-0 hot bucket dropped, no full-signature cluster → those 12 docs
+    # produce no pairs at all (no spurious star pairs)
+    assert not any(a < 12 or (b < 12) for a, b in pairs)
+    # the band-2 pair is under the cap and survives
+    assert pairs == {(50, 51)}
+
+
 def test_lsh_bands_validated(spark):
     from driftspark.dedup import lsh_candidate_pairs, minhash_signatures
 
@@ -384,3 +467,44 @@ def test_referential_null_fk_satisfied(spark):
     )
     v = referential_violations(child, "fk", parent, "pk").collect()
     assert [r["id"] for r in v] == [12]
+
+
+def test_referential_null_fk_observable(spark, caplog):
+    """The MATCH SIMPLE drop must be observable: NULL-FK rows are counted
+    and warned by default, and nulls_violate=True reports them as
+    violations (the pre-r5 behavior, now opt-in)."""
+    import logging
+
+    from driftspark.constraints import referential_violations
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, None), (12, 99), (13, None)], "id long, fk long"
+    )
+    with caplog.at_level(logging.WARNING, logger="driftspark.constraints"):
+        v = referential_violations(child, "fk", parent, "pk").collect()
+    assert [r["id"] for r in v] == [12]
+    assert any(
+        "2 child row(s) have NULL fk" in rec.getMessage()
+        for rec in caplog.records
+    )
+    strict = referential_violations(
+        child, "fk", parent, "pk", nulls_violate=True
+    ).collect()
+    assert sorted(r["id"] for r in strict) == [11, 12, 13]
+
+
+def test_uniqueness_no_cachemanager_leak(spark):
+    """uniqueness_violations/_check used .cache(), leaking one CacheManager
+    entry per call in long-lived sessions; localCheckpoint blocks are
+    GC-reclaimed instead.  Assert no catalog cache entry survives."""
+    from driftspark.constraints import uniqueness_check, uniqueness_violations
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    before_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    v = uniqueness_violations(df, ["k"])
+    assert v.count() == 2
+    rep, viol = uniqueness_check(df, ["k"])
+    assert viol.count() == 2 and rep.first()["n_dup_keys"] == 1
+    after_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert after_empty or not before_empty

@@ -382,6 +382,49 @@ def test_embedding_dim_inference_null_first_row(spark):
     assert d.count() == 2
 
 
+def test_embedding_null_element_guard_parity(spark, caplog):
+    """A row whose embedding CONTAINS a NULL element must be excluded from
+    moments in BOTH the batch and streaming paths (guard-parity rule):
+    F.sum skips the NULL element while n counts the row, silently biasing
+    that dimension's mean — and in the cumulative stream the NaN poisons
+    (s, q) state forever.  The drop is counted + warned (batch/fit)."""
+    import logging
+
+    from driftspark.ann import _valid_vec, embedding_drift
+    from driftspark.streaming import fit_embedding_moments
+
+    clean = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    dirty = clean + [[100.0, None], [None, None]]
+    ref = spark.createDataFrame(
+        [(v,) for v in dirty], "embedding array<double>"
+    )
+    test = spark.createDataFrame(
+        [(v,) for v in clean], "embedding array<double>"
+    )
+    with caplog.at_level(logging.WARNING, logger="driftspark.ann"):
+        out = embedding_drift(ref, test, "embedding", dim=2).toPandas()
+    exp_mean = np.array(clean).mean(axis=0)
+    np.testing.assert_allclose(
+        out.sort_values("dim")["ref_mean"].values, exp_mean, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out.sort_values("dim")["test_mean"].values, exp_mean, rtol=1e-12
+    )
+    assert any("dropped rows" in r.getMessage() for r in caplog.records)
+
+    n, mean, var = fit_embedding_moments(ref, "embedding", dim=2)
+    assert n == 4
+    np.testing.assert_allclose(mean, exp_mean, rtol=1e-12)
+
+    # the shared predicate itself: NULL array and NULL element both drop
+    flags = (
+        ref.select(F.coalesce(_valid_vec("embedding", 2), F.lit(False)).alias("ok"))
+        .toPandas()["ok"]
+        .tolist()
+    )
+    assert flags == [True, True, True, True, False, False]
+
+
 def test_embedding_drift_summarizer_path_matches(spark):
     """The wide-dim Summarizer path (single JVM vector accumulator) agrees
     with the per-dimension expression path to float tolerance."""

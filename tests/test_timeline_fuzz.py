@@ -12,7 +12,10 @@ import pandas as pd
 
 from driftspark.timeline import DriftResultsTimeline
 
-DETECTORS = ["ks_test", "psi", "mmd", "cbpe"]
+# digit-bearing names exercise the str.title() vs initcap divergence:
+# 'ks_2samp'.replace('_',' ').title() == 'Ks 2Samp' but initcap('ks 2samp')
+# == 'Ks 2samp' (title capitalizes after ANY non-letter, not just spaces)
+DETECTORS = ["ks_test", "psi", "mmd", "cbpe", "ks_2samp", "l2_norm3d"]
 FEATURES = ["age", "income", "hours"]
 
 
@@ -223,6 +226,18 @@ def _mirror_rca(doc):
     return rows
 
 
+def _mirror_rca_recommendations(doc, per_run=3):
+    rows = []
+    for y, yd in _years(doc):
+        for p in yd.get("pipelines", {}).values():
+            rca = p.get("rca")
+            if rca and rca.get("recommendations"):
+                det = p.get("detection", {}).get("detector_name", "unknown")
+                for rec in rca["recommendations"][:per_run]:
+                    rows.append((int(y), det.replace("_", " ").title(), rec))
+    return rows
+
+
 def _mirror_importance_changes(doc):
     rows = []
     for y, yd in _years(doc):
@@ -307,6 +322,10 @@ def test_random_documents_match_reference_mirror(spark, tmp_path, seed):
     # reference defaults absent importances/recommendations to {} / [];
     # the Spark frame carries nulls — normalized above to the same tuples
     assert multiset(got_rows) == multiset(exp)
+
+    got = tl.rca_recommendations_table().toPandas()
+    exp = [r for d in docs for r in _mirror_rca_recommendations(d)]
+    assert multiset(got.itertuples(index=False)) == multiset(exp)
 
     got = tl.feature_importance_changes().toPandas()
     exp = [r for d in docs for r in _mirror_importance_changes(d)]
