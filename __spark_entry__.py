@@ -618,6 +618,93 @@ def _q_domain_classifier(spark, sf_dir):
     )
 
 
+DC_SAMPLE_CAP = 2500  # domain-classifier per-side cap: binds at every sf
+DC_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+DC_KEYS = ["l_orderkey", "l_linenumber"]
+
+
+def _q_domain_classifier_sample(spark, sf_dir):
+    """A16 deterministic half (the SQL-expressible part of the last
+    rows-only driver query): the domain classifier's engine-portable
+    training frame — md5-ordered content-keyed per-side sample caps
+    (domain_classifier.py sample_hash='md5'), domain labels, and the
+    md5-derived CV fold ids.  The oracle re-derives EXACT membership
+    (long-sum checksums over the key columns), fold assignment, and the
+    per-(side, fold) label-union counts; the RF consuming this frame
+    stays rows-only (not SQL-expressible)."""
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors.domain_classifier import DomainClassifier
+
+    li = _t(spark, sf_dir, "lineitem").select(*DC_KEYS, *DC_FEATS)
+    ref, test = _split(li, "l_orderkey")
+    det = DomainClassifier(
+        max_samples_per_side=DC_SAMPLE_CAP,
+        sample_hash="md5",
+        sample_key_cols=DC_KEYS,
+        cv_folds=3,
+    )
+    det.fit(SparkDataset(ref, feature_cols=DC_FEATS, metadata_cols=DC_KEYS))
+    frame = det.training_frame(
+        SparkDataset(test, feature_cols=DC_FEATS, metadata_cols=DC_KEYS)
+    )
+    return (
+        frame.groupBy(
+            F.col("label").cast("bigint").alias("side"), "fold"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.sum("l_linenumber").alias("sum_lnum"),
+        )
+        .orderBy("side", "fold")
+    )
+
+
+def _domain_classifier_sample_sql() -> str:
+    """Training-frame re-derivation: per-side md5-ordered top-cap rows,
+    the same md5(keys || seed) -> 60-bit -> mod-folds fold id, grouped to
+    (side, fold) counts + exact key checksums."""
+    key_hash = (
+        "md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR)))"
+    )
+    fold = (
+        "('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR), '42')), 1, 15))::BIGINT % 3"
+    )
+    return f"""
+        WITH ref AS (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (
+                   ORDER BY {key_hash}, l_orderkey, l_linenumber) AS rn,
+                 0 AS side
+          FROM lineitem WHERE l_orderkey % 2 = 0
+        ),
+        tst AS (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (
+                   ORDER BY {key_hash}, l_orderkey, l_linenumber) AS rn,
+                 1 AS side
+          FROM lineitem WHERE l_orderkey % 2 = 1
+        ),
+        u AS (
+          SELECT side, l_orderkey, l_linenumber
+          FROM ref WHERE rn <= {DC_SAMPLE_CAP}
+          UNION ALL
+          SELECT side, l_orderkey, l_linenumber
+          FROM tst WHERE rn <= {DC_SAMPLE_CAP}
+        )
+        SELECT CAST(side AS BIGINT) AS side,
+               CAST({fold} AS BIGINT) AS fold,
+               count(*) AS n,
+               CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+               CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum
+        FROM u
+        GROUP BY 1, 2
+        ORDER BY side, fold
+    """
+
+
 DENSITY_SAMPLES = 300  # ref-sample cap for the knn/kde backends — binds at
                        # every sf, and keeps the DuckDB oracle's cross joins
                        # at ~rows x 300
@@ -1964,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_counts": _q_null_counts,
         # rows-only (non-SQL-expressible / synthetic-input)
         "domain_classifier": _q_domain_classifier,
+        "domain_classifier_sample": _q_domain_classifier_sample,
         "simhash": _q_simhash,
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -2040,6 +2128,29 @@ def _simhash_md5_sql() -> str:
     """
 
 
+def _star_cte_sql(n_hashes: int, max_bucket: int) -> str:
+    """Mega-cluster star-pass CTEs (dedup.lsh_candidate_pairs /
+    _star_pairs): a group of > max_bucket docs sharing the IDENTICAL full
+    signature saturates every one of its band buckets, so the cap drops
+    ALL its banded pairs; the engine emits min-id star pairs for such
+    groups instead.  Disjoint from the banded pairs by construction (every
+    band bucket of a star member is over the cap), so the union is
+    UNION ALL."""
+    fs_concat = " || '|' || ".join(f"mh{k}" for k in range(n_hashes))
+    return f"""fsig AS (
+          SELECT id, md5({fs_concat}) AS fs FROM sigs
+        ),
+        hot_fs AS (
+          SELECT fs, min(id) AS root
+          FROM fsig GROUP BY fs HAVING count(*) > {max_bucket}
+        ),
+        star AS (
+          SELECT h.root AS id_a, f.id AS id_b
+          FROM fsig f JOIN hot_fs h ON f.fs = h.fs
+          WHERE f.id <> h.root
+        )"""
+
+
 def _minhash_lsh_sql(n_hashes: int = 16, bands: int = 4,
                      max_bucket: int = 200, min_jaccard: float = 0.5) -> str:
     """Full MinHash-LSH near-dup pipeline (dedup.minhash_near_duplicates):
@@ -2067,11 +2178,13 @@ def _minhash_lsh_sql(n_hashes: int = 16, bands: int = 4,
         ),
         sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS sz FROM bnd),
         keep AS (SELECT * FROM sized WHERE sz <= {max_bucket}),
-        cand AS (
+        banded AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM keep a JOIN keep b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
         ),
+        {_star_cte_sql(n_hashes, max_bucket)},
+        cand AS (SELECT * FROM banded UNION ALL SELECT * FROM star),
         sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
         shared AS (
           SELECT c.id_a, c.id_b, count(*) AS inter
@@ -2115,11 +2228,13 @@ def _neardup_drop_sql(n_hashes: int = 16, max_bucket: int = 200,
         ),
         sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS sz FROM bnd),
         keep AS (SELECT * FROM sized WHERE sz <= {max_bucket}),
-        cand AS (
+        banded AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM keep a JOIN keep b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
         ),
+        {_star_cte_sql(n_hashes, max_bucket)},
+        cand AS (SELECT * FROM banded UNION ALL SELECT * FROM star),
         sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
         shared AS (
           SELECT c.id_a, c.id_b, count(*) AS inter
@@ -3098,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(testmean.m - refmean.m), 6) AS confidence_shift
             FROM chi, refmean, testmean
         """,
+        "domain_classifier_sample": _domain_classifier_sample_sql(),
         "hallucination_mahalanobis": _hallucination_sql(),
         "hallucination_knn": _hallucination_knn_sql(),
         "hallucination_kde": _hallucination_kde_sql(),

@@ -159,10 +159,9 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    counted = buckets.withColumn(
+    sized = buckets.withColumn(
         "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    )
-    sized = counted.where(F.col("__sz") <= max_bucket_size)
+    ).where(F.col("__sz") <= max_bucket_size)
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     banded = (
@@ -171,42 +170,58 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    star = _star_pairs(
-        signatures, _cap_dropped_ids(counted, max_bucket_size),
-        n_hashes, max_bucket_size,
-    )
-    return banded.unionByName(star).dropDuplicates(["id_a", "id_b"])
-
-
-def _cap_dropped_ids(counted: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Ids whose band-0 bucket exceeded the cap — the ONLY possible members
-    of an over-cap identical-signature cluster (such a cluster saturates
-    every one of its band buckets, band 0 included).  Derived from the same
-    windowed frame the cap filter uses, so Catalyst reuses the bucket-size
-    exchange instead of adding a shuffle; each doc has exactly one band-0
-    row, so the result is already id-unique."""
-    return counted.where(
-        (F.col("band") == 0) & (F.col("__sz") > max_bucket_size)
-    ).select("id")
+    star = _star_pairs(signatures, n_hashes, rows_per_band, max_bucket_size)
+    # plain union, NOT dropDuplicates: the two pair sets are provably
+    # disjoint, so deduplicating would re-shuffle the entire candidate
+    # set for nothing.  Proof: a star pair's endpoints belong to an
+    # identical-full-signature cluster of size > max_bucket_size; every
+    # band bucket of such a doc contains the whole cluster (identical
+    # signatures band-hash identically), so all its buckets are over the
+    # cap and it appears in NO banded pair.  banded is internally
+    # distinct (.distinct() above); star is internally distinct (one row
+    # per non-root member of each cluster).
+    return banded.unionByName(star)
 
 
 def _star_pairs(
-    signatures: DataFrame, candidate_ids: DataFrame,
-    n_hashes: int, max_bucket_size: int,
+    signatures: DataFrame, n_hashes: int, rows_per_band: int,
+    max_bucket_size: int,
 ) -> DataFrame:
     """Min-id star pairs of identical-FULL-signature clusters larger than
-    ``max_bucket_size``, scanning only ``candidate_ids`` (the cap-dropped
-    subset — empty when no bucket is hot, so the common case costs one
-    cheap join on an empty build side instead of a full-corpus shuffle)."""
+    ``max_bucket_size`` — the pairs the bucket cap would otherwise drop
+    wholesale (such a cluster saturates every one of its band buckets).
+
+    Cost discipline (this pass runs on EVERY call): one narrow projection
+    of the (cached) signature table to (id, full-sig hash, band-0 bucket
+    hash) — the 16 signature columns never enter a join or shuffle — then
+    a partial-aggregated groupBy over the band-0 buckets whose over-cap
+    output (~empty in the common case) is BROADCAST back onto the narrow
+    projection, so the probe side moves no rows.  Only cap-dropped docs
+    (over-cap band-0 bucket — a superset of every over-cap full-signature
+    cluster, since identical signatures band-hash identically) reach the
+    full-signature window, which therefore sorts the hot subset, not the
+    corpus.  An earlier variant re-evaluated the exploded n*bands
+    bucket-size window a third time; that was the measured minhash_lsh
+    overhead vs the pre-star engine."""
+    narrow = signatures.select(
+        "id",
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{k}") for k in range(n_hashes)])
+        ).alias("fs"),
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{r}") for r in range(rows_per_band)])
+        ).alias("bucket"),
+    )
+    hot = (
+        narrow.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("bucket")
+    )
     wsig = Window.partitionBy("fs")
     return (
-        signatures.join(candidate_ids, "id")
-        .select(
-            "id",
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{k}") for k in range(n_hashes)])
-            ).alias("fs"),
-        )
+        narrow.join(F.broadcast(hot), "bucket")
+        .select("id", "fs")
         .withColumn("__sz", F.count(F.lit(1)).over(wsig))
         .where(F.col("__sz") > max_bucket_size)
         .withColumn("__root", F.min("id").over(wsig))

@@ -49,6 +49,8 @@ class DomainClassifier(BaseDriftDetector):
         cv_folds: int = 3,
         random_state: int = 42,
         max_samples_per_side: int | None = 100_000,
+        sample_hash: str = "xxhash64",
+        sample_key_cols=None,
     ):
         super().__init__(name="domain_classifier")
         self.threshold = threshold
@@ -62,27 +64,76 @@ class DomainClassifier(BaseDriftDetector):
         # class, so training on the full union is a scale-killer for zero
         # statistical gain; None trains on everything (explicit opt-in)
         self.max_samples_per_side = max_samples_per_side
+        # sample_hash="xxhash64" (default): JVM-intrinsic content hash with
+        # the bounded-merge pre-filter, CV folds hashed over the assembled
+        # ML vector — the scale path.  "md5": sample ordering AND fold
+        # assignment from md5(concat_ws('|', sample_key_cols)) — engine-
+        # portable, so an external SQL engine can reproduce the exact
+        # training-frame membership and fold ids (the deterministic half
+        # of this detector; the RF itself stays rows-only).  Requires
+        # sample_key_cols: unique, stringable row keys DISJOINT from the
+        # feature columns (they ride along untouched by the double cast).
+        self.sample_hash = sample_hash
+        self.sample_key_cols = list(sample_key_cols) if sample_key_cols else None
+        if sample_hash not in ("xxhash64", "md5"):
+            raise ValueError(
+                f"sample_hash must be 'xxhash64' or 'md5', got {sample_hash!r}"
+            )
+        if sample_hash == "md5" and not self.sample_key_cols:
+            raise ValueError("sample_hash='md5' requires sample_key_cols")
         self._classifier = None
 
-    def detect(self, test_data: SparkDataset) -> DetectionResult:
-        self._require_fitted()
-        from pyspark.ml.classification import RandomForestClassifier
-        from pyspark.ml.evaluation import BinaryClassificationEvaluator
-        from pyspark.ml.feature import VectorAssembler
+    def _md5_key_hash(self, extra: str | None = None) -> "F.Column":
+        parts = [F.col(k).cast("string") for k in self.sample_key_cols]
+        if extra is not None:
+            parts.append(F.lit(extra))
+        return F.md5(F.concat_ws("|", *parts))
 
+    def _md5_fold(self) -> "F.Column":
+        """Engine-portable CV fold id: the first 15 hex chars (60 bits) of
+        md5(keys || seed) as an integer, mod cv_folds.  An external SQL
+        engine reproduces it as
+        ``('0x' || substr(md5(concat_ws('|', keys..., 'seed')), 1, 15))
+        ::BIGINT % folds`` — 60 bits is non-negative in both engines, so
+        pmod == %."""
+        h = self._md5_key_hash(extra=str(self.random_state))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.lit(self.cv_folds),
+        )
+
+    def _build_training_frame(self, test_data: SparkDataset, keep_keys: bool):
+        """The deterministic, SQL-expressible half of detect(): per-side
+        double-cast + NaN->NULL feature selection, content-keyed side
+        caps, the labeled union with fillna(0), and (md5 mode, CV on) the
+        fold id.  Returns (frame, capped, cols); frame is None when no
+        shared numeric features exist."""
         ref = self._reference_data
         cols = [c for c in ref.numeric_features if c in test_data.df.columns]
         if not cols:
-            return DetectionResult(
-                detector_name=self.name,
-                drift_detected=False,
-                severity=DriftSeverity.NONE,
-                score=0.5,
-                threshold=self.threshold,
-            )
+            return None, False, cols
+        keys: list = []
+        if self.sample_hash == "md5":
+            keys = self.sample_key_cols
+            overlap = set(keys) & set(cols)
+            if overlap:
+                raise ValueError(
+                    f"sample_key_cols must be disjoint from the feature "
+                    f"columns in md5 mode, both claim: {sorted(overlap)}"
+                )
+            for k in keys:
+                for side_name, side_df in (("ref", ref.df), ("test", test_data.df)):
+                    if k not in side_df.columns:
+                        raise ValueError(
+                            f"sample_key_cols column {k!r} missing from the "
+                            f"{side_name} frame"
+                        )
 
-        # union with domain labels (J3), fillna(0) parity (:97-98)
-        sel = [F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols]
+        # union with domain labels (J3), fillna(0) parity (:97-98); key
+        # columns ride along in their ORIGINAL types (portable casts)
+        sel = [F.col(k) for k in keys] + [
+            F.nanvl(F.col(c).cast("double"), F.lit(None)).alias(c) for c in cols
+        ]
         ref_side = ref.df.select(*sel)
         test_side = test_data.df.select(*sel)
         if self.max_samples_per_side is not None:
@@ -101,24 +152,67 @@ class DomainClassifier(BaseDriftDetector):
             n_by_side = {r["__side"]: r["n"] for r in counted}
             capped = False
             if n_by_side.get(0, 0) > cap:
-                ref_side = content_keyed_top_n(
-                    ref_side, cap, F.xxhash64(*cols), cols,
-                    total=n_by_side[0],
-                )
+                if self.sample_hash == "md5":
+                    ref_side = ref_side.orderBy(
+                        self._md5_key_hash(), *keys
+                    ).limit(cap)
+                else:
+                    ref_side = content_keyed_top_n(
+                        ref_side, cap, F.xxhash64(*cols), cols,
+                        total=n_by_side[0],
+                    )
                 capped = True
             if n_by_side.get(1, 0) > cap:
-                test_side = content_keyed_top_n(
-                    test_side, cap, F.xxhash64(*cols), cols,
-                    total=n_by_side[1],
-                )
+                if self.sample_hash == "md5":
+                    test_side = test_side.orderBy(
+                        self._md5_key_hash(), *keys
+                    ).limit(cap)
+                else:
+                    test_side = content_keyed_top_n(
+                        test_side, cap, F.xxhash64(*cols), cols,
+                        total=n_by_side[1],
+                    )
                 capped = True
         else:
             capped = False
         u = (
             ref_side.withColumn("label", F.lit(0.0))
             .unionByName(test_side.withColumn("label", F.lit(1.0)))
-            .na.fill(0.0)
+            .na.fill(0.0, subset=cols)
         )
+        if self.sample_hash == "md5" and self.use_cross_val:
+            u = u.withColumn("fold", self._md5_fold())
+        if not keep_keys and keys:
+            u = u.drop(*keys)
+        return u, capped, cols
+
+    def training_frame(self, test_data: SparkDataset) -> "DataFrame":
+        """Deterministic training-frame surface for external verification
+        (md5 mode): the labeled union AFTER the content-keyed side caps,
+        with ``sample_key_cols`` preserved and — when cross-validation is
+        on — the per-row ``fold`` id.  Everything in it is reproducible in
+        ANSI SQL; the RF fit consuming it is the only non-SQL step."""
+        self._require_fitted()
+        frame, _, _ = self._build_training_frame(test_data, keep_keys=True)
+        if frame is None:
+            raise ValueError("no shared numeric feature columns")
+        return frame
+
+    def detect(self, test_data: SparkDataset) -> DetectionResult:
+        self._require_fitted()
+        from pyspark.ml.classification import RandomForestClassifier
+        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+        from pyspark.ml.feature import VectorAssembler
+
+        u, capped, cols = self._build_training_frame(test_data, keep_keys=False)
+        if u is None:
+            return DetectionResult(
+                detector_name=self.name,
+                drift_detected=False,
+                severity=DriftSeverity.NONE,
+                score=0.5,
+                threshold=self.threshold,
+            )
         if capped:
             # a global orderBy+limit collapses each capped side to ONE
             # partition, which serializes every RF split-finding pass (each
@@ -126,8 +220,11 @@ class DomainClassifier(BaseDriftDetector):
             # bounded sample back across the cluster before fitting.
             u = u.repartition(u.sparkSession.sparkContext.defaultParallelism)
         assembler = VectorAssembler(inputCols=cols, outputCol="features")
-        # cached: the CV fits + the final importance fit all iterate this
-        data = assembler.transform(u).select("features", "label").cache()
+        # cached: the CV fits + the final importance fit all iterate this;
+        # in md5 mode the (portable) fold id was computed from the key
+        # columns upstream and rides along
+        carry = ["features", "label"] + (["fold"] if "fold" in u.columns else [])
+        data = assembler.transform(u).select(*carry).cache()
 
         rf = RandomForestClassifier(
             numTrees=self.n_estimators,
@@ -144,11 +241,18 @@ class DomainClassifier(BaseDriftDetector):
         if self.use_cross_val:
             from concurrent.futures import ThreadPoolExecutor
 
-            # deterministic content-keyed folds (partitioning-invariant)
-            folded = data.withColumn(
-                "fold",
-                F.pmod(F.xxhash64("features", F.lit(self.random_state)), self.cv_folds),
-            ).cache()
+            # deterministic content-keyed folds (partitioning-invariant);
+            # md5 mode already carries the engine-portable fold column
+            if "fold" in data.columns:
+                folded = data.cache()
+            else:
+                folded = data.withColumn(
+                    "fold",
+                    F.pmod(
+                        F.xxhash64("features", F.lit(self.random_state)),
+                        self.cv_folds,
+                    ),
+                ).cache()
             # materialize ONCE so the concurrent fits below share the
             # cached blocks instead of racing to compute them
             folded.count()

@@ -21,6 +21,7 @@ Codecs: this container has no PIL/libjpeg, so:
 
 from __future__ import annotations
 
+import logging
 import struct
 import zlib
 from typing import Iterator
@@ -28,6 +29,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _QJPG_MAGIC = b"QJPG"
@@ -302,3 +305,83 @@ def validate_image_payloads_paired(
     return paired_df.mapInPandas(
         lambda it: _check_batches(it, min_psnr), schema=IMAGE_CHECK_SCHEMA
     )
+
+
+def _bucket_spec(spark, table: str):
+    """(bucket_cols, n_buckets) from DESCRIBE EXTENDED, or (None, 0) for
+    an unbucketed table."""
+    rows = {r["col_name"]: r["data_type"] for r in
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()}
+    n = rows.get("Num Buckets")
+    cols = rows.get("Bucket Columns")
+    if not n or not cols:
+        return None, 0
+    return [c.strip(" `") for c in cols.strip("[]").split(",")], int(n)
+
+
+UNPAIRED_WARN_ROWS = 1_000_000
+
+
+def validate_image_payloads_auto(
+    ref,
+    test=None,
+    *,
+    spark=None,
+    min_psnr: float = 40.0,
+    max_parallelism: int | None = None,
+    warn_rows: int = UNPAIRED_WARN_ROWS,
+):
+    """ONE front door for payload validation — picks the cheapest of the
+    three routes the storage layout allows:
+
+    1. ``ref`` is a pre-joined pairs DataFrame (has ``ref_bytes`` and
+       ``test_bytes``; ``test`` omitted) → ``validate_image_payloads_paired``
+       — pure scan + decode, zero shuffle.
+    2. ``ref``/``test`` are catalog table NAMES, both bucketed by
+       ``image_id`` with equal bucket counts →
+       ``validate_image_payloads_bucketed`` — zero-Exchange co-located
+       join (requires ``spark``).
+    3. anything else → ``validate_image_payloads`` (full-outer join) —
+       correct everywhere but shuffles the image BYTES; above
+       ``warn_rows`` on either side a warning names the cheaper layouts,
+       because at 10^12 scale the byte shuffle dominates the job.
+    """
+    paired_cols = {"ref_bytes", "test_bytes"}
+    if test is None:
+        if not hasattr(ref, "columns") or not paired_cols <= set(ref.columns):
+            raise ValueError(
+                "single-argument form needs a pre-joined pairs DataFrame "
+                "with ref_bytes/test_bytes columns"
+            )
+        return validate_image_payloads_paired(ref, min_psnr, max_parallelism)
+    if isinstance(ref, str) and isinstance(test, str):
+        if spark is None:
+            raise ValueError("table-name form requires spark=")
+        from driftspark.bucketing import validate_image_payloads_bucketed
+
+        rc, rn = _bucket_spec(spark, ref)
+        tc, tn = _bucket_spec(spark, test)
+        if rc == tc == ["image_id"] and rn == tn and rn > 0:
+            return validate_image_payloads_bucketed(
+                spark, ref, test, min_psnr, max_parallelism
+            )
+        logger.warning(
+            "validate_image_payloads_auto: tables %s/%s are not both "
+            "bucketed by image_id (specs %s x %s / %s x %s) — falling back "
+            "to the shuffling join; bucket both tables by image_id for the "
+            "zero-Exchange path",
+            ref, test, rc, rn, tc, tn,
+        )
+        ref, test = spark.table(ref), spark.table(test)
+    # unpaired DataFrame fallback: correct, but image bytes cross the
+    # network in the equi-join shuffle — observable above warn_rows
+    big = max(ref.count(), test.count())
+    if big > warn_rows:
+        logger.warning(
+            "validate_image_payloads_auto: unpaired fallback will SHUFFLE "
+            "image bytes for ~%d rows; materialize a pairs table "
+            "(validate_image_payloads_paired) or bucket both tables by "
+            "image_id (validate_image_payloads_bucketed) at this scale",
+            big,
+        )
+    return validate_image_payloads(ref, test, min_psnr)

@@ -43,6 +43,16 @@ def test_bucketed_join_no_shuffle_and_validation():
         assert bad == expected, (bad, expected)
         vplan = checks._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in vplan.split("MapInPandas")[-1], "no shuffle below the decode"
+
+        # the auto front door must detect the bucket specs and take the
+        # same zero-Exchange route when given the table names
+        from driftspark.imageops import validate_image_payloads_auto
+        auto = validate_image_payloads_auto(
+            "ref_images", "test_images", spark=spark
+        )
+        aplan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, "auto must dispatch to the bucketed join"
+        assert auto.count() == 500
         print("BUCKETED_OK")
         spark.stop(); shutil.rmtree(tmp, ignore_errors=True)
         """

@@ -355,10 +355,8 @@ def test_lsh_star_pass_input_is_cap_dropped_subset(spark):
     band bucket, band 0 included) — not the whole corpus.  r5 ran the
     full-signature window unconditionally over the corpus; this locks the
     bounded derivation."""
-    from pyspark.sql import Window
-
     from driftspark.dedup import (
-        _cap_dropped_ids,
+        _star_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -369,33 +367,21 @@ def test_lsh_star_pass_input_is_cap_dropped_subset(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     sigs = minhash_signatures(df, "doc_id", "text", n_hashes=16)
 
-    # rebuild the counted band-bucket frame exactly as lsh_candidate_pairs does
-    from driftspark import dedup as D
-
     rows_per_band = 16 // 4
-    band_structs = []
-    for b in range(4):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
-        )
-    buckets = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
-    )
-    counted = buckets.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    )
-    dropped = {r["id"] for r in _cap_dropped_ids(counted, 10).collect()}
-    # exactly the mega-cluster members, none of the fillers
-    assert dropped == set(range(30))
-    # and the star pairs over that subset are the full min-id star
+    star = {
+        (r["id_a"], r["id_b"])
+        for r in _star_pairs(sigs, 16, rows_per_band, 10).collect()
+    }
+    # exactly the mega-cluster star, none of the fillers
+    assert star == {(0, i) for i in range(1, 30)}
+    # and the full candidate output contains it
     pairs = {
         (r["id_a"], r["id_b"])
         for r in lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10).collect()
     }
-    assert {(0, i) for i in range(1, 30)} <= pairs
-    # with a cap nothing exceeds, the dropped subset is empty → no star rows
-    assert _cap_dropped_ids(counted, 1000).count() == 0
+    assert star <= pairs
+    # with a cap nothing exceeds, the star pass emits nothing
+    assert _star_pairs(sigs, 16, rows_per_band, 1000).count() == 0
 
 
 def test_lsh_hot_bucket_without_mega_cluster_no_star(spark):

@@ -79,6 +79,67 @@ def test_domain_classifier(spark):
     assert top_feature == "feature_1"
 
 
+def test_domain_classifier_md5_mode(spark):
+    """Engine-portable sample path: md5-ordered side caps + md5-derived
+    fold ids.  fit_detect must work end to end in md5 mode, the training
+    frame must be layout-invariant (content-keyed, not positional), and
+    fold ids must match the documented 60-bit md5 formula."""
+    import hashlib
+
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors.domain_classifier import DomainClassifier
+
+    rows = [(i, float(i % 7), float(i % 11)) for i in range(400)]
+    ref_pdf = [(k, a, b) for (k, a, b) in rows if k % 2 == 0]
+    test_pdf = [(k, a + 10.0, b) for (k, a, b) in rows if k % 2 == 1]
+    schema = "k long, x double, y double"
+
+    def mk(data, parts):
+        return spark.createDataFrame(data, schema).repartition(parts)
+
+    det = DomainClassifier(
+        max_samples_per_side=50, sample_hash="md5", sample_key_cols=["k"],
+        cv_folds=3, n_estimators=10,
+    )
+    det.fit(SparkDataset(mk(ref_pdf, 2), feature_cols=["x", "y"], metadata_cols=["k"]))
+    f1 = det.training_frame(
+        SparkDataset(mk(test_pdf, 2), feature_cols=["x", "y"], metadata_cols=["k"])
+    ).toPandas()
+    f2 = det.training_frame(
+        SparkDataset(mk(test_pdf, 7), feature_cols=["x", "y"], metadata_cols=["k"])
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["k", "label", "fold"]].values.tolist()))
+    assert key(f1) == key(f2)  # layout-invariant membership + folds
+    assert len(f1) == 100  # both sides capped at 50
+    assert set(f1["fold"]) <= {0, 1, 2}
+    # fold formula parity with the documented md5 derivation
+    for k, _, fold in f1[["k", "label", "fold"]].itertuples(index=False):
+        h = hashlib.md5(f"{int(k)}|42".encode()).hexdigest()
+        assert fold == int(h[:15], 16) % 3
+    # membership parity: the 50 smallest md5(k) per side
+    exp_ref = sorted(
+        (r[0] for r in ref_pdf),
+        key=lambda k: hashlib.md5(str(k).encode()).hexdigest(),
+    )[:50]
+    got_ref = sorted(int(k) for k in f1[f1["label"] == 0.0]["k"])
+    assert got_ref == sorted(exp_ref)
+    # end-to-end detect in md5 mode separates the shifted side
+    res = det.detect(
+        SparkDataset(mk(test_pdf, 3), feature_cols=["x", "y"], metadata_cols=["k"])
+    )
+    assert res.drift_detected is True and res.score > 0.8
+    # key/feature overlap is rejected loudly
+    det_bad = DomainClassifier(sample_hash="md5", sample_key_cols=["x"])
+    det_bad.fit(
+        SparkDataset(mk(ref_pdf, 2), feature_cols=["x", "y"], metadata_cols=["k"])
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        det_bad._build_training_frame(
+            SparkDataset(mk(test_pdf, 2), feature_cols=["x", "y"], metadata_cols=["k"]),
+            keep_keys=True,
+        )
+
+
 def test_iforest_separates_outliers():
     rng = np.random.RandomState(42)
     X = rng.normal(0, 1, (500, 4))

@@ -296,3 +296,38 @@ def test_payload_validation_reports_missing_copies(spark):
     assert got["img_3"]["decode_error"] == "missing_ref_copy"
     for mid in ("img_0", "img_3"):
         assert not got[mid]["pixels_ok"] and not got[mid]["caption_ok"]
+
+
+def test_auto_front_door_paired_and_unpaired_dispatch(spark, caplog):
+    """validate_image_payloads_auto: single pre-joined frame -> the
+    zero-shuffle paired path (no Exchange in the plan); two DataFrames ->
+    the full-outer fallback, which must WARN above warn_rows (the byte
+    shuffle is observable, never silent)."""
+    import logging
+
+    from driftspark.imageops import validate_image_payloads_auto
+    from driftspark.synth import synth_image_pairs, synth_image_pairs_wide
+
+    wide = synth_image_pairs_wide(spark, 60, num_partitions=2)
+    checks = validate_image_payloads_auto(wide)
+    plan = checks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert checks.count() == 60
+
+    pairs = synth_image_pairs(spark, 60, num_partitions=2)
+    ref = pairs.where(F.col("split") == "ref")
+    test = pairs.where(F.col("split") == "test")
+    with caplog.at_level(logging.WARNING, logger="driftspark.imageops"):
+        out = validate_image_payloads_auto(ref, test, warn_rows=10)
+        assert out.count() == 60
+    assert any("SHUFFLE" in r.getMessage() for r in caplog.records)
+    # under the threshold: no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="driftspark.imageops"):
+        validate_image_payloads_auto(ref, test, warn_rows=10_000).count()
+    assert not any("SHUFFLE" in r.getMessage() for r in caplog.records)
+    # malformed single-arg input is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pre-joined"):
+        validate_image_payloads_auto(ref)

@@ -274,7 +274,26 @@ def test_random_documents_match_reference_mirror(spark, tmp_path, seed):
     for i, doc in enumerate(docs):
         (tmp_path / f"r{i:02d}.json").write_text(json.dumps(doc))
     tl = DriftResultsTimeline(spark, str(tmp_path))
+    assert_timeline_matches_mirror(tl, docs, DETECTORS)
 
+
+GOLDEN = "/root/reference/outputs/folktables_drift_results.json"
+
+
+def test_reference_golden_file_matches_mirror(spark):
+    """The de-facto golden record: the reference pipeline's committed
+    3,016-line output (SURVEY §5.1).  Every timeline frame over it must
+    equal the pandas mirror of the reference loader — real detector
+    names, real RCA payloads, real float formats, not synthetic fixtures."""
+    with open(GOLDEN) as f:
+        doc = json.load(f)
+    tl = DriftResultsTimeline(spark, GOLDEN)
+    names = sorted(_mirror_available_detectors(doc))
+    assert names  # the golden doc is non-trivial
+    assert_timeline_matches_mirror(tl, [doc], names)
+
+
+def assert_timeline_matches_mirror(tl, docs, detector_names):
     def multiset(rows):
         # Counter, not sorted: None (absent p_value) doesn't order vs float
         from collections import Counter
@@ -284,7 +303,7 @@ def test_random_documents_match_reference_mirror(spark, tmp_path, seed):
             for r in rows
         )
 
-    for name in DETECTORS:
+    for name in detector_names:
         got = tl.detector_timeline(name).drop("threshold").toPandas()
         exp = [r for d in docs for r in _mirror_detector_timeline(d, name)]
         assert multiset(got.itertuples(index=False)) == multiset(exp), name
