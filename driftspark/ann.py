@@ -159,8 +159,6 @@ def embedding_near_duplicates(
 
     Recall is probabilistic (raise bands for higher recall, planes for
     precision); the all-pairs oracle is knn_pairs_exact."""
-    from pyspark.sql import Window
-
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None or int(first["d"]) < 0:
@@ -189,9 +187,20 @@ def embedding_near_duplicates(
     buckets = with_sig.select(
         "id", "vec", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "vec", "bb.band", "bb.bucket")
-    sized = buckets.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("__sz") <= max_bucket_size)
+    # hot-bucket cap via groupBy partials + anti-join, not a count
+    # window: the window would SORT the exploded table (n*bands rows,
+    # each carrying the full embedding vector) once per self-join side;
+    # the groupBy ships only (band, bucket, count) partials and AQE
+    # broadcasts the (tiny) over-cap set (dedup.lsh_candidate_pairs
+    # precedent)
+    hot = (
+        buckets.select("band", "bucket")
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    sized = buckets.join(hot, ["band", "bucket"], "left_anti")
     a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     cand = (

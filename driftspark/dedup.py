@@ -159,9 +159,22 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    sized = buckets.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("__sz") <= max_bucket_size)
+    # hot-bucket cap via partial-aggregated groupBy + anti-join, NOT a
+    # count window: the window sorts the full n*bands exploded table per
+    # consumer (both self-join sides), while the groupBy shuffles only
+    # per-partition (bucket, count) partials and the over-cap output is
+    # tiny — AQE converts the anti-join to broadcast at runtime, so the
+    # exploded table is filtered in place without a sort.  No explicit
+    # broadcast(): a pathological corpus (most docs in over-cap clusters)
+    # can make `hot` large, and the anti-join then degrades to a shuffle
+    # join on the SAME key the candidate self-join shuffles on anyway.
+    hot = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    sized = buckets.join(hot, ["band", "bucket"], "left_anti")
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     banded = (
@@ -472,11 +485,19 @@ def simhash_near_duplicates(
     if chunks > 64:
         raise ValueError(f"chunks={chunks} > 64 bits of fingerprint")
     sim = sim.select("id", "simhash")
-    w0 = Window.partitionBy("simhash")
+    # hamming-0 star via groupBy + join-back on the duplicated subset,
+    # not a full-table window: the groupBy ships per-partition partials
+    # and its >1 output (distinct duplicated fingerprints) is usually
+    # tiny — AQE broadcasts it, so the corpus is never sorted
+    dup_groups = (
+        sim.groupBy("simhash")
+        .agg(F.min("id").alias("__min"), F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select("simhash", "__min")
+    )
     star = (
-        sim.withColumn("__min", F.min("id").over(w0))
-        .withColumn("__cnt", F.count(F.lit(1)).over(w0))
-        .where((F.col("__cnt") > 1) & (F.col("id") != F.col("__min")))
+        sim.join(dup_groups, "simhash")
+        .where(F.col("id") != F.col("__min"))
         .select(
             F.col("__min").alias("id_a"),
             F.col("id").alias("id_b"),
@@ -501,9 +522,15 @@ def simhash_near_duplicates(
     e = sim.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", "cc.chunk", "cc.v")
-    e = e.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy("chunk", "v"))
-    ).where(F.col("__sz") <= max_bucket_size).drop("__sz")
+    # chunk-bucket cap: groupBy partials + anti-join (no window sort of
+    # the n*chunks exploded table; see lsh_candidate_pairs)
+    hot_chunks = (
+        e.groupBy("chunk", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("chunk", "v")
+    )
+    e = e.join(hot_chunks, ["chunk", "v"], "left_anti")
     a = e.select("chunk", "v", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = e.select("chunk", "v", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     near = (
