@@ -69,6 +69,50 @@ def pair_recall(
     }
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "id_a",
+    neighbor_col: str = "id_b",
+) -> dict:
+    """Recall@k for top-k neighbor search: per query, the fraction of the
+    EXACT neighbor set the approximate search returned; reported as the
+    mean / min over queries plus the query count.
+
+    ``exact`` is the ground truth (e.g. ``knn_pairs_exact`` over a
+    bounded sample); queries present only in ``approx`` are ignored
+    (no truth to recall), queries missing entirely from ``approx`` score
+    0.  One join + two aggregations; only the 3-number summary leaves the
+    cluster."""
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    ).distinct()
+    a = approx.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    ).distinct()
+    per_q = (
+        e.join(a.withColumn("__hit", F.lit(1)), ["__q", "__n"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("__hits"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.avg(F.col("__hits") / F.col("__k")).alias("mean_recall"),
+            F.min(F.col("__hits") / F.col("__k")).alias("min_recall"),
+        )
+        .first()
+    )
+    if per_q is None or per_q["n_queries"] == 0:
+        return {"n_queries": 0, "mean_recall": 1.0, "min_recall": 1.0}
+    return {
+        "n_queries": int(per_q["n_queries"]),
+        "mean_recall": float(per_q["mean_recall"]),
+        "min_recall": float(per_q["min_recall"]),
+    }
+
+
 def assert_pair_recall(
     approx_pairs: DataFrame,
     truth_pairs: DataFrame,

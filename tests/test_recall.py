@@ -126,3 +126,64 @@ def test_simhash_pigeonhole_recall_total(spark):
     truth = spark.createDataFrame(truth_pairs, "id_a long, id_b long")
     rep = assert_pair_recall(approx, truth, min_recall=1.0)
     assert rep["recall"] == 1.0
+
+
+def test_topk_recall_math(spark):
+    """Hand-checkable recall@k: query 1 gets 2/3, query 2 gets 0 (absent
+    from approx), query 9 (approx-only) is ignored."""
+    from driftspark.recall import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "id_a long, id_b long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (9, 90)], "id_a long, id_b long"
+    )
+    rep = topk_recall(approx, exact)
+    assert rep["n_queries"] == 2
+    assert rep["mean_recall"] == pytest.approx((2 / 3 + 0.0) / 2)
+    assert rep["min_recall"] == 0.0
+    # empty truth
+    assert topk_recall(approx, exact.where(F.lit(False)))["mean_recall"] == 1.0
+
+
+def test_ivf_search_recall_vs_exact(spark):
+    """IVF probe-pruned search measured against the brute-force top-k:
+    with n_probe=half the cells, recall@5 should be high on clustered
+    data; with ALL cells probed it is exact (recall 1.0)."""
+    from driftspark.ann import IVFIndex, knn_pairs_exact
+    from driftspark.recall import topk_recall
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(0, 5, (8, 12))
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.4, 12)]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    idx = IVFIndex(n_centroids=8, sample_rows=400).fit(df, "vec")
+    assigned = idx.assign(df, "vec").cache()
+    exact = knn_pairs_exact(df, "id", "vec", k=5)
+
+    queries = [r["vec"] for r in df.where(F.col("id") < 6).orderBy("id").collect()]
+    import pandas as _pd
+
+    def approx_frame(n_probe):
+        hits = []
+        for qid, qv in enumerate(queries):
+            top = idx.search(assigned, "id", "vec", qv, k=6, n_probe=n_probe)
+            hits += [
+                (qid, r["id"]) for r in top.collect() if r["id"] != qid
+            ][:5]
+        return spark.createDataFrame(
+            _pd.DataFrame(hits, columns=["id_a", "id_b"])
+        )
+
+    exact_q = exact.where(F.col("id_a") < 6)
+    full = topk_recall(approx_frame(8), exact_q)
+    assert full["n_queries"] == 6
+    assert full["mean_recall"] == 1.0  # all cells probed == brute force
+    pruned = topk_recall(approx_frame(2), exact_q)
+    assert pruned["mean_recall"] >= 0.8  # clustered data: 2 probes suffice
+    assigned.unpersist()
