@@ -92,10 +92,7 @@ def run_validation(
     (driftspark.checkpoint).
     """
     from driftspark.constraints import referential_violations, uniqueness_check
-    from driftspark.imageops import (
-        validate_image_payloads,
-        validate_image_payloads_paired,
-    )
+    from driftspark.imageops import validate_image_payloads_auto
     from driftspark.profile import profile_columns
     from driftspark.verdicts import partition_verdicts
 
@@ -167,13 +164,19 @@ def run_validation(
     def pass_payload():
         if pairs is None:
             return
+        # ONE front door (imageops.validate_image_payloads_auto): the
+        # pre-joined layout takes the zero-shuffle paired path; the
+        # split-table layout takes the full-outer join and WARNS above
+        # the row threshold that the byte shuffle is the job at scale
         if "ref_bytes" in pairs.columns:
-            res.payload_checks = validate_image_payloads_paired(pairs, min_psnr)
+            res.payload_checks = validate_image_payloads_auto(
+                pairs, min_psnr=min_psnr
+            )
         else:
-            res.payload_checks = validate_image_payloads(
+            res.payload_checks = validate_image_payloads_auto(
                 pairs.where(F.col(split_col) == "ref"),
                 pairs.where(F.col(split_col) == "test"),
-                min_psnr,
+                min_psnr=min_psnr,
             )
         res.n_pairs = res.payload_checks.count()
 
