@@ -80,14 +80,14 @@ def uniqueness_violations(
     aggregate output — no row movement); when small it is broadcast so
     the violation join is shuffle-free on the base table side."""
     key_cols = list(key_cols)
-    # localCheckpoint (NOT .cache()): the count probe and the violation
+    # lazy localCheckpoint (NOT .cache()): the count probe and the violation
     # join otherwise each run the full key-grain aggregation, but a
     # CacheManager entry leaks one cached table per call in long-lived
     # sessions — checkpoint blocks are reclaimed by the ContextCleaner
     # when the frame is garbage-collected.  Trade-off: lineage is
     # truncated, so an executor loss fails the job instead of
     # recomputing (drop_near_duplicates precedent).
-    dups = duplicate_keys(df, key_cols, salt_buckets).localCheckpoint()
+    dups = duplicate_keys(df, key_cols, salt_buckets).localCheckpoint(eager=False)
     right = F.broadcast(dups) if dups.count() <= broadcast_row_limit else dups
     return df.join(right, on=key_cols, how="inner")
 
@@ -138,14 +138,14 @@ def uniqueness_check(
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .groupBy(*key_cols)
             .agg(F.sum("__cnt").alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         counted = (
             df.select(*key_cols)
             .groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     # coalesce: a global agg over an EMPTY frame returns one row whose
     # sums are NULL — int(None) crashed below and unique_ok was NULL
