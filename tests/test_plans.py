@@ -285,3 +285,46 @@ def test_embedding_drift_agg_no_explode_partial_agg(spark):
     # only the embedding (and vec_id filter) columns are read
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "label" not in read_schema
+
+
+def test_lsh_cap_filters_have_no_window_sort(spark):
+    """The hot-bucket caps in all three LSH paths are partial-aggregated
+    groupBy + anti-join, never count(*) OVER (PARTITION BY bucket): a
+    window would SORT the full n*bands exploded table once per self-join
+    consumer.  'Window' must not appear anywhere in these plans (the only
+    window left in dedup is the bounded star pass over the hot subset,
+    which partitions by full signature, not by bucket — and only sorts
+    rows that an over-cap bucket already admitted)."""
+    import numpy as np
+
+    from driftspark.ann import embedding_near_duplicates
+    from driftspark.dedup import minhash_signatures, simhash64
+    from driftspark.dedup import lsh_candidate_pairs, simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma{i % 5} delta{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    lsh_plan = _plan(lsh_candidate_pairs(sigs, 16, 4, max_bucket_size=10))
+    # the star pass's full-signature window IS allowed; bucket-cap windows
+    # are not — so assert on the window spec, not mere presence
+    assert "windowspecdefinition(band" not in lsh_plan.lower(), lsh_plan[:2000]
+    assert "windowspecdefinition(bucket" not in lsh_plan.lower()
+
+    sim_plan = _plan(
+        simhash_near_duplicates(
+            simhash64(docs, "doc_id", "text"), max_hamming=3, max_bucket_size=10
+        )
+    )
+    assert "Window" not in sim_plan, sim_plan[:2000]
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    emb_plan = _plan(
+        embedding_near_duplicates(emb, "id", "vec", min_cosine=0.9, dim=8)
+    )
+    assert "Window" not in emb_plan, emb_plan[:2000]
