@@ -1127,6 +1127,96 @@ def _q_ann_ivf(spark, sf_dir):
     return top.select("vec_id", "centroid_id", F.round("cosine", 6).alias("cosine"))
 
 
+IVF_QUERY_IDS = (0, 1, 2)
+
+
+def _q_ann_ivf_many(spark, sf_dir):
+    """Batch IVF ANN (ann.IVFIndex.search_many): a TABLE of query vectors,
+    each probe-pruned to its 4 nearest cells via one vectorized pandas
+    UDF, broadcast onto the assigned corpus, exact cosine, windowed
+    top-5 per query.  Seed-derived centroids as in ann_ivf_topk so the
+    DuckDB oracle re-derives assignment, per-query probe sets, and
+    per-query rankings from inlined literals."""
+    from driftspark.ann import IVFIndex, seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _check_emb_dim(emb)
+    idx = IVFIndex(n_centroids=IVF_CELLS, seed=42)
+    idx.centroids = seed_centroids(EMB_DIM, IVF_CELLS, 42)
+    qids = list(IVF_QUERY_IDS)
+    corpus = emb.where(~F.col("vec_id").isin(qids))
+    queries = emb.where(F.col("vec_id").isin(qids))
+    assigned = idx.assign(corpus, "embedding")
+    top = idx.search_many(
+        assigned, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k=5, n_probe=IVF_PROBE,
+    )
+    return top.select(
+        "query_id", "vec_id", "centroid_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_many_sql(centroids, n_probe: int, k: int = 5) -> str:
+    """Per-query re-derivation of search_many from the inlined centroids
+    (the _ann_ivf_sql pattern lifted to a query table)."""
+    rows = ",\n               ".join(
+        f"({i}, [" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(centroids)
+    )
+    dist = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, c) "
+        "+ list_dot_product(c, c)"
+    )
+    qids = ", ".join(str(q) for q in IVF_QUERY_IDS)
+    return f"""
+        WITH cents(centroid_id, c) AS (
+          VALUES {rows}
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        qs AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN ({qids})),
+        probe AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cents.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {dist.format(v='q.qe')}, cents.centroid_id
+                   ) AS rn
+            FROM qs q, cents
+          ) WHERE rn <= {n_probe}
+        ),
+        assigned AS (
+          SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cents.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {dist.format(v='v.e')}, cents.centroid_id
+                   ) AS rn
+            FROM v, cents WHERE v.vec_id NOT IN ({qids})
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id, a.centroid_id,
+                 list_dot_product(a.e, q.qe)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+                   AS cosine
+          FROM assigned a
+          JOIN probe p ON a.centroid_id = p.centroid_id
+          JOIN qs q ON q.query_id = p.query_id
+        )
+        SELECT query_id, vec_id, centroid_id,
+               round(cosine, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _oracle_scratch_path(kind: str, source_fns, suffix: str = ".parquet", **params) -> str:
     """Content-keyed /tmp path for oracle-side persisted tables: the key
     hashes the generator params AND the generator source, so concurrent
@@ -2056,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_topk_many": _q_ann_ivf_many,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "image_features": _q_image_features,
         "image_partition_verdicts": _q_image_verdicts,
@@ -3390,6 +3481,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_neardup_drop": _neardup_drop_sql(),
         "ann_cosine_topk_lsh": _ann_lsh_sql(planes16, bands=4),
         "ann_ivf_topk": _ann_ivf_sql(
+            seed_centroids(EMB_DIM, IVF_CELLS, 42), n_probe=IVF_PROBE
+        ),
+        "ann_ivf_topk_many": _ann_ivf_many_sql(
             seed_centroids(EMB_DIM, IVF_CELLS, 42), n_probe=IVF_PROBE
         ),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),

@@ -325,6 +325,77 @@ class IVFIndex:
             .limit(k)
         )
 
+    def search_many(
+        self,
+        assigned_df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        queries_df: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int = 10,
+        n_probe: int = 8,
+        broadcast_queries: bool | None = None,
+        broadcast_row_limit: int = 1_000_000,
+    ) -> DataFrame:
+        """Distributed multi-query probe-pruned search — the batch face of
+        :meth:`search`: a TABLE of query vectors, each scored only against
+        its ``n_probe`` nearest cells.  Returns
+        ``(query_id, id, centroid_id, cosine, rank)`` with ``rank`` 1..k
+        per query (ties by cosine break on id, matching ``search``).
+
+        Plan shape: one vectorized pandas UDF assigns each query its probe
+        cells (same stable argsort as ``probe_cells``), explodes to
+        (query, cell) rows, and equi-joins the assigned corpus on
+        ``centroid_id``.  The query side (queries x n_probe rows, each
+        carrying its vector) is broadcast when small — the corpus then
+        never shuffles, since ``centroid_id`` has only ``n_centroids``
+        distinct values and a shuffle join on it would funnel each cell
+        through one reducer.  With a large query batch
+        (``broadcast_queries=False`` or above the limit) it degrades to
+        that cell-keyed shuffle join deliberately: both sides cluster by
+        cell, which is the IVF storage layout anyway (assign() output
+        partitioned by centroid_id).  Top-k per query is a window
+        partitioned by query id — parallel across queries."""
+        from pyspark.sql import Window
+
+        C = self.centroids
+        if C is None:
+            raise ValueError("index not fitted: call fit() or set centroids")
+        n_probe = min(n_probe, len(C))
+        c_sq = np.sum(C**2, axis=1)
+
+        def probe(v: pd.Series) -> pd.Series:
+            X = np.array(v.tolist(), dtype=np.float64)
+            d = np.sum(X**2, axis=1)[:, None] - 2 * X @ C.T + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+        probe_udf = F.pandas_udf(probe, "array<int>")
+        q = queries_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+            F.explode(probe_udf(F.col(query_vec_col))).alias("centroid_id"),
+        )
+        if broadcast_queries is None:
+            broadcast_queries = queries_df.count() * n_probe <= broadcast_row_limit
+        right = F.broadcast(q) if broadcast_queries else q
+        cos = F.try_divide(
+            _dot(F.col(vec_col), F.col("__qv")),
+            _norm(F.col(vec_col)) * _norm(F.col("__qv")),
+        )
+        scored = assigned_df.join(right, "centroid_id").select(
+            "query_id",
+            F.col(id_col),
+            "centroid_id",
+            cos.alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
 
 def _valid_vec(vec_col, dim: int):
     """Moment-path validity predicate: exact ``dim`` AND every element

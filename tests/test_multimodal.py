@@ -538,3 +538,45 @@ def test_resize_images_corrupt_payload_survives(spark):
     good = out.drop(index="bad_row")
     assert good["decode_error"].isna().all()
     assert len(good) == 10
+
+
+def test_ivf_search_many_matches_per_query_search(spark):
+    """Batch probe-pruned search returns, for every query, the same hit
+    set and ranking as the single-query search() loop; the broadcast path
+    really broadcasts (corpus never shuffles) and the shuffle path
+    (broadcast_queries=False) returns identical rows."""
+    from driftspark.ann import IVFIndex
+
+    rng = np.random.RandomState(9)
+    d = 10
+    rows = [(i, [float(x) for x in rng.normal(0, 1, d)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    idx = IVFIndex(n_centroids=6, sample_rows=300).fit(df, "vec")
+    queries = df.where(F.col("id") < 4)
+    corpus = df.where(F.col("id") >= 4)
+    assigned = idx.assign(corpus, "vec").cache()
+
+    batch = idx.search_many(
+        assigned, "id", "vec", queries, "id", "vec", k=5, n_probe=3
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    got = {
+        (r["query_id"], r["rank"]): (r["id"], round(r["cosine"], 9))
+        for r in batch.collect()
+    }
+    for q in queries.collect():
+        single = idx.search(assigned, "id", "vec", q["vec"], k=5, n_probe=3)
+        for rank, r in enumerate(single.collect(), start=1):
+            assert got[(q["id"], rank)] == (r["id"], round(r["cosine"], 9))
+
+    shuffled = idx.search_many(
+        assigned, "id", "vec", queries, "id", "vec", k=5, n_probe=3,
+        broadcast_queries=False,
+    )
+    got2 = {
+        (r["query_id"], r["rank"]): (r["id"], round(r["cosine"], 9))
+        for r in shuffled.collect()
+    }
+    assert got2 == got
+    assigned.unpersist()
