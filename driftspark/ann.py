@@ -378,7 +378,14 @@ class IVFIndex:
             F.explode(probe_udf(F.col(query_vec_col))).alias("centroid_id"),
         )
         if broadcast_queries is None:
-            broadcast_queries = queries_df.count() * n_probe <= broadcast_row_limit
+            # column-pruned count; note the queries lineage still executes
+            # once for this probe and once for the search — pass an
+            # explicit broadcast_queries when queries_df derives from an
+            # expensive plan
+            broadcast_queries = (
+                queries_df.select(query_id_col).count() * n_probe
+                <= broadcast_row_limit
+            )
         right = F.broadcast(q) if broadcast_queries else q
         cos = F.try_divide(
             _dot(F.col(vec_col), F.col("__qv")),
@@ -399,47 +406,76 @@ class IVFIndex:
 
 def _valid_vec(vec_col, dim: int):
     """Moment-path validity predicate: exact ``dim`` AND every element
-    non-NULL.  A NULL element would be SKIPPED by F.sum while n counts
-    the row (biased mean), and arrives in pandas as NaN — in the
-    cumulative streaming state it would poison (s, q) for the affected
-    dimensions forever (z=NaN never crosses a threshold).  Batch and
-    streaming must share this guard (CLAUDE.md guard-parity rule).
-    NULL arrays fail both conjuncts (NULL → row dropped)."""
+    non-NULL and non-NaN.  A NULL element would be SKIPPED by F.sum while
+    n counts the row (biased mean); either a NULL (arriving in pandas as
+    NaN) or a real NaN element poisons the cumulative streaming (s, q)
+    state for its dimensions forever (z=NaN never crosses a threshold).
+    Batch and streaming must share this guard (CLAUDE.md guard-parity
+    rule).  NULL arrays fail both conjuncts (NULL → row dropped)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return (F.size(c) == dim) & F.forall(c, lambda x: x.isNotNull())
+    return (F.size(c) == dim) & F.forall(
+        c, lambda x: x.isNotNull() & ~F.isnan(x.cast("double"))
+    )
 
 
 def _warn_invalid_vecs(tagged_raw: DataFrame, dim: int, where: str) -> None:
-    """Count + warn rows the moment paths drop (wrong dim / NULL element /
-    NULL array) — the psi/chi2 null-part convention: observable, never
-    silent.  One extra column-pruned job at fit/detect time."""
+    """Count + warn rows the moment paths drop (wrong dim / NULL or NaN
+    element / NULL array) — the psi/chi2 null-part convention: observable,
+    never silent.  One extra column-pruned job: only the wide-dim
+    Summarizer paths use this; the codegen moment paths fold the bad-row
+    count into their single aggregation scan (``valid_col``)."""
     bad = (
         tagged_raw.where(~F.coalesce(_valid_vec("__v", dim), F.lit(False)))
         .groupBy("__side")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    if bad:
+    _warn_bad_counts({r["__side"]: r["c"] for r in bad if r["c"]}, where)
+
+
+def _warn_bad_counts(bad_by_side: dict, where: str) -> None:
+    if bad_by_side:
         detail = ", ".join(
-            f"side {r['__side']}: {r['c']}" for r in sorted(bad, key=lambda r: r["__side"])
+            f"side {s}: {bad_by_side[s]}" for s in sorted(bad_by_side)
         )
         logger.warning(
-            "%s: dropped rows with wrong-dim/NULL-element embeddings (%s); "
-            "they are excluded from the moments",
+            "%s: dropped rows with wrong-dim/NULL/NaN-element embeddings "
+            "(%s); they are excluded from the moments",
             where, detail,
         )
 
 
-def _embedding_moment_frame(tagged: DataFrame, dim: int) -> DataFrame:
+def _embedding_moment_frame(tagged: DataFrame, dim: int, valid_col=None) -> DataFrame:
     """Per-side count + per-dimension sum / sum-of-squares as ONE
     aggregation over 2*dim+1 expressions (two result rows).  Split out so
     the plan tests can assert map-side partial aggregation and the
-    absence of any Generate/explode node on the real plan."""
-    el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
-    aggs = [F.count(F.lit(1)).alias("n")]
+    absence of any Generate/explode node on the real plan.
+
+    ``valid_col``: a boolean validity expression — the frame is then the
+    RAW (unfiltered) union, invalid rows are excluded via conditional
+    aggregation inside the SAME scan, and an ``n_bad`` column reports the
+    per-side drop count so callers can warn without a second pass over
+    the vector column.  Element access uses try_element_at (NULL out of
+    range) so wrong-dim rows can flow through the untaken branch safely
+    under ANSI."""
+    if valid_col is None:
+        el = [F.col("__v").getItem(j).cast("double") for j in range(dim)]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j in range(dim):
+            aggs.append(F.sum(el[j]).alias(f"s{j}"))
+            aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
+        return tagged.groupBy("__side").agg(*aggs)
+    ok = F.coalesce(valid_col, F.lit(False))
+    aggs = [
+        F.sum(ok.cast("long")).alias("n"),
+        F.sum((~ok).cast("long")).alias("n_bad"),
+    ]
     for j in range(dim):
-        aggs.append(F.sum(el[j]).alias(f"s{j}"))
-        aggs.append(F.sum(el[j] * el[j]).alias(f"q{j}"))
+        e = F.when(
+            ok, F.try_element_at(F.col("__v"), F.lit(j + 1)).cast("double")
+        )
+        aggs.append(F.sum(e).alias(f"s{j}"))
+        aggs.append(F.sum(e * e).alias(f"q{j}"))
     return tagged.groupBy("__side").agg(*aggs)
 
 
@@ -485,19 +521,29 @@ def embedding_drift(
     ).unionByName(
         test.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__v"))
     )
-    _warn_invalid_vecs(tagged_raw, dim, "embedding_drift")
-    tagged = tagged_raw.where(_valid_vec("__v", dim))
     if dim <= max_codegen_dim:
-        collected = _embedding_moment_frame(tagged, dim).collect()
+        # single scan: moments AND the invalid-row count ride one
+        # conditional aggregation (valid_col) — no separate warn job
+        collected = _embedding_moment_frame(
+            tagged_raw, dim, valid_col=_valid_vec("__v", dim)
+        ).collect()
+        _warn_bad_counts(
+            {r["__side"]: r["n_bad"] for r in collected if r["n_bad"]},
+            "embedding_drift",
+        )
         stats = {}
         for r in collected:
             n = r["n"]
+            if n == 0:
+                continue  # a side with only invalid rows has no moments
             mean = np.array([r[f"s{j}"] / n for j in range(dim)])
             var = np.maximum(
                 np.array([r[f"q{j}"] / n for j in range(dim)]) - mean * mean, 0.0
             )
             stats[r["__side"]] = (n, mean, var)
     else:
+        _warn_invalid_vecs(tagged_raw, dim, "embedding_drift")
+        tagged = tagged_raw.where(_valid_vec("__v", dim))
         from pyspark.ml.functions import array_to_vector
         from pyspark.ml.stat import Summarizer
 

@@ -183,6 +183,7 @@ def referential_violations(
     broadcast_parent: Optional[bool] = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
     nulls_violate: bool = False,
+    warn_nulls: bool = True,
 ) -> DataFrame:
     """Child rows whose key has no match in parent (LEFT ANTI join).
 
@@ -191,6 +192,11 @@ def referential_violations(
     since NULL never equi-matches); they are COUNTED and warned rather
     than silently dropped (the psi/chi2 null-part convention), skipping
     the probe entirely when the schema marks the column non-nullable.
+    The probe is ONE eager column-pruned count job at call time (parquet
+    null-count stats serve it without decoding values); callers that need
+    a fully-lazy plan — or that validate the same child repeatedly —
+    pass ``warn_nulls=False`` to skip it (zero extra jobs, NULL-FK rows
+    still correctly treated as satisfied).
     ``nulls_violate=True`` restores the stricter pre-r5 behavior: NULL-FK
     rows are appended to the violation output (lazily — no count probe).
 
@@ -203,7 +209,7 @@ def referential_violations(
     null_rows = None
     if nulls_violate:
         null_rows = child.where(F.col(child_key).isNull())
-    elif child.schema[child_key].nullable:
+    elif warn_nulls and child.schema[child_key].nullable:
         # column-pruned IS NULL count (parquet null-count stats serve it
         # without decoding values) so the MATCH SIMPLE drop is observable
         n_null = child.where(F.col(child_key).isNull()).count()

@@ -208,8 +208,9 @@ def _star_pairs(
     of the (cached) signature table to (id, full-sig hash, band-0 bucket
     hash) — the 16 signature columns never enter a join or shuffle — then
     a partial-aggregated groupBy over the band-0 buckets whose over-cap
-    output (~empty in the common case) is BROADCAST back onto the narrow
-    projection, so the probe side moves no rows.  Only cap-dropped docs
+    output (~empty in the common case) is AQE-broadcast back onto the
+    narrow projection at runtime, so the probe side moves no rows (no
+    FORCED broadcast — a duplicate-dominated corpus makes it n/cap rows).  Only cap-dropped docs
     (over-cap band-0 bucket — a superset of every over-cap full-signature
     cluster, since identical signatures band-hash identically) reach the
     full-signature window, which therefore sorts the hot subset, not the
@@ -232,8 +233,12 @@ def _star_pairs(
         .select("bucket")
     )
     wsig = Window.partitionBy("fs")
+    # no explicit broadcast(): hot is ~empty in the common case and AQE
+    # converts the join at runtime; on a duplicate-dominated corpus hot
+    # can reach n/cap rows, where a forced broadcast would OOM the driver
+    # (same reasoning as the cap filter in lsh_candidate_pairs)
     return (
-        narrow.join(F.broadcast(hot), "bucket")
+        narrow.join(hot, "bucket")
         .select("id", "fs")
         .withColumn("__sz", F.count(F.lit(1)).over(wsig))
         .where(F.col("__sz") > max_bucket_size)

@@ -329,7 +329,7 @@ def validate_image_payloads_auto(
     spark=None,
     min_psnr: float = 40.0,
     max_parallelism: int | None = None,
-    warn_rows: int = UNPAIRED_WARN_ROWS,
+    warn_rows: int | None = UNPAIRED_WARN_ROWS,
 ):
     """ONE front door for payload validation — picks the cheapest of the
     three routes the storage layout allows:
@@ -354,7 +354,13 @@ def validate_image_payloads_auto(
                 "with ref_bytes/test_bytes columns"
             )
         return validate_image_payloads_paired(ref, min_psnr, max_parallelism)
-    if isinstance(ref, str) and isinstance(test, str):
+    if isinstance(ref, str) != isinstance(test, str):
+        raise ValueError(
+            "mixed arguments: pass TWO table names (bucketed route) or TWO "
+            "DataFrames (join route), not one of each — got "
+            f"({type(ref).__name__}, {type(test).__name__})"
+        )
+    if isinstance(ref, str):
         if spark is None:
             raise ValueError("table-name form requires spark=")
         from driftspark.bucketing import validate_image_payloads_bucketed
@@ -374,14 +380,23 @@ def validate_image_payloads_auto(
         )
         ref, test = spark.table(ref), spark.table(test)
     # unpaired DataFrame fallback: correct, but image bytes cross the
-    # network in the equi-join shuffle — observable above warn_rows
-    big = max(ref.count(), test.count())
-    if big > warn_rows:
-        logger.warning(
-            "validate_image_payloads_auto: unpaired fallback will SHUFFLE "
-            "image bytes for ~%d rows; materialize a pairs table "
-            "(validate_image_payloads_paired) or bucket both tables by "
-            "image_id (validate_image_payloads_bucketed) at this scale",
-            big,
+    # network in the equi-join shuffle — observable above warn_rows.
+    # Both side sizes come from ONE column-pruned action (union of the
+    # two count aggregates); warn_rows=None skips the probe entirely for
+    # callers that need a job-free plan construction.
+    if warn_rows is not None:
+        counts = (
+            ref.groupBy().agg(F.count(F.lit(1)).alias("n"))
+            .unionAll(test.groupBy().agg(F.count(F.lit(1)).alias("n")))
+            .collect()
         )
+        big = max(r["n"] for r in counts)
+        if big > warn_rows:
+            logger.warning(
+                "validate_image_payloads_auto: unpaired fallback will SHUFFLE "
+                "image bytes for ~%d rows; materialize a pairs table "
+                "(validate_image_payloads_paired) or bucket both tables by "
+                "image_id (validate_image_payloads_bucketed) at this scale",
+                big,
+            )
     return validate_image_payloads(ref, test, min_psnr)

@@ -10,10 +10,11 @@ exact computation on a content-keyed sample of the corpus, since the
 full exact set is precisely the join the approximate path exists to
 avoid.
 
-Scale design: one inner join keyed on the normalized pair, sized by the
-TRUTH side (the sample — small), which is broadcast; the approximate
-pair set streams past it without a shuffle.  Counts come from one
-aggregation; nothing is collected but the 4-number summary.
+Scale design: ONE action per report — pair_recall full-outer-joins the
+two distinct-normalized pair sets with presence markers and aggregates
+all three counts at once, so each side's distinct shuffle runs exactly
+once; topk_recall is one left join + two aggregations.  Nothing is
+collected but the few-number summary.
 """
 
 from __future__ import annotations
@@ -22,8 +23,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-TRUTH_BROADCAST_LIMIT = 2_000_000
 
 
 def _normalized_pairs(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -41,7 +40,6 @@ def pair_recall(
     approx_pairs: DataFrame,
     truth_pairs: DataFrame,
     pair_cols: Sequence[str] = ("id_a", "id_b"),
-    broadcast_limit: int = TRUTH_BROADCAST_LIMIT,
 ) -> dict:
     """Achieved recall of ``approx_pairs`` against ``truth_pairs``.
 
@@ -51,16 +49,31 @@ def pair_recall(
     id sets; duplicates on either side count once.
 
     ``truth_pairs`` is typically exact pairs over a bounded sample
-    (``knn_pairs_exact``, ``jaccard_pairs`` on a sampled corpus) — when
-    its distinct count is under ``broadcast_limit`` it is broadcast so
-    the (large) approximate side never shuffles.
+    (``knn_pairs_exact``, ``jaccard_pairs`` on a sampled corpus).  All
+    three counts come from ONE action — a full-outer join of the two
+    distinct-normalized pair sets with presence markers — so each side's
+    distinct shuffle runs exactly once (a count-then-join formulation
+    evaluated the approximate side's distinct twice).
     """
-    truth = _normalized_pairs(truth_pairs, pair_cols)
-    approx = _normalized_pairs(approx_pairs, pair_cols)
-    n_truth = truth.count()
-    n_approx = approx.count()
-    right = F.broadcast(truth) if n_truth <= broadcast_limit else truth
-    n_hit = approx.join(right, ["__pa", "__pb"]).count()
+    truth = _normalized_pairs(truth_pairs, pair_cols).withColumn(
+        "__t", F.lit(1)
+    )
+    approx = _normalized_pairs(approx_pairs, pair_cols).withColumn(
+        "__a", F.lit(1)
+    )
+    row = (
+        truth.join(approx, ["__pa", "__pb"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.sum("__a"), F.lit(0)).alias("n_approx"),
+            F.coalesce(
+                F.sum(F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_hit"),
+        )
+        .first()
+    )
+    n_truth, n_approx, n_hit = int(row["n_truth"]), int(row["n_approx"]), int(row["n_hit"])
     return {
         "n_truth": n_truth,
         "n_approx": n_approx,

@@ -716,15 +716,21 @@ def fit_embedding_moments(
                 " first row — pass dim explicitly"
             )
         dim = int(first["d"])
-    from driftspark.ann import _valid_vec, _warn_invalid_vecs
+    from driftspark.ann import _valid_vec, _warn_bad_counts, _warn_invalid_vecs
 
     tagged_raw = ref_df.select(
         F.lit(0).alias("__side"), F.col(vec_col).alias("__v")
     )
-    _warn_invalid_vecs(tagged_raw, dim, "fit_embedding_moments")
-    tagged = tagged_raw.where(_valid_vec("__v", dim))
     if dim <= max_codegen_dim:
-        rows = _embedding_moment_frame(tagged, dim).collect()
+        # single scan: moments AND invalid-row count in one conditional
+        # aggregation (ann._embedding_moment_frame valid_col)
+        rows = _embedding_moment_frame(
+            tagged_raw, dim, valid_col=_valid_vec("__v", dim)
+        ).collect()
+        _warn_bad_counts(
+            {r["__side"]: r["n_bad"] for r in rows if r["n_bad"]},
+            "fit_embedding_moments",
+        )
         if not rows or rows[0]["n"] == 0:
             raise ValueError(
                 f"fit_embedding_moments: no reference rows of dim {dim}"
@@ -739,6 +745,8 @@ def fit_embedding_moments(
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.stat import Summarizer
 
+    _warn_invalid_vecs(tagged_raw, dim, "fit_embedding_moments")
+    tagged = tagged_raw.where(_valid_vec("__v", dim))
     vec = tagged.select(
         array_to_vector(F.col("__v").cast("array<double>")).alias("__v")
     )

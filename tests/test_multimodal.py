@@ -394,7 +394,9 @@ def test_embedding_null_element_guard_parity(spark, caplog):
     from driftspark.streaming import fit_embedding_moments
 
     clean = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
-    dirty = clean + [[100.0, None], [None, None]]
+    # NULL elements AND a real NaN element: both poison cumulative state
+    # (a NaN passes isNotNull, so the guard needs the explicit isnan arm)
+    dirty = clean + [[100.0, None], [None, None], [float("nan"), 9.0]]
     ref = spark.createDataFrame(
         [(v,) for v in dirty], "embedding array<double>"
     )
@@ -422,7 +424,7 @@ def test_embedding_null_element_guard_parity(spark, caplog):
         .toPandas()["ok"]
         .tolist()
     )
-    assert flags == [True, True, True, True, False, False]
+    assert flags == [True, True, True, True, False, False, False]
 
 
 def test_embedding_drift_summarizer_path_matches(spark):

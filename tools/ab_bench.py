@@ -67,6 +67,30 @@ def main():
             lambda: minhash_near_duplicates(docs, "doc_id", "text").count(),
         )
 
+    if "domain_classifier" in QUERIES:
+        from pyspark.sql import functions as F
+
+        from driftspark.dataset import SparkDataset
+        from driftspark.detectors import DomainClassifier
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        num_feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li.select(*[F.count(c) for c in num_feats + ["l_returnflag"]]).collect()
+        sref = SparkDataset(
+            li.where(F.col("l_orderkey") % 2 == 0).select(*num_feats, "l_returnflag")
+        )
+        stest = SparkDataset(
+            li.where(F.col("l_orderkey") % 2 == 1).select(*num_feats, "l_returnflag")
+        )
+
+        def dc():
+            DomainClassifier(
+                n_estimators=50, use_cross_val=False, max_samples_per_side=100_000
+            ).fit_detect(sref, stest)
+
+        dc()  # codegen/ml warmup, as bench.py's tiny-run warmup
+        _timed(q, "domain_classifier", dc)
+
     if "image_validation" in QUERIES:
         from driftspark.constraints import uniqueness_report
         from driftspark.imageops import validate_image_payloads_paired
