@@ -1127,6 +1127,72 @@ def _q_ann_ivf(spark, sf_dir):
     return top.select("vec_id", "centroid_id", F.round("cosine", 6).alias("cosine"))
 
 
+STRAT_N = 40  # per-group sample size for the stratified-sampling oracle
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """F13 extension (training-data curation): deterministic stratified
+    sampling — per l_returnflag group, EXACTLY the STRAT_N rows with the
+    smallest engine-portable md5 key hash (sampling.
+    content_keyed_top_n_per_group with the threshold-pruned per-group
+    window).  The oracle re-derives exact membership per group via key
+    checksums."""
+    from driftspark.sampling import content_keyed_top_n_per_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    sample = content_keyed_top_n_per_group(
+        li, STRAT_N, h, ["l_returnflag"],
+        tiebreaks=[F.col("l_orderkey"), F.col("l_linenumber")],
+        hash_range=(0, (1 << 60) - 1),
+    )
+    return (
+        sample.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.sum("l_linenumber").alias("sum_lnum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    key_hash = (
+        "('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+        WITH ranked AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY {key_hash}, l_orderkey, l_linenumber) AS rn
+          FROM lineitem
+        )
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+               CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum
+        FROM ranked WHERE rn <= {STRAT_N}
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+
 IVF_QUERY_IDS = (0, 1, 2)
 
 
@@ -2142,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible / synthetic-input)
         "domain_classifier": _q_domain_classifier,
         "domain_classifier_sample": _q_domain_classifier_sample,
+        "stratified_sample": _q_stratified_sample,
         "simhash": _q_simhash,
         "minhash_lsh_neardups": _q_lsh_candidates,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -3305,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
             FROM chi, refmean, testmean
         """,
         "domain_classifier_sample": _domain_classifier_sample_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "hallucination_mahalanobis": _hallucination_sql(),
         "hallucination_knn": _hallucination_knn_sql(),
         "hallucination_kde": _hallucination_kde_sql(),

@@ -60,3 +60,92 @@ def content_keyed_top_n(
         if cand.count() >= n:
             df = cand
     return df.orderBy(hash_expr, *tiebreaks).limit(n)
+
+
+def content_keyed_top_n_per_group(
+    df: DataFrame,
+    n: int,
+    hash_expr: Column,
+    group_cols: Sequence[str],
+    tiebreaks: Sequence = (),
+    margin: float = 8.0,
+    hash_range: tuple = (_MIN_LONG, (1 << 63) - 1),
+) -> DataFrame:
+    """Stratified deterministic sample: within EVERY group, exactly the
+    ``n`` rows with the smallest ``hash_expr`` (ties broken by
+    ``tiebreaks``) — "n documents per language/domain/quality bucket"
+    for training-data curation, stable under partitioning and layout.
+
+    Scale shape: the naive plan is a row_number window partitioned by
+    group, which SORTS each group in one task — a billion-row hot group
+    becomes one straggler.  Instead the per-group counts (one
+    partial-aggregated groupBy) yield a per-group hash threshold at
+    ``margin * n / count`` of the uniform hash range (the
+    content_keyed_top_n Chernoff argument, per group); the threshold
+    join-back prunes each group to ~margin*n candidate rows BEFORE the
+    window, so the per-group sort is O(margin*n) regardless of group
+    size.  Groups whose candidate set undershoots ``n`` (pathological
+    hash clustering) fall back to their full rows — the result is ALWAYS
+    exactly the naive plan's.
+
+    ``hash_expr`` must be deterministic and ~uniform over ``hash_range``
+    (inclusive bounds): the default fits ``F.xxhash64(*content)``; the
+    engine-portable variant ``F.conv(F.substring(F.md5(...), 1, 15), 16,
+    10).cast("long")`` is uniform over ``(0, (1 << 60) - 1)`` — pass that
+    range or the pre-filter degenerates (still correct: the undershoot
+    fallback restores every group, it just stops pruning).
+    Groups with fewer than ``n`` rows return all their rows.
+    """
+    from pyspark.sql import Window
+
+    lo, hi = hash_range
+    span = float(hi) - float(lo)
+    group_cols = list(group_cols)
+    tagged = df.withColumn("__h", hash_expr)
+    counts = tagged.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn"))
+    frac = F.least(F.lit(1.0), F.lit(margin * n) / F.col("__gn"))
+    thresholds = counts.select(
+        *group_cols,
+        (F.lit(float(lo)) + frac * F.lit(span)).alias("__thr"),
+        "__gn",
+    )
+    cand = tagged.join(thresholds, group_cols).where(
+        (F.col("__gn") <= n)  # small groups pass whole
+        | (F.col("__h").cast("double") < F.col("__thr"))
+    )
+    # verify: every group needs >= min(n, group size) candidates; on the
+    # (Chernoff-improbable) undershoot fall back to those groups' full
+    # rows.  Derived from the per-group COUNTS frame left-joined to the
+    # candidate counts — a group whose candidate set is EMPTY produces no
+    # groupBy row at all and would otherwise escape detection and vanish
+    # from the sample entirely.
+    cand_counts = cand.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__cn")
+    )
+    short = (
+        counts.join(cand_counts, group_cols, "left")
+        .where(
+            F.coalesce(F.col("__cn"), F.lit(0))
+            < F.least(F.lit(n), F.col("__gn"))
+        )
+        .select(*group_cols)
+    )
+    n_short = short.count()
+    if n_short:
+        # replace (not augment) the short groups' candidate rows with
+        # their full rows — a union without the anti-join would duplicate
+        # the candidate rows and the window could emit the same row twice
+        rescued = tagged.join(short, group_cols)
+        cand = (
+            cand.select(tagged.columns)
+            .join(short, group_cols, "left_anti")
+            .unionByName(rescued)
+        )
+    else:
+        cand = cand.select(tagged.columns)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), *tiebreaks)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__h", "__rn")
+    )
