@@ -164,6 +164,109 @@ def _q_ks_d(spark, sf_dir):
     return spark.createDataFrame(rows, "feature string, ks_d double, n long, m long")
 
 
+def _q_wasserstein(spark, sf_dir):
+    """Beyond-reference: exact two-sample Wasserstein-1 between splits.
+    Cross-engine determinism comes from the quantized-decimal term sum
+    (stats.wasserstein_all): every per-value term is bit-identical in
+    Spark and DuckDB, and the decimal sum is order-independent."""
+    from driftspark.stats import wasserstein_all
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    d = wasserstein_all(ref, test, ["l_quantity", "l_extendedprice"])
+    rows = [(c, _roundhu(v[0], 6), v[1], v[2]) for c, v in sorted(d.items())]
+    return spark.createDataFrame(rows, "feature string, w1 double, n long, m long")
+
+
+def _wasserstein_sql() -> str:
+    # CAST AS DOUBLE before grouping: the gap arithmetic (nv - value)
+    # must be double-double exactly like Spark's melted values — DECIMAL
+    # subtraction would be exact and diverge from the double term at the
+    # ~1e-11 level, which the 1e-9 quantization could then expose
+    return """
+        WITH feats AS (
+          SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value,
+                 l_orderkey FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+                 l_orderkey FROM lineitem
+        ), u AS (
+          SELECT feature, value,
+                 CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS r,
+                 CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END AS t
+          FROM feats WHERE value IS NOT NULL
+        ), g AS (
+          SELECT feature, value, sum(r) AS r, sum(t) AS t
+          FROM u GROUP BY feature, value
+        ), c AS (
+          SELECT feature, value,
+                 sum(r) OVER (PARTITION BY feature ORDER BY value) AS cr,
+                 sum(t) OVER (PARTITION BY feature ORDER BY value) AS ct,
+                 lead(value) OVER (PARTITION BY feature ORDER BY value) AS nv,
+                 sum(r) OVER (PARTITION BY feature) AS n,
+                 sum(t) OVER (PARTITION BY feature) AS m
+          FROM g
+        ), terms AS (
+          SELECT feature, n, m,
+                 CAST(round(abs(cr * 1.0 / n - ct * 1.0 / m) * (nv - value), 9)
+                      AS DECIMAL(38,9)) AS term
+          FROM c WHERE nv IS NOT NULL
+        )
+        SELECT feature, round(CAST(sum(term) AS DOUBLE), 6) AS w1,
+               CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m
+        FROM terms GROUP BY feature ORDER BY feature
+    """
+
+
+def _q_divergence_price(spark, sf_dir):
+    """Beyond-reference: Jensen-Shannon + Hellinger over the SAME fixed
+    price bins as psi_price (raw in-range proportions, no clamp)."""
+    from driftspark.numerics import (
+        hellinger_from_proportions,
+        js_divergence_from_proportions,
+    )
+    from driftspark.stats import histogram_proportions
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    props = histogram_proportions(ref, test, {"l_extendedprice": np.array(PRICE_EDGES)})
+    rp, tp = props["l_extendedprice"]
+    js = js_divergence_from_proportions(rp, tp)
+    hell = hellinger_from_proportions(rp, tp)
+    return spark.createDataFrame(
+        [("l_extendedprice", _roundhu(js, 9), _roundhu(hell, 9))],
+        "feature string, js double, hellinger double",
+    )
+
+
+def _divergence_sql(price_bucket: str) -> str:
+    return f"""
+        WITH rb AS (
+          SELECT {price_bucket} AS bin FROM lineitem WHERE l_orderkey % 2 = 0
+        ), tb AS (
+          SELECT {price_bucket} AS bin FROM lineitem WHERE l_orderkey % 2 = 1
+        ), bins AS (SELECT unnest(generate_series(0, {len(PRICE_EDGES) - 2})) AS bin),
+        rc AS (SELECT bin, count(*) AS c FROM rb WHERE bin IS NOT NULL GROUP BY bin),
+        tc AS (SELECT bin, count(*) AS c FROM tb WHERE bin IS NOT NULL GROUP BY bin),
+        p AS (
+          SELECT bins.bin,
+                 coalesce(rc.c, 0) * 1.0 / (SELECT sum(c) FROM rc) AS e,
+                 coalesce(tc.c, 0) * 1.0 / (SELECT sum(c) FROM tc) AS a
+          FROM bins LEFT JOIN rc ON bins.bin = rc.bin LEFT JOIN tc ON bins.bin = tc.bin
+        ), n AS (
+          SELECT e / (SELECT sum(e) FROM p) AS en, a / (SELECT sum(a) FROM p) AS an
+          FROM p
+        ), m AS (SELECT en, an, (en + an) / 2 AS mid FROM n),
+        s AS (
+          SELECT 0.5 * sum(CASE WHEN en > 0 THEN en * ln(en / mid) ELSE 0 END)
+               + 0.5 * sum(CASE WHEN an > 0 THEN an * ln(an / mid) ELSE 0 END) AS js,
+                 sqrt(0.5 * sum((sqrt(en) - sqrt(an)) * (sqrt(en) - sqrt(an)))) AS hell
+          FROM m
+        )
+        SELECT 'l_extendedprice' AS feature, round(js, 9) AS js,
+               round(hell, 9) AS hellinger
+        FROM s
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2182,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": _q_histogram_price,
         "psi_price": _q_psi_price,
         "ks_d": _q_ks_d,
+        "wasserstein_w1": _q_wasserstein,
+        "divergence_price": _q_divergence_price,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3246,6 +3351,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'critical' END AS severity
             FROM s
         """,
+        "wasserstein_w1": _wasserstein_sql(),
+        "divergence_price": _divergence_sql(price_bucket),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

@@ -7,6 +7,7 @@ from driftspark.detectors.hallucination import HallucinationRiskDetector
 from driftspark.detectors.ks import KSTest
 from driftspark.detectors.mmd import MMD
 from driftspark.detectors.psi import PSI
+from driftspark.detectors.wasserstein import WassersteinDistance
 
 __all__ = [
     "BaseDriftDetector",
@@ -16,4 +17,5 @@ __all__ = [
     "MMD",
     "DomainClassifier",
     "HallucinationRiskDetector",
+    "WassersteinDistance",
 ]

@@ -26,7 +26,12 @@ import numpy as np
 
 from driftspark.dataset import SparkDataset
 from driftspark.detectors.base import BaseDriftDetector
-from driftspark.numerics import psi_from_proportions, severity_from_psi
+from driftspark.numerics import (
+    hellinger_from_proportions,
+    js_divergence_from_proportions,
+    psi_from_proportions,
+    severity_from_psi,
+)
 from driftspark.registry import DetectorRegistry
 from driftspark.results import DetectionResult, DriftSeverity
 from driftspark.stats import (
@@ -58,12 +63,17 @@ class PSI(BaseDriftDetector):
         aggregate_method: str = "max",
         exact_edges: bool = False,
         quantile_relative_error: float = 1e-4,
+        extra_divergences: bool = False,
     ):
         super().__init__(name="psi")
         self.threshold = threshold
         self.n_bins = n_bins
         self.min_bin_size = min_bin_size
         self.aggregate_method = aggregate_method
+        # opt-in: also report Jensen-Shannon + Hellinger per feature from
+        # the SAME fused histogram job (no extra scan, beyond-reference
+        # additions; drift verdict/severity stay pure PSI for parity)
+        self.extra_divergences = extra_divergences
         # scale default: Greenwald-Khanna approximate edges (one sketch
         # pass, no value shuffle); exact_edges=True restores bit-level
         # pd.qcut parity via the exact weighted-percentile plan
@@ -120,6 +130,13 @@ class PSI(BaseDriftDetector):
                 "psi": float(psi),
                 "n_bins": len(edges_map[col]) - 1,
             }
+            if self.extra_divergences:
+                feature_results[col]["js_divergence"] = (
+                    js_divergence_from_proportions(ref_p, test_p)
+                )
+                feature_results[col]["hellinger"] = (
+                    hellinger_from_proportions(ref_p, test_p)
+                )
 
         for col in cat_cols:
             rc, tc = cat_counts[col]
@@ -133,6 +150,15 @@ class PSI(BaseDriftDetector):
             psi = psi_from_proportions(ref_p, test_p, self.min_bin_size)
             psi_values.append(psi)
             feature_results[col] = {"psi": float(psi), "n_categories": len(ref_p)}
+            if self.extra_divergences:
+                # raw aligned counts — the divergences renormalize and
+                # need no missing-side clamp (0-terms vanish natively)
+                feature_results[col]["js_divergence"] = (
+                    js_divergence_from_proportions(rc, tc)
+                )
+                feature_results[col]["hellinger"] = (
+                    hellinger_from_proportions(rc, tc)
+                )
 
         if not psi_values:
             return DetectionResult(

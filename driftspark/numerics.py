@@ -251,6 +251,46 @@ def psi_from_proportions(
     return float(np.sum((actual - expected) * np.log(actual / expected)))
 
 
+def js_divergence_from_proportions(
+    expected: np.ndarray, actual: np.ndarray
+) -> float:
+    """Jensen-Shannon divergence (natural log, bounded [0, ln 2]) over
+    aligned bin proportions — a beyond-reference complement to PSI: it
+    needs NO ``min_bin_size`` clamp because the 0*ln(0) terms are exactly
+    0 by continuity, and it is symmetric and bounded, so thresholds
+    transfer across features.  Inputs are renormalized to sum 1 (the
+    psi_from_proportions convention); all-zero input returns nan."""
+    e = np.asarray(expected, dtype=np.float64)
+    a = np.asarray(actual, dtype=np.float64)
+    es, as_ = e.sum(), a.sum()
+    if es <= 0 or as_ <= 0:
+        return float("nan")
+    e, a = e / es, a / as_
+    m = 0.5 * (e + a)
+
+    def _kl(p: np.ndarray) -> float:
+        mask = p > 0  # m > 0 wherever p > 0
+        return float(np.sum(p[mask] * np.log(p[mask] / m[mask])))
+
+    return 0.5 * _kl(e) + 0.5 * _kl(a)
+
+
+def hellinger_from_proportions(
+    expected: np.ndarray, actual: np.ndarray
+) -> float:
+    """Hellinger distance in [0, 1] over aligned bin proportions:
+    sqrt(0.5 * sum((sqrt(e) - sqrt(a))^2)).  Symmetric, bounded, no
+    clamp needed (beyond-reference, same input convention as
+    :func:`js_divergence_from_proportions`)."""
+    e = np.asarray(expected, dtype=np.float64)
+    a = np.asarray(actual, dtype=np.float64)
+    es, as_ = e.sum(), a.sum()
+    if es <= 0 or as_ <= 0:
+        return float("nan")
+    e, a = e / es, a / as_
+    return float(np.sqrt(0.5 * np.sum((np.sqrt(e) - np.sqrt(a)) ** 2)))
+
+
 # ---------------------------------------------------------------------------
 # Severity ladders (exact reference cutoffs)
 # ---------------------------------------------------------------------------

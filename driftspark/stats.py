@@ -570,6 +570,205 @@ def _ks_d_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# Distributed two-sample Wasserstein-1 (earth-mover) distance
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_all(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    bucketed_threshold: int = 4_000_000,
+    n_buckets: int = 64,
+    quantize: int = 9,
+) -> Dict[str, Tuple[float, int, int]]:
+    """Exact two-sample Wasserstein-1 distance per feature (beyond the
+    reference's detector set — W1 is the scale-bearing complement to KS:
+    D saturates at 1 while W1 keeps growing with how FAR the mass moved).
+
+    W1 = sum_i |F_ref(v_i) - F_test(v_i)| * (v_{i+1} - v_i) over the
+    pooled sorted distinct values — scipy.stats.wasserstein_distance's
+    quantile-integral identity on empirical CDFs.
+
+    Same distributed shape as :func:`ks_d_all`: melt -> per-value
+    pre-aggregated side counts (map-side combine; the shuffle carries
+    only distinct values) -> per-feature cumulative window, routed to a
+    bucketed decomposition above ``bucketed_threshold`` distinct values
+    so no feature ever sorts in a single task (the cross-bucket boundary
+    gap uses the NEXT bucket's minimum value, collected with the same
+    tiny per-bucket offsets frame and broadcast back).
+
+    Determinism: each term is rounded to ``quantize`` decimals and summed
+    as decimal(38, quantize) — an EXACT, order-independent sum, so the
+    result is bit-identical under any layout/parallelism and any
+    window-vs-bucketed routing, and engine-portable (DuckDB reproduces
+    every rounded term from the same doubles; the float-sum-order flake
+    class is structurally impossible).  The <= 0.5e-9 per-term quantum is
+    immaterial for a drift statistic.
+
+    Returns {feature: (w1, n_ref, m_test)}; features with no non-null
+    values on either side are skipped with a warning (KS convention).
+    """
+    if not cols:
+        return {}
+    u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
+        _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
+    )
+    g = u.groupBy("feature", "value").agg(
+        F.sum("r").alias("r"), F.sum("t").alias("t")
+    ).persist()
+    try:
+        totals = g.groupBy("feature").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("r").alias("n"),
+            F.sum("t").alias("m"),
+        ).collect()
+        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
+        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
+        if degenerate:
+            logger.warning(
+                "wasserstein_all: no non-null values on one side for %s — "
+                "skipped", sorted(degenerate),
+            )
+        ok = set(nm) - set(degenerate)
+        small = [
+            r["feature"] for r in totals
+            if r["nd"] <= bucketed_threshold and r["feature"] in ok
+        ]
+        big = [
+            r["feature"] for r in totals
+            if r["nd"] > bucketed_threshold and r["feature"] in ok
+        ]
+        out: Dict[str, Tuple[float, int, int]] = {}
+        if small:
+            out.update(
+                _w1_window(g.where(F.col("feature").isin(small)), nm, quantize)
+            )
+        if big:
+            out.update(
+                _w1_bucketed(
+                    g.where(F.col("feature").isin(big)), nm, n_buckets, quantize
+                )
+            )
+        # a feature whose pooled support is ONE distinct value has no gap
+        # rows at all (every lead is null): both samples are the same
+        # constant, W1 = 0 by definition
+        for f in ok - set(out):
+            out[f] = (0.0, *nm[f])
+        return out
+    finally:
+        g.unpersist()
+
+
+def _w1_term_quantized(term, quantize: int):
+    """round(term, q) :: decimal(38, q) — the order-independent summand."""
+    return F.round(term, quantize).cast(f"decimal(38,{quantize})")
+
+
+def _w1_window(g: DataFrame, nm: Dict[str, Tuple[int, int]], quantize: int) -> Dict:
+    """Per-feature cumulative window; the gap to the next distinct value
+    comes from lead() in the same ordering."""
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    w_ord = Window.partitionBy("feature").orderBy("value")
+    term = F.abs(
+        F.sum("r").over(w_cum) / F.sum("r").over(w_all)
+        - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
+    ) * (F.lead("value").over(w_ord) - F.col("value"))
+    scored = g.select(
+        "feature", _w1_term_quantized(term, quantize).alias("term")
+    ).where(F.col("term").isNotNull())
+    rows = scored.groupBy("feature").agg(
+        F.sum("term").cast("double").alias("w1")
+    ).collect()
+    return {r["feature"]: (float(r["w1"]), *nm[r["feature"]]) for r in rows}
+
+
+def _w1_bucketed(
+    g: DataFrame, nm: Dict[str, Tuple[int, int]], n_buckets: int, quantize: int
+) -> Dict:
+    """Exact W1 via coarse value-buckets (same decomposition as
+    :func:`_ks_d_bucketed`): within-bucket cumulative windows run
+    ``n_buckets``-way parallel; exact prefix offsets AND the next
+    non-empty bucket's minimum value (the boundary gap) broadcast-join
+    back from one tiny per-bucket aggregate."""
+    import pandas as pd
+
+    spark = g.sparkSession
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_rows = g.groupBy("feature").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in probs]), 10_000
+        ).alias("edges")
+    ).collect()
+    bucket = F.lit(0)
+    for r in edge_rows:
+        b = F.lit(0)
+        for e in r["edges"]:
+            b = b + (F.col("value") > F.lit(float(e))).cast("int")
+        bucket = F.when(F.col("feature") == r["feature"], b).otherwise(bucket)
+    bucketed = g.withColumn("bkt", bucket)
+
+    offs_rows = bucketed.groupBy("feature", "bkt").agg(
+        F.sum("r").alias("rs"),
+        F.sum("t").alias("ts"),
+        F.min("value").alias("mn"),
+    ).collect()
+    per_feat: Dict[str, list] = {}
+    for r in offs_rows:
+        per_feat.setdefault(r["feature"], []).append(r)
+    offs = []
+    for feat, rows in per_feat.items():
+        rows = sorted(rows, key=lambda x: x["bkt"])
+        roff = toff = 0
+        for i, r in enumerate(rows):
+            nxt = float(rows[i + 1]["mn"]) if i + 1 < len(rows) else None
+            offs.append((feat, int(r["bkt"]), roff, toff, nxt))
+            roff += int(r["rs"])
+            toff += int(r["ts"])
+    # explicit schema (NOT via pandas): the last bucket's next_v must be a
+    # real SQL NULL for coalesce(), not the NaN a float ndarray would carry
+    offs_df = spark.createDataFrame(
+        offs, "feature string, bkt int, roff long, toff long, next_v double"
+    )
+    nm_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(f, n, m) for f, (n, m) in nm.items()], columns=["feature", "n", "m"]
+        )
+    )
+    w_cum = (
+        Window.partitionBy("feature", "bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ord = Window.partitionBy("feature", "bkt").orderBy("value")
+    pre = bucketed.select(
+        "feature", "bkt", "value",
+        F.sum("r").over(w_cum).alias("lcr"),
+        F.sum("t").over(w_cum).alias("lct"),
+        F.lead("value").over(w_ord).alias("nxt_in"),
+    )
+    term = F.abs(
+        (F.col("lcr") + F.col("roff")) / F.col("n")
+        - (F.col("lct") + F.col("toff")) / F.col("m")
+    ) * (F.coalesce("nxt_in", "next_v") - F.col("value"))
+    scored = (
+        pre.join(F.broadcast(offs_df), ["feature", "bkt"])
+        .join(F.broadcast(nm_df), "feature")
+        .select("feature", _w1_term_quantized(term, quantize).alias("term"))
+        .where(F.col("term").isNotNull())
+    )
+    rows = scored.groupBy("feature").agg(
+        F.sum("term").cast("double").alias("w1")
+    ).collect()
+    return {r["feature"]: (float(r["w1"]), *nm[r["feature"]]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
 # Moment statistics (localizer dist_info; population std == np.std ddof=0)
 # ---------------------------------------------------------------------------
 
