@@ -267,6 +267,73 @@ def _divergence_sql(price_bucket: str) -> str:
     """
 
 
+def _q_cvm_ad(spark, sf_dir):
+    """Beyond-reference: fused two-sample Cramér–von Mises + Anderson-
+    Darling between splits (stats.cvm_ad_all — one window job for both).
+    Engine-portable via the same quantized-decimal term-sum contract as
+    wasserstein_w1; the oracle mirrors the Spark expression tree operand
+    for operand (IEEE doubles make identical trees bit-identical)."""
+    from driftspark.stats import cvm_ad_all
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    d = cvm_ad_all(ref, test, ["l_quantity", "l_extendedprice"])
+    rows = [
+        (c, _roundhu(v[0], 6), _roundhu(v[1], 6), v[2], v[3])
+        for c, v in sorted(d.items())
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, cvm double, ad double, n long, m long"
+    )
+
+
+def _cvm_ad_sql() -> str:
+    # mirrors driftspark.stats._cvm_ad_terms verbatim: same operand
+    # order, double casts in the same places (see _wasserstein_sql note)
+    return """
+        WITH feats AS (
+          SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value,
+                 l_orderkey FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+                 l_orderkey FROM lineitem
+        ), u AS (
+          SELECT feature, value,
+                 CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS r,
+                 CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END AS t
+          FROM feats WHERE value IS NOT NULL
+        ), g AS (
+          SELECT feature, value, sum(r) AS r, sum(t) AS t
+          FROM u GROUP BY feature, value
+        ), c AS (
+          SELECT feature, r, t,
+                 sum(r) OVER (PARTITION BY feature ORDER BY value) AS cr,
+                 sum(t) OVER (PARTITION BY feature ORDER BY value) AS ct,
+                 sum(r) OVER (PARTITION BY feature) AS n,
+                 sum(t) OVER (PARTITION BY feature) AS m
+          FROM g
+        ), terms AS (
+          SELECT feature, n, m,
+                 CAST(round(
+                   (r + t) * (cr / n - ct / m) * (cr / n - ct / m)
+                     * CAST(n AS DOUBLE) * m
+                     / (CAST(n + m AS DOUBLE) * (n + m)), 9)
+                   AS DECIMAL(38,9)) AS cvm_term,
+                 CAST(round(
+                   CASE WHEN cr + ct < n + m THEN
+                     (r + t) * (cr / n - ct / m) * (cr / n - ct / m)
+                       * CAST(n AS DOUBLE) * m
+                       / (CAST(cr + ct AS DOUBLE) * (n + m - cr - ct))
+                   ELSE 0.0 END, 9)
+                   AS DECIMAL(38,9)) AS ad_term
+          FROM c
+        )
+        SELECT feature, round(CAST(sum(cvm_term) AS DOUBLE), 6) AS cvm,
+               round(CAST(sum(ad_term) AS DOUBLE), 6) AS ad,
+               CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m
+        FROM terms GROUP BY feature ORDER BY feature
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2287,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_d": _q_ks_d,
         "wasserstein_w1": _q_wasserstein,
         "divergence_price": _q_divergence_price,
+        "cvm_ad": _q_cvm_ad,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3353,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wasserstein_w1": _wasserstein_sql(),
         "divergence_price": _divergence_sql(price_bucket),
+        "cvm_ad": _cvm_ad_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

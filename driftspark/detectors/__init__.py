@@ -3,6 +3,7 @@
 from driftspark.detectors.base import BaseDriftDetector
 from driftspark.detectors.cbpe import CBPE
 from driftspark.detectors.domain_classifier import DomainClassifier
+from driftspark.detectors.gof import CvMAndersonDarling
 from driftspark.detectors.hallucination import HallucinationRiskDetector
 from driftspark.detectors.ks import KSTest
 from driftspark.detectors.mmd import MMD
@@ -18,4 +19,5 @@ __all__ = [
     "DomainClassifier",
     "HallucinationRiskDetector",
     "WassersteinDistance",
+    "CvMAndersonDarling",
 ]

@@ -292,6 +292,82 @@ def hellinger_from_proportions(
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling null moments + p-value (Scholz-Stephens 1987)
+# ---------------------------------------------------------------------------
+
+# Scholz & Stephens (1987) Table 2 interpolation coefficients: the
+# standardized statistic's critical value at each significance level is
+# b0 + b1/sqrt(m) + b2/m with m = k-1 (= 1 for two samples).  The first
+# five rows are the paper's; the 0.005/0.001 rows are the published
+# extension used by scipy.stats.anderson_ksamp (not importable in this
+# environment).  tests/test_divergences.py Monte-Carlo-verifies the m=1
+# column: empirical null quantiles of the standardized statistic land on
+# these within simulation noise.
+_AD_SIG_LEVELS = np.array([0.25, 0.10, 0.05, 0.025, 0.01, 0.005, 0.001])
+_AD_B0 = np.array([0.675, 1.281, 1.645, 1.960, 2.326, 2.573, 3.085])
+_AD_B1 = np.array([-0.245, 0.250, 0.678, 1.149, 1.822, 2.364, 3.615])
+_AD_B2 = np.array([-0.105, -0.305, -0.362, -0.391, -0.396, -0.345, -0.154])
+_AD_CRIT_K2 = _AD_B0 + _AD_B1 + _AD_B2  # m = 1
+
+_EULER_GAMMA = 0.5772156649015329
+_AD_EXACT_N_MAX = 10_000_000  # O(N) vectorized driver math below this
+
+
+def anderson_darling_2samp_sigma(n: int, m: int) -> float:
+    """Null std of the two-sample Anderson-Darling A² (Scholz-Stephens
+    1987 eq. 4 with k=2; the null mean is k-1 = 1).
+
+    The h/g harmonic sums are computed exactly (vectorized O(N)) up to
+    N = 10^7 and by their asymptotic limits above (h -> ln(N-1) + gamma,
+    g -> pi²/6); the relative sigma error of the asymptotic branch is
+    ~1e-4 at N = 10^6 and shrinks as log(N)/N — immaterial against the
+    +-0.03 accuracy of the critical-value table itself."""
+    big_n = n + m
+    if big_n < 4:
+        return float("nan")
+    if big_n <= _AD_EXACT_N_MAX:
+        inv = 1.0 / np.arange(1, big_n, dtype=np.float64)
+        cum = np.cumsum(inv)
+        h = float(cum[big_n - 2])
+        j = np.arange(2, big_n)
+        g = float(np.sum(inv[j - 1] * (cum[big_n - 2] - cum[big_n - j - 1])))
+    else:
+        h = math.log(big_n - 1) + _EULER_GAMMA + 1.0 / (2 * (big_n - 1))
+        g = math.pi ** 2 / 6
+    k = 2.0
+    cap_h = 1.0 / n + 1.0 / m
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * cap_h
+    b = (2 * g - 4) * k * k + 8 * h * k + (2 * g - 14 * h - 4) * cap_h - 8 * h + 4 * g - 6
+    c = (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k + (2 * h - 6) * cap_h + 4 * h
+    d = (2 * h + 6) * k * k - 4 * h * k
+    var = (a * big_n ** 3 + b * big_n ** 2 + c * big_n + d) / (
+        (big_n - 1.0) * (big_n - 2.0) * (big_n - 3.0)
+    )
+    return float(math.sqrt(var))
+
+
+def anderson_darling_2samp_p(standardized: float) -> float:
+    """p-value of the standardized two-sample AD statistic via the
+    log-quadratic fit through the k=2 critical-value table (the
+    scipy.stats.anderson_ksamp interpolation scheme, reimplemented —
+    scipy is not importable here).  Clipped to [0.001, 0.25]: outside
+    the table the fit extrapolates wildly, and the clip is the
+    documented convention ("floor"/"cap")."""
+    if not math.isfinite(standardized):
+        return 0.0 if standardized > 0 else 0.25
+    # clip against the TABLE endpoints before evaluating the fit: the
+    # quadratic is only monotone inside the tabulated range (far outside
+    # it the curvature term flips the sign and p would rise again)
+    if standardized >= _AD_CRIT_K2[-1]:
+        return float(_AD_SIG_LEVELS[-1])
+    if standardized <= _AD_CRIT_K2[0]:
+        return float(_AD_SIG_LEVELS[0])
+    coeffs = np.polyfit(_AD_CRIT_K2, np.log(_AD_SIG_LEVELS), 2)
+    p = float(math.exp(np.polyval(coeffs, standardized)))
+    return min(0.25, max(0.001, p))
+
+
+# ---------------------------------------------------------------------------
 # Severity ladders (exact reference cutoffs)
 # ---------------------------------------------------------------------------
 

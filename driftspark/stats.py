@@ -769,6 +769,234 @@ def _w1_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# Distributed two-sample Cramér–von Mises + Anderson–Darling (one fused job)
+# ---------------------------------------------------------------------------
+
+
+def cvm_ad_all(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    bucketed_threshold: int = 4_000_000,
+    n_buckets: int = 64,
+    quantize: int = 9,
+) -> Dict[str, Tuple[float, float, int, int]]:
+    """Exact two-sample Cramér–von Mises T and Anderson–Darling A² per
+    feature, fused in ONE job (beyond the reference's detector set — both
+    are CDF functionals that weight the WHOLE curve where KS takes only
+    the max gap; AD additionally up-weights the tails, catching
+    tail-drift KS and PSI dilute away).
+
+    Tie-aware definitions over the pooled distinct values v_j with side
+    multiplicities (r_j, t_j), l_j = r_j + t_j, cumulative (cr_j, ct_j),
+    B_j = cr_j + ct_j, d_j = cr_j/n - ct_j/m, N = n + m:
+
+        T  = (n*m/N^2) * sum_j l_j * d_j^2
+        A² = n*m * sum_{j: B_j < N} l_j * d_j^2 / (B_j * (N - B_j))
+
+    T equals Anderson's (1962) rank identity U/(nmN) - (4nm-1)/(6N) and
+    A² equals Pettitt's (1976) two-sample statistic on tie-free data
+    (both verified numerically in tests/test_divergences.py); with ties
+    they are the Scholz–Stephens (1987) k=2 discrete forms.  Note
+    A²'s per-term factor n*m*d_j² is used instead of the textbook
+    (N*cr_j - n*B_j)² — algebraically identical, but free of the giant-
+    integer cancellation that would overflow/lose precision at 10^12
+    rows.
+
+    Same distributed shape and determinism contract as
+    :func:`wasserstein_all`: melt -> per-value pre-agg -> per-feature
+    cumulative window (bucketed decomposition above ``bucketed_threshold``
+    distinct values — no boundary gap needed here, only exact prefix
+    offsets), every term rounded to ``quantize`` decimals and summed as
+    decimal(38, quantize) — order-independent, bit-identical under any
+    layout/routing, engine-portable to DuckDB.
+
+    Returns {feature: (cvm, ad, n_ref, m_test)}; features empty on either
+    side are skipped with a warning (KS convention).
+    """
+    if not cols:
+        return {}
+    u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
+        _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
+    )
+    g = u.groupBy("feature", "value").agg(
+        F.sum("r").alias("r"), F.sum("t").alias("t")
+    ).persist()
+    try:
+        totals = g.groupBy("feature").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("r").alias("n"),
+            F.sum("t").alias("m"),
+        ).collect()
+        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
+        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
+        if degenerate:
+            logger.warning(
+                "cvm_ad_all: no non-null values on one side for %s — skipped",
+                sorted(degenerate),
+            )
+        ok = set(nm) - set(degenerate)
+        small = [
+            r["feature"] for r in totals
+            if r["nd"] <= bucketed_threshold and r["feature"] in ok
+        ]
+        big = [
+            r["feature"] for r in totals
+            if r["nd"] > bucketed_threshold and r["feature"] in ok
+        ]
+        out: Dict[str, Tuple[float, float, int, int]] = {}
+        if small:
+            out.update(
+                _cvm_ad_window(g.where(F.col("feature").isin(small)), nm, quantize)
+            )
+        if big:
+            out.update(
+                _cvm_ad_bucketed(
+                    g.where(F.col("feature").isin(big)), nm, n_buckets, quantize
+                )
+            )
+        return out
+    finally:
+        g.unpersist()
+
+
+def _cvm_ad_terms(cr, ct, rl, tl, n, m, quantize: int):
+    """The two quantized summands from cumulative/side columns.
+
+    Expression shape is mirrored VERBATIM by the DuckDB oracle
+    (__spark_entry__._cvm_ad_sql): same operand order, all double ops —
+    IEEE doubles make identical trees bit-identical across engines, and
+    the decimal sum makes the total order-independent.  Giant products
+    (n*m, B*(N-B), N*N at 10^12 rows overflow BIGINT under ANSI) are
+    defused by an explicit double cast on the left operand.
+    """
+    l = rl + tl
+    big_n = n + m
+    b = cr + ct
+    d = cr / n - ct / m
+    ld2 = l * d * d
+    cvm = ld2 * n.cast("double") * m / (big_n.cast("double") * big_n)
+    ad = F.when(
+        b < big_n,
+        ld2 * n.cast("double") * m / (b.cast("double") * (big_n - b)),
+    ).otherwise(F.lit(0.0))
+    return (
+        _w1_term_quantized(cvm, quantize),
+        _w1_term_quantized(ad, quantize),
+    )
+
+
+def _cvm_ad_window(
+    g: DataFrame, nm: Dict[str, Tuple[int, int]], quantize: int
+) -> Dict:
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    cvm, ad = _cvm_ad_terms(
+        F.sum("r").over(w_cum), F.sum("t").over(w_cum),
+        F.col("r"), F.col("t"),
+        F.sum("r").over(w_all), F.sum("t").over(w_all),
+        quantize,
+    )
+    rows = (
+        g.select("feature", cvm.alias("cvm"), ad.alias("ad"))
+        .groupBy("feature")
+        .agg(
+            F.sum("cvm").cast("double").alias("cvm"),
+            F.sum("ad").cast("double").alias("ad"),
+        )
+        .collect()
+    )
+    return {
+        r["feature"]: (float(r["cvm"]), float(r["ad"]), *nm[r["feature"]])
+        for r in rows
+    }
+
+
+def _cvm_ad_bucketed(
+    g: DataFrame, nm: Dict[str, Tuple[int, int]], n_buckets: int, quantize: int
+) -> Dict:
+    """Exact CvM/AD via the :func:`_w1_bucketed` decomposition, minus the
+    boundary gap (these statistics have no value-gap factor): within-
+    bucket cumulative windows run ``n_buckets``-way parallel and the
+    exact prefix offsets broadcast back from one tiny per-bucket
+    aggregate."""
+    import pandas as pd
+
+    spark = g.sparkSession
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_rows = g.groupBy("feature").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in probs]), 10_000
+        ).alias("edges")
+    ).collect()
+    bucket = F.lit(0)
+    for r in edge_rows:
+        b = F.lit(0)
+        for e in r["edges"]:
+            b = b + (F.col("value") > F.lit(float(e))).cast("int")
+        bucket = F.when(F.col("feature") == r["feature"], b).otherwise(bucket)
+    bucketed = g.withColumn("bkt", bucket)
+
+    offs_rows = bucketed.groupBy("feature", "bkt").agg(
+        F.sum("r").alias("rs"), F.sum("t").alias("ts")
+    ).collect()
+    per_feat: Dict[str, list] = {}
+    for r in offs_rows:
+        per_feat.setdefault(r["feature"], []).append(r)
+    offs = []
+    for feat, rows in per_feat.items():
+        rows = sorted(rows, key=lambda x: x["bkt"])
+        roff = toff = 0
+        for r in rows:
+            offs.append((feat, int(r["bkt"]), roff, toff))
+            roff += int(r["rs"])
+            toff += int(r["ts"])
+    offs_df = spark.createDataFrame(
+        offs, "feature string, bkt int, roff long, toff long"
+    )
+    nm_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(f, n, m) for f, (n, m) in nm.items()], columns=["feature", "n", "m"]
+        )
+    )
+    w_cum = (
+        Window.partitionBy("feature", "bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = bucketed.select(
+        "feature", "bkt", "r", "t",
+        F.sum("r").over(w_cum).alias("lcr"),
+        F.sum("t").over(w_cum).alias("lct"),
+    )
+    cvm, ad = _cvm_ad_terms(
+        F.col("lcr") + F.col("roff"), F.col("lct") + F.col("toff"),
+        F.col("r"), F.col("t"),
+        F.col("n"), F.col("m"),
+        quantize,
+    )
+    rows = (
+        pre.join(F.broadcast(offs_df), ["feature", "bkt"])
+        .join(F.broadcast(nm_df), "feature")
+        .select("feature", cvm.alias("cvm"), ad.alias("ad"))
+        .groupBy("feature")
+        .agg(
+            F.sum("cvm").cast("double").alias("cvm"),
+            F.sum("ad").cast("double").alias("ad"),
+        )
+        .collect()
+    )
+    return {
+        r["feature"]: (float(r["cvm"]), float(r["ad"]), *nm[r["feature"]])
+        for r in rows
+    }
+
+
+# ---------------------------------------------------------------------------
 # Moment statistics (localizer dist_info; population std == np.std ddof=0)
 # ---------------------------------------------------------------------------
 

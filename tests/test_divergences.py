@@ -215,3 +215,219 @@ def test_psi_extra_divergences(spark, samples):
     # parity default: without the flag the keys are absent
     res2 = PSI(exact_edges=True).fit_detect(SparkDataset(ref), SparkDataset(test))
     assert "js_divergence" not in res2.metadata["feature_results"]["a"]
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises + Anderson–Darling: numpy reference (tie-aware
+# Scholz–Stephens discrete forms, a literal transcription of the math in
+# stats.cvm_ad_all's docstring)
+# ---------------------------------------------------------------------------
+
+
+def _cvm_ad_numpy(x: np.ndarray, y: np.ndarray):
+    xs, ys = np.sort(x), np.sort(y)
+    v = np.union1d(x, y)
+    cr = np.searchsorted(xs, v, side="right").astype(float)
+    ct = np.searchsorted(ys, v, side="right").astype(float)
+    r = np.diff(np.concatenate([[0.0], cr]))
+    t = np.diff(np.concatenate([[0.0], ct]))
+    n, m = len(x), len(y)
+    big_n = n + m
+    l = r + t
+    d = cr / n - ct / m
+    b = cr + ct
+    cvm = n * m / big_n**2 * float(np.sum(l * d * d))
+    keep = b < big_n
+    ad = n * m * float(
+        np.sum(l[keep] * d[keep] ** 2 / (b[keep] * (big_n - b[keep])))
+    )
+    return cvm, ad
+
+
+def test_cvm_ad_matches_numpy_reference(spark, samples):
+    from driftspark.stats import cvm_ad_all
+
+    x, y, u, v = samples
+    ref, test = _frame(spark, {"a": (x, y), "b": (u, v)})
+    out = cvm_ad_all(ref, test, ["a", "b"])
+    for col, (xx, yy) in {"a": (x, y), "b": (u, v)}.items():
+        cvm, ad, n, m = out[col]
+        exp_cvm, exp_ad = _cvm_ad_numpy(xx, yy)
+        assert (n, m) == (len(xx), len(yy))
+        # quantization error bound: 0.5e-9 per pooled distinct value
+        assert abs(cvm - exp_cvm) < 1e-5
+        assert abs(ad - exp_ad) < 1e-5
+
+
+def test_cvm_rank_identity_tie_free():
+    # Anderson (1962): on tie-free data T = U/(n*m*N) - (4nm-1)/(6N) with
+    # U = n*sum_i (r_i - i)^2 + m*sum_j (s_j - j)^2 over pooled 1-based
+    # ranks r (of x) and s (of y).  The discrete-form transcription above
+    # must agree to float precision — this is the check that the fused
+    # engine formula IS the published statistic.
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, 400)
+    y = rng.normal(0.3, 1.2, 300)
+    assert len(np.union1d(x, y)) == len(x) + len(y)  # tie-free
+    n, m = len(x), len(y)
+    big_n = n + m
+    pooled = np.concatenate([x, y])
+    ranks = np.argsort(np.argsort(pooled)) + 1
+    rx = np.sort(ranks[:n])
+    sy = np.sort(ranks[n:])
+    u_stat = n * np.sum((rx - np.arange(1, n + 1)) ** 2) + m * np.sum(
+        (sy - np.arange(1, m + 1)) ** 2
+    )
+    t_rank = u_stat / (n * m * big_n) - (4 * n * m - 1) / (6 * big_n)
+    t_disc, _ = _cvm_ad_numpy(x, y)
+    assert t_disc == pytest.approx(t_rank, abs=1e-10)
+
+
+def test_ad_pettitt_identity_tie_free():
+    # Pettitt (1976): on tie-free data A² = (1/nm) sum_{i<N} (M_i*N -
+    # n*i)^2 / (i*(N-i)) with M_i = #x among the i smallest pooled.
+    rng = np.random.default_rng(12)
+    x = rng.normal(0, 1, 350)
+    y = rng.normal(0.4, 1, 250)
+    assert len(np.union1d(x, y)) == len(x) + len(y)
+    n, m = len(x), len(y)
+    big_n = n + m
+    order = np.argsort(np.concatenate([x, y]))
+    is_x = (order < n).astype(float)
+    mi = np.cumsum(is_x)[:-1]
+    i = np.arange(1, big_n)
+    a2_pettitt = float(
+        np.sum((mi * big_n - n * i) ** 2 / (i * (big_n - i))) / (n * m)
+    )
+    _, a2_disc = _cvm_ad_numpy(x, y)
+    assert a2_disc == pytest.approx(a2_pettitt, abs=1e-10)
+
+
+def test_cvm_ad_layout_and_bucketed_bit_parity(spark, samples):
+    from driftspark.stats import cvm_ad_all
+
+    x, y, u, v = samples
+    ref, test = _frame(spark, {"a": (x, y), "b": (u, v)})
+    base = cvm_ad_all(ref, test, ["a", "b"])
+    relaid = cvm_ad_all(ref.repartition(13), test.repartition(7), ["a", "b"])
+    assert relaid == base
+    bucketed = cvm_ad_all(ref, test, ["a", "b"], bucketed_threshold=1, n_buckets=8)
+    assert bucketed == base
+
+
+def test_cvm_ad_one_sided_skipped(spark):
+    from driftspark.stats import cvm_ad_all
+
+    ref, test = _frame(
+        spark, {"a": (np.arange(50.0), np.arange(50.0)), "d": (np.arange(30.0), [])}
+    )
+    out = cvm_ad_all(ref, test, ["a", "d"])
+    assert "d" not in out and "a" in out
+    # identical samples: T == 0 and A² == 0 exactly
+    assert out["a"][0] == 0.0 and out["a"][1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# AD null moments + p-value (Scholz–Stephens), Monte-Carlo-verified
+# ---------------------------------------------------------------------------
+
+
+def _ad_null_sims(n: int, m: int, k_sims: int, seed: int) -> np.ndarray:
+    """k_sims two-sample AD statistics under H0, fully vectorized
+    (continuous uniforms -> tie-free -> Pettitt form)."""
+    rng = np.random.default_rng(seed)
+    big_n = n + m
+    pooled = rng.uniform(size=(k_sims, big_n))
+    order = np.argsort(pooled, axis=1)
+    is_x = (order < n).astype(float)
+    mi = np.cumsum(is_x, axis=1)[:, :-1]
+    i = np.arange(1, big_n)
+    return np.sum((mi * big_n - n * i) ** 2 / (i * (big_n - i)), axis=1) / (n * m)
+
+
+def test_ad_sigma_and_crit_table_monte_carlo():
+    from driftspark.numerics import _AD_CRIT_K2, anderson_darling_2samp_sigma
+
+    n, m, k_sims = 120, 80, 4000
+    a2 = _ad_null_sims(n, m, k_sims, seed=5)
+    # null mean is exactly k-1 = 1; SE of the mean ~ sigma/sqrt(k_sims)
+    sigma = anderson_darling_2samp_sigma(n, m)
+    assert float(np.mean(a2)) == pytest.approx(1.0, abs=4 * sigma / math.sqrt(k_sims))
+    # null std matches the Scholz-Stephens variance formula
+    assert float(np.std(a2)) == pytest.approx(sigma, rel=0.08)
+    # the m=1 critical-value column: empirical upper quantiles of the
+    # standardized statistic land on the table within simulation noise
+    std = (a2 - 1.0) / sigma
+    for alpha, crit in [(0.10, _AD_CRIT_K2[1]), (0.05, _AD_CRIT_K2[2]), (0.01, _AD_CRIT_K2[4])]:
+        emp = float(np.quantile(std, 1 - alpha))
+        assert emp == pytest.approx(crit, abs=0.30)
+
+
+def test_ad_sigma_exact_vs_asymptotic(monkeypatch):
+    import driftspark.numerics as num
+
+    exact = num.anderson_darling_2samp_sigma(100_000, 100_000)
+    monkeypatch.setattr(num, "_AD_EXACT_N_MAX", 10)
+    asym = num.anderson_darling_2samp_sigma(100_000, 100_000)
+    assert asym == pytest.approx(exact, rel=1e-3)
+    # degenerate guard
+    assert math.isnan(num.anderson_darling_2samp_sigma(1, 2))
+
+
+def test_ad_p_value_interpolation():
+    from driftspark.numerics import _AD_CRIT_K2, anderson_darling_2samp_p
+
+    # at each tabulated critical value the fit must return ~that alpha
+    assert anderson_darling_2samp_p(float(_AD_CRIT_K2[2])) == pytest.approx(
+        0.05, abs=0.01
+    )
+    assert anderson_darling_2samp_p(float(_AD_CRIT_K2[4])) == pytest.approx(
+        0.01, abs=0.005
+    )
+    # clipped to [0.001, 0.25], monotone decreasing in the statistic
+    assert anderson_darling_2samp_p(-5.0) == 0.25
+    assert anderson_darling_2samp_p(50.0) == 0.001
+    grid = [anderson_darling_2samp_p(z) for z in np.linspace(-1, 5, 25)]
+    assert all(a >= b for a, b in zip(grid, grid[1:]))
+    # non-finite convention
+    assert anderson_darling_2samp_p(float("nan")) == 0.25
+    assert anderson_darling_2samp_p(float("inf")) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CvM/AD detector integration
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_detector(spark, samples):
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import CvMAndersonDarling
+    from driftspark.registry import DetectorRegistry
+
+    x, y, u, _ = samples
+    det = DetectorRegistry.create("cvm")
+    assert isinstance(det, CvMAndersonDarling)
+
+    # null: identical data -> T == 0, no drift, AD p at the 0.25 cap
+    ref, _t = _frame(spark, {"a": (x, x), "b": (u, u)})
+    res0 = det.fit_detect(SparkDataset(ref), SparkDataset(ref))
+    assert not res0.drift_detected and res0.score == 0.0
+    fr0 = res0.metadata["feature_results"]
+    assert fr0["a"]["ad_p_value"] == 0.25
+
+    # real shift: drift on the CvM gate and the AD gate agrees
+    ref2, test2 = _frame(spark, {"a": (x, y), "b": (u, u)})
+    res = CvMAndersonDarling().fit_detect(SparkDataset(ref2), SparkDataset(test2))
+    assert res.drift_detected and res.severity.value == "critical"
+    fr = res.metadata["feature_results"]
+    assert fr["a"]["cvm"] > 1.168 and fr["b"]["cvm"] < 0.461
+    assert fr["a"]["ad_p_value"] == 0.001  # floor: shift is enormous
+
+    res_ad = CvMAndersonDarling(statistic="ad").fit_detect(
+        SparkDataset(ref2), SparkDataset(test2)
+    )
+    assert res_ad.drift_detected and res_ad.p_value == 0.001
+    assert res_ad.statistic == pytest.approx(res.score)
+
+    with pytest.raises(ValueError):
+        CvMAndersonDarling(statistic="nope")
