@@ -1204,6 +1204,33 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_volume_anomalies(spark, sf_dir):
+    """Beyond-reference: dense-grid partition-volume anomaly report over
+    the events table (driftspark.volume.volume_report) — zero-row buckets
+    are first-class rows, trailing-window z-scores, explicit verdicts."""
+    from driftspark.volume import volume_report
+
+    ev = _t(spark, sf_dir, "events")
+    return volume_report(
+        ev, "ts", "event_type", bucket="hour", trailing=24, min_history=6,
+        z_threshold=3.0,
+    ).orderBy("group", "bucket_ts")
+
+
+def _q_freshness(spark, sf_dir):
+    """Beyond-reference: per-group staleness vs the deterministic global
+    max-timestamp anchor, incl. an expected-but-absent feed reported as
+    'missing' (driftspark.volume.freshness_report)."""
+    from driftspark.volume import freshness_report
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_report(
+        ev, "ts", "event_type", max_lag_seconds=300.0,
+        expected_groups=["click", "view", "purchase", "signup", "error",
+                         "uninstall"],
+    ).orderBy("group")
+
+
 def _q_expectations(spark, sf_dir):
     """Schema/expectation layer: violation counts in one aggregation."""
     from driftspark.schema import expect_in, expect_range, run_expectations
@@ -2376,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups_exact": _q_embedding_neardups,
         "embedding_drift": _q_embedding_drift,
         "events_hourly": _q_events_hourly,
+        "volume_anomalies": _q_volume_anomalies,
+        "freshness": _q_freshness,
         "expectation_counts": _q_expectations,
         "null_counts": _q_null_counts,
         # rows-only (non-SQL-expressible / synthetic-input)
@@ -3665,6 +3694,70 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE)
                          / count(*), 6) AS avg_value
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "volume_anomalies": """
+            WITH pts AS (
+              SELECT event_type AS grp, date_trunc('hour', ts) AS b
+              FROM events WHERE ts IS NOT NULL
+            ), counts AS (
+              SELECT grp, b, count(*) AS c FROM pts GROUP BY 1, 2
+            ), span AS (
+              SELECT min(b) AS mn, max(b) AS mx FROM pts
+            ), grid AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+              FROM span
+            ), grps AS (
+              SELECT DISTINCT grp FROM counts
+            ), dense AS (
+              SELECT g.grp, gr.b, coalesce(c.c, 0) AS c
+              FROM grps g CROSS JOIN grid gr
+              LEFT JOIN counts c ON c.grp = g.grp AND c.b = gr.b
+            ), win AS (
+              SELECT grp, b, c,
+                     count(*) OVER w AS history,
+                     avg(c) OVER w AS mean,
+                     stddev(c) OVER w AS std
+              FROM dense
+              WINDOW w AS (PARTITION BY grp ORDER BY b
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT grp AS "group",
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(c AS BIGINT) AS "rows",
+                   CAST(history AS BIGINT) AS history,
+                   round(mean, 6) AS trailing_mean,
+                   round(std, 6) AS trailing_std,
+                   round(CASE WHEN std > 0 THEN (c - mean) / std END, 6) AS z,
+                   CASE WHEN history < 6 THEN 'insufficient_history'
+                        WHEN std > 0 AND abs((c - mean) / std) >= 3.0
+                          THEN 'anomalous'
+                        WHEN std = 0 AND c <> mean THEN 'anomalous'
+                        ELSE 'ok' END AS verdict
+            FROM win ORDER BY "group", bucket_ts
+        """,
+        "freshness": """
+            WITH pts AS (
+              SELECT event_type AS grp, ts FROM events WHERE ts IS NOT NULL
+            ), per AS (
+              SELECT grp, count(*) AS c, max(ts) AS last FROM pts GROUP BY 1
+            ), exp AS (
+              SELECT unnest(['click', 'view', 'purchase', 'signup', 'error',
+                             'uninstall']) AS grp
+            ), j AS (
+              SELECT coalesce(e.grp, p.grp) AS grp, p.c, p.last,
+                     (SELECT max(ts) FROM pts) AS as_of
+              FROM exp e FULL JOIN per p ON e.grp = p.grp
+            )
+            SELECT grp AS "group",
+                   CAST(coalesce(c, 0) AS BIGINT) AS "rows",
+                   strftime(last, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   round((epoch_us(as_of) - epoch_us(last)) / 1000000.0, 6)
+                     AS lag_seconds,
+                   CASE WHEN last IS NULL THEN 'missing'
+                        WHEN (epoch_us(as_of) - epoch_us(last)) / 1000000.0
+                             > 300.0 THEN 'stale'
+                        ELSE 'fresh' END AS verdict
+            FROM j ORDER BY "group"
         """,
         "expectation_counts": """
             WITH base AS (

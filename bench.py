@@ -105,6 +105,12 @@ def main():
     _timed(q, "psi_detector", lambda: PSI().fit_detect(sref, stest))
     _timed(q, "ks_detector", lambda: KSTest().fit_detect(sref, stest))
 
+    from driftspark.detectors import CvMAndersonDarling
+
+    # both CDF functionals (CvM + tail-weighted AD) for all features in
+    # ONE fused window job — comparable work shape to ks_detector
+    _timed(q, "cvm_ad_detector", lambda: CvMAndersonDarling().fit_detect(sref, stest))
+
     from driftspark.detectors import MMD, DomainClassifier, HallucinationRiskDetector
 
     _timed(
