@@ -15,7 +15,7 @@ import sys
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # make the driftspark package importable regardless of the caller's cwd
@@ -1770,6 +1770,213 @@ def _stream_batch_input(spark, sf_dir):
     return li, ref, in_dir
 
 
+_VOL_FIT_SPLIT = "2024-01-16 00:00:00"  # events span 2024-01-01..01-30 at every SF
+_VOL_STREAM_DAYS = [(16, 21), (21, 26), (26, 31)]
+
+
+def _stream_events_input(spark, sf_dir):
+    """(fit frame, micro-batch dir) for the volume/silence streaming
+    oracles: fit = events before Jan 16; stream = days 16-30 in three
+    ts-ORDERED parquet files (batch k = days in _VOL_STREAM_DAYS[k]) —
+    ts-ordered batches mean no row is ever late vs the watermark, so
+    emission is deterministic.  DuckDB re-derives membership from the
+    registered events view via the same ts predicates; mtimes pin the
+    file -> micro-batch order (oldest-first source ordering)."""
+    import glob as _glob
+    import time
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    fit = ev.where(F.col("ts") < F.lit(_VOL_FIT_SPLIT).cast("timestamp"))
+    in_dir = _oracle_scratch_path(
+        "volstream", [_stream_events_input], suffix="", sf_dir=sf_dir,
+        split=_VOL_FIT_SPLIT, days=tuple(_VOL_STREAM_DAYS),
+    )
+    if not all(
+        _glob.glob(f"{in_dir}/b{k}/*.parquet")
+        for k in range(len(_VOL_STREAM_DAYS))
+    ):
+        for k, (lo, hi) in enumerate(_VOL_STREAM_DAYS):
+            ev.where(
+                (F.col("ts") >= F.lit(f"2024-01-{lo:02d} 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit(f"2024-01-{hi:02d} 00:00:00").cast("timestamp"))
+            ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b{k}")
+    t0 = time.time() - 1_000
+    for k in range(len(_VOL_STREAM_DAYS)):
+        for fp in sorted(_glob.glob(f"{in_dir}/b{k}/*.parquet")):
+            os.utime(fp, (t0 + 10 * k, t0 + 10 * k))
+    return fit, in_dir
+
+
+def _q_streaming_volume(spark, sf_dir):
+    """Streaming volume oracle: volume_anomaly_stream fitted on the
+    first half of events (dense-grid fit_volume_stats) and run with
+    availableNow over ts-ordered micro-batch files must emit exactly the
+    hourly windows whose end <= final watermark (global max ts - 2h),
+    each scored against the fitted baseline — all re-derivable in SQL."""
+    import uuid
+
+    from driftspark.streaming import volume_anomaly_stream
+    from driftspark.volume import fit_volume_stats
+
+    fit, in_dir = _stream_events_input(spark, sf_dir)
+    stats = fit_volume_stats(fit, "ts", "event_type", bucket="hour")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b*")
+    )
+    out = volume_anomaly_stream(
+        stream, "ts", stats, "event_type", bucket="hour",
+        watermark="2 hours", z_threshold=3.0, min_history=6,
+    )
+    name = f"volq_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "streaming volume oracle timed out"
+    rows = (
+        spark.table(name)
+        .orderBy("group", "window_start")
+        .collect()
+    )
+    return spark.createDataFrame(
+        rows,
+        "group string, window_start string, window_end string, rows long, "
+        "baseline_mean double, baseline_std double, z double, verdict string",
+    )
+
+
+def _q_streaming_silence(spark, sf_dir):
+    """Silent-feed oracle: feed_silence_stream's FINAL emission per group
+    over the same micro-batches equals the batch-derivable state — a
+    group is 'silent' iff its last event + silence_seconds <= the final
+    watermark (global max ts - delay), with its total row count and
+    ms-floored last timestamp.  Locks the event-time-timeout state
+    machinery (episode flag, no-data final batch) end-to-end."""
+    import uuid
+
+    from driftspark.streaming import feed_silence_stream
+
+    _fit, in_dir = _stream_events_input(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b*")
+    )
+    sil = feed_silence_stream(
+        stream, "ts", "event_type", silence_seconds=1200.0,
+        watermark="10 minutes",
+    )
+    name = f"silq_{uuid.uuid4().hex[:8]}"
+    q = (
+        sil.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "silence oracle timed out"
+    # final emission per group: max rows_total; at equal totals the
+    # 'silent' row postdates its paired 'active' (timeout fires strictly
+    # after the data batch that armed it)
+    all_rows = spark.table(name)
+    w = Window.partitionBy("group").orderBy(
+        F.col("rows_total").desc(),
+        F.when(F.col("status") == "silent", 1).otherwise(0).desc(),
+    )
+    rows = (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "group",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "rows_total", "status",
+        )
+        .orderBy("group")
+        .collect()
+    )
+    return spark.createDataFrame(
+        rows, "group string, last_ts string, rows_total long, status string"
+    )
+
+
+def _streaming_volume_sql() -> str:
+    """Mirrors _q_streaming_volume: fitted dense-grid baseline from the
+    pre-split events, closed windows = hourly buckets whose end <= the
+    final watermark (max stream ts - 2h), verdict ladder verbatim from
+    streaming.volume_anomaly_stream."""
+    return f"""
+        WITH fitpts AS (
+          SELECT event_type AS grp, date_trunc('hour', ts) AS b FROM events
+          WHERE ts IS NOT NULL AND ts < TIMESTAMP '{_VOL_FIT_SPLIT}'
+        ), counts AS (
+          SELECT grp, b, count(*) AS c FROM fitpts GROUP BY 1, 2
+        ), span AS (
+          SELECT min(b) AS mn, max(b) AS mx FROM fitpts
+        ), grid AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+          FROM span
+        ), grps AS (SELECT DISTINCT grp FROM counts),
+        dense AS (
+          SELECT g.grp, gr.b, coalesce(c.c, 0) AS c
+          FROM grps g CROSS JOIN grid gr
+          LEFT JOIN counts c ON c.grp = g.grp AND c.b = gr.b
+        ), fit AS (
+          SELECT grp, avg(c) AS mean, stddev(c) AS std, count(*) AS nb
+          FROM dense GROUP BY 1
+        ), spts AS (
+          SELECT event_type AS grp, ts FROM events
+          WHERE ts IS NOT NULL AND ts >= TIMESTAMP '{_VOL_FIT_SPLIT}'
+        ), wm AS (
+          SELECT max(ts) - INTERVAL 2 HOUR AS w FROM spts
+        ), wcnt AS (
+          SELECT grp, date_trunc('hour', ts) AS ws, count(*) AS c
+          FROM spts GROUP BY 1, 2
+        ), emit AS (
+          SELECT * FROM wcnt
+          WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        )
+        SELECT e.grp AS "group",
+               strftime(e.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(e.ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+                 AS window_end,
+               CAST(e.c AS BIGINT) AS "rows",
+               round(f.mean, 6) AS baseline_mean,
+               round(f.std, 6) AS baseline_std,
+               round(CASE WHEN f.std > 0 THEN (e.c - f.mean) / f.std END, 6)
+                 AS z,
+               CASE WHEN f.mean IS NULL THEN 'unknown_group'
+                    WHEN f.nb < 6 THEN 'insufficient_history'
+                    WHEN f.std > 0 AND abs((e.c - f.mean) / f.std) >= 3.0
+                      THEN 'anomalous'
+                    WHEN f.std = 0 AND e.c <> f.mean THEN 'anomalous'
+                    ELSE 'ok' END AS verdict
+        FROM emit e LEFT JOIN fit f ON e.grp = f.grp
+        ORDER BY "group", window_start
+    """
+
+
+def _streaming_silence_sql() -> str:
+    """Mirrors _q_streaming_silence's final emissions: a group is silent
+    iff its last event + 1200 s <= final watermark (max stream ts -
+    10 min); last_ts is the ms-floored group max (second-level format
+    makes ms- and us-floors identical)."""
+    return f"""
+        WITH s AS (
+          SELECT event_type AS grp, ts FROM events
+          WHERE ts IS NOT NULL AND ts >= TIMESTAMP '{_VOL_FIT_SPLIT}'
+        ), per AS (
+          SELECT grp, max(ts) AS last, count(*) AS c FROM s GROUP BY 1
+        ), wm AS (
+          SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM s
+        )
+        SELECT grp AS "group",
+               strftime(last, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               CAST(c AS BIGINT) AS rows_total,
+               CASE WHEN last + INTERVAL 1200 SECOND <= (SELECT w FROM wm)
+                    THEN 'silent' ELSE 'active' END AS status
+        FROM per ORDER BY "group"
+    """
+
+
 def _q_streaming_verdicts(spark, sf_dir):
     """Streaming glue oracle: the foreachBatch drift monitor
     (driftspark.streaming.StreamingDriftMonitor) run with
@@ -2424,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "streaming_volume": _q_streaming_volume,
+        "streaming_silence": _q_streaming_silence,
         "streaming_verdicts": _q_streaming_verdicts,
         "streaming_cumulative": _q_streaming_cumulative,
         "streaming_embedding": _q_streaming_embedding,
@@ -3824,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
             seed_centroids(EMB_DIM, IVF_CELLS, 42), n_probe=IVF_PROBE
         ),
         "embedding_neardups_lsh": _embedding_lsh_sql(planes16, bands=8),
+        "streaming_volume": _streaming_volume_sql(),
+        "streaming_silence": _streaming_silence_sql(),
         "streaming_verdicts": _streaming_verdicts_sql(),
         "streaming_cumulative": _streaming_cumulative_sql(),
         "streaming_embedding": _streaming_embedding_sql(),

@@ -865,3 +865,199 @@ def cumulative_embedding_drift_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming volume monitoring (fit on batch history, score closed windows)
+# ---------------------------------------------------------------------------
+
+
+def volume_anomaly_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    fitted_stats: Dict[str, tuple],
+    group_col: Optional[str] = None,
+    bucket: str = "hour",
+    watermark: str = "2 hours",
+    z_threshold: float = 3.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """Score each CLOSED event-time window's per-group row count against
+    a batch-fitted baseline (``volume.fit_volume_stats`` — dense-grid
+    mean/std, zero-row buckets included, the SAME frame the batch
+    report scores, so guards stay in parity).
+
+    The fitted stats ride along as MAP LITERALS in the plan (a streaming
+    aggregation cannot be followed by a static join in append mode, and
+    the state is one row per group — driver-sized by construction).
+    Verdicts mirror the batch ladder exactly, plus ``unknown_group`` for
+    a group the baseline never saw — the "column missing from fitted
+    state" guard convention.
+
+    Append mode: a window emits ONCE, when the watermark passes its end.
+    A window in which a fitted group sent NOTHING emits no row here —
+    windowed aggregation cannot key on absent data; silence is
+    ``feed_silence_stream``'s job (stateful, timeout-based), and the
+    batch ``volume_report`` scores historic craters on the dense grid.
+
+    Returns (group, window_start, window_end, rows, baseline_mean,
+    baseline_std, z, verdict) with window bounds formatted as strings
+    (engine-portable, mirrors the batch report).
+    """
+    from driftspark.volume import (
+        VERDICT_ANOMALOUS,
+        VERDICT_INSUFFICIENT,
+        VERDICT_OK,
+        _BUCKETS,
+    )
+
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, got {bucket!r}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    if not fitted_stats:
+        raise ValueError("fitted_stats is empty — fit_volume_stats first")
+
+    mean_kv, std_kv, nb_kv = [], [], []
+    for grp, (mean, std, nb) in fitted_stats.items():
+        mean_kv += [F.lit(grp), F.lit(float(mean))]
+        # std is None for a 1-bucket fit; encode as NULL double
+        std_kv += [
+            F.lit(grp),
+            F.lit(float(std)).cast("double") if std is not None
+            else F.lit(None).cast("double"),
+        ]
+        nb_kv += [F.lit(grp), F.lit(int(nb))]
+    mean_m, std_m, nb_m = F.create_map(mean_kv), F.create_map(std_kv), F.create_map(nb_kv)
+
+    g = (
+        F.col(group_col).cast("string") if group_col else F.lit("__all__")
+    ).alias("group")
+    counts = (
+        stream_df.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"1 {bucket}").alias("w"), g)
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    mean = mean_m[F.col("group")]
+    std = std_m[F.col("group")]
+    nb = nb_m[F.col("group")]
+    z = F.try_divide(F.col("rows") - mean, std)
+    verdict = (
+        F.when(mean.isNull(), F.lit("unknown_group"))
+        .when(nb < F.lit(min_history), F.lit(VERDICT_INSUFFICIENT))
+        .when((std > 0) & (F.abs(z) >= F.lit(z_threshold)), F.lit(VERDICT_ANOMALOUS))
+        .when((std == 0) & (F.col("rows") != mean), F.lit(VERDICT_ANOMALOUS))
+        .otherwise(F.lit(VERDICT_OK))
+    )
+    return counts.select(
+        "group",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "rows",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(std, 6).alias("baseline_std"),
+        F.round(z, 6).alias("z"),
+        verdict.alias("verdict"),
+    )
+
+
+def feed_silence_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    silence_seconds: float = 3600.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Detect feeds that go SILENT — the case windowed aggregation can
+    never emit (no rows -> no window) and the stateful answer to the
+    batch ``freshness_report``.
+
+    Custom stateful operator (applyInPandasWithState + EVENT-TIME
+    timeout): per-group state is just (last event time, total rows) —
+    O(groups) forever.  Whenever a group receives data it emits an
+    ``active`` row and re-arms a timeout at ``last_ts +
+    silence_seconds``; when the event-time watermark passes that without
+    new data, the group emits one ``silent`` row (once per episode —
+    re-armed only by new data, which also emits a recovery ``active``).
+
+    The pre-shuffle stage is a stateless per-partition (group, max ts,
+    count) partial — the state task receives one row per group per
+    partition, never raw volume.  NULL timestamps and NULL groups are
+    dropped with the same predicate as the batch path.
+    """
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if silence_seconds <= 0:
+        raise ValueError(f"silence_seconds must be > 0, got {silence_seconds}")
+
+    # the single watermark lives on the partial stage's `last` column
+    # (defining one here too would be "redefining watermark" — disallowed)
+    pts = (
+        stream_df.where(F.col(ts_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+        )
+    )
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf):
+                yield pdf.groupby("group", as_index=False).agg(
+                    last=("__ts", "max"), c=("__ts", "size")
+                )
+
+    part = pts.mapInPandas(
+        partials, schema="group string, last timestamp, c long"
+    ).withWatermark("last", watermark)
+
+    silence_ms = int(silence_seconds * 1000)
+
+    # a disarmed-but-kept state still holds its old timeout timestamp and
+    # would re-fire every batch: park fired episodes in year 9999 instead
+    _FAR_FUTURE_MS = 253_402_300_799_000
+
+    def update(key, pdfs, state: GroupState):
+        grp = key[0]
+        if state.hasTimedOut:
+            last_ms, total, _ = state.get
+            # one silent emission per episode; state kept for recovery
+            state.update((last_ms, total, 1))
+            state.setTimeoutTimestamp(_FAR_FUTURE_MS)
+            yield pd_.DataFrame(
+                {
+                    "group": [grp],
+                    "last_ts": [pd_.Timestamp(last_ms, unit="ms")],
+                    "rows_total": [int(total)],
+                    "status": ["silent"],
+                }
+            )
+            return
+        last_ms, total, _ = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            batch_last = max(int(t.value // 1_000_000) for t in pdf["last"])
+            last_ms = max(last_ms, batch_last)
+            total += int(pdf["c"].sum())
+        state.update((last_ms, total, 0))
+        state.setTimeoutTimestamp(last_ms + silence_ms)
+        yield pd_.DataFrame(
+            {
+                "group": [grp],
+                "last_ts": [pd_.Timestamp(last_ms, unit="ms")],
+                "rows_total": [int(total)],
+                "status": ["active"],
+            }
+        )
+
+    return part.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType="group string, last_ts timestamp, rows_total long, "
+                         "status string",
+        stateStructType="last_ms long, total long, silent long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -54,6 +54,72 @@ def _bucket_expr(ts_col: str, bucket: str) -> Column:
     return F.date_trunc(bucket, F.col(ts_col))
 
 
+def _dense_counts(
+    df: DataFrame, ts_col: str, group_col: Optional[str], bucket: str
+) -> DataFrame:
+    """Per-(group, bucket) row counts on a DENSE grid: the lazy global
+    [min,max] sequence-explode cross-joined with the observed groups, so
+    zero-row buckets are explicit rows.  Shared by volume_report and
+    fit_volume_stats — batch scoring and the streaming monitor's fitted
+    baseline see the SAME frame by construction (guard parity)."""
+    b = _bucket_expr(ts_col, bucket)
+    g = (
+        F.col(group_col).cast("string") if group_col else F.lit("__all__")
+    ).alias("group")
+    pts = df.where(F.col(ts_col).isNotNull())
+    counts = pts.select(g, b.alias("__b")).groupBy("group", "__b").agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    # lazy dense grid: 1-row global [min,max] agg -> sequence explode,
+    # cross-joined with the observed groups (both sides tiny; plan
+    # construction is job-free)
+    span = pts.select(b.alias("__b")).agg(
+        F.min("__b").alias("mn"), F.max("__b").alias("mx")
+    )
+    grid = span.select(
+        F.explode(F.expr(f"sequence(mn, mx, interval 1 {bucket})")).alias("__b")
+    )
+    groups = counts.select("group").distinct()
+    return (
+        groups.crossJoin(F.broadcast(grid))
+        .join(counts, ["group", "__b"], "left")
+        .withColumn("rows", F.coalesce(F.col("rows"), F.lit(0)).cast("long"))
+    )
+
+
+def fit_volume_stats(
+    df: DataFrame,
+    ts_col: str,
+    group_col: Optional[str] = None,
+    bucket: str = "hour",
+) -> dict:
+    """Per-group baseline (mean, sample std, n_buckets) of DENSE bucket
+    counts over the reference history — zero-row buckets included, via
+    the same frame volume_report scores against.  Returns a plain dict
+    ``{group: (mean, std, n_buckets)}`` (tiny: one row per group), the
+    broadcastable fitted state for ``streaming.volume_anomaly_stream``.
+    """
+    _bucket_expr(ts_col, bucket)  # validate bucket before running a job
+    rows = (
+        _dense_counts(df, ts_col, group_col, bucket)
+        .groupBy("group")
+        .agg(
+            F.avg("rows").alias("mean"),
+            F.stddev("rows").alias("std"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .collect()
+    )
+    return {
+        r["group"]: (
+            float(r["mean"]),
+            float(r["std"]) if r["std"] is not None else None,
+            int(r["nb"]),
+        )
+        for r in rows
+    }
+
+
 def volume_report(
     df: DataFrame,
     ts_col: str,
@@ -86,29 +152,7 @@ def volume_report(
         # a 1-bucket history has undefined sample std — scoring against it
         # would silently verdict "ok" through a NULL z
         raise ValueError(f"min_history must be >= 2, got {min_history}")
-    b = _bucket_expr(ts_col, bucket)
-    g = (
-        F.col(group_col).cast("string") if group_col else F.lit("__all__")
-    ).alias("group")
-    pts = df.where(F.col(ts_col).isNotNull())
-    counts = pts.select(g, b.alias("__b")).groupBy("group", "__b").agg(
-        F.count(F.lit(1)).alias("rows")
-    )
-
-    # lazy dense grid: 1-row global [min,max] agg -> sequence explode,
-    # cross-joined with the observed groups (both sides tiny)
-    span = pts.select(b.alias("__b")).agg(
-        F.min("__b").alias("mn"), F.max("__b").alias("mx")
-    )
-    grid = span.select(
-        F.explode(F.expr(f"sequence(mn, mx, interval 1 {bucket})")).alias("__b")
-    )
-    groups = counts.select("group").distinct()
-    dense = (
-        groups.crossJoin(F.broadcast(grid))
-        .join(counts, ["group", "__b"], "left")
-        .withColumn("rows", F.coalesce(F.col("rows"), F.lit(0)).cast("long"))
-    )
+    dense = _dense_counts(df, ts_col, group_col, bucket)
 
     w = (
         Window.partitionBy("group")
