@@ -177,3 +177,154 @@ def test_cumulative_embedding_stream_restart(spark):
         _assert_rows_equal(restarted, solid)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# volume_anomaly_stream (append-mode windowed agg) + feed_silence_stream
+# (event-time-timeout state) — restart from checkpoint must equal the
+# uninterrupted run with no window re-emission and recovered group state
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+
+def _vol_rows(rows):
+    t0 = datetime(2024, 3, 1)
+    return pd.DataFrame(
+        {
+            "grp": [g for g, h, n in rows for _ in range(n)],
+            "ts": [
+                t0 + timedelta(hours=h, minutes=i % 60)
+                for _, h, n in rows
+                for i in range(n)
+            ],
+        }
+    )
+
+
+def _run_mode(spark, factory, schema, src, ckpt, sink, mode):
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+
+    def write_batch(df, bid):
+        df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(sink)
+
+    q = (
+        factory(stream)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream timed out"
+    return spark.read.parquet(sink).toPandas()
+
+
+def test_volume_anomaly_stream_restart(spark):
+    from driftspark.streaming import volume_anomaly_stream
+    from driftspark.volume import fit_volume_stats
+
+    tmp = tempfile.mkdtemp()
+    try:
+        fit_df = spark.createDataFrame(_vol_rows([("a", h, 5) for h in range(48)]))
+        stats = fit_volume_stats(fit_df, "ts", "grp")
+        factory = lambda s: volume_anomaly_stream(  # noqa: E731
+            s, "ts", stats, "grp", watermark="2 hours", min_history=6
+        )
+        schema = "grp string, ts timestamp"
+        b0 = _vol_rows([("a", h, 5) for h in range(10)])
+        b1 = _vol_rows([("a", h, 5 if h != 15 else 40) for h in range(10, 20)])
+
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        first = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/sink",
+            "append",
+        )
+        assert len(first) > 0  # some windows closed in batch 0
+
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+        both = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/sink",
+            "append",
+        )
+        # exactly-once across the restart: no window emitted twice
+        assert not both.duplicated(subset=["group", "window_start"]).any()
+        # batch 0's offsets are committed: restart emissions arrive in
+        # LATER epochs only (ids continue across restarts; append-mode
+        # closures land in the trailing no-data batch)
+        assert both["batch_id"].max() > first["batch_id"].max()
+        assert len(both) > len(first)
+
+        solid = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt2", f"{tmp}/sink2",
+            "append",
+        )
+        key = ["group", "window_start", "rows", "z", "verdict"]
+
+        def rows_set(df):  # NaN != NaN would fail the tuple compare
+            return sorted(
+                map(tuple, df[key].fillna({"z": -999.0}).itertuples(index=False))
+            )
+
+        assert rows_set(both) == rows_set(solid)
+        spike = both[both["verdict"] == "anomalous"]
+        assert list(spike["window_start"]) == ["2024-03-01 15:00:00"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_feed_silence_stream_restart(spark):
+    from driftspark.streaming import feed_silence_stream
+
+    tmp = tempfile.mkdtemp()
+    try:
+        factory = lambda s: feed_silence_stream(  # noqa: E731
+            s, "ts", "grp", silence_seconds=3 * 3600, watermark="10 minutes"
+        )
+        schema = "grp string, ts timestamp"
+        b0 = _vol_rows([("a", h, 5) for h in range(10)] + [("b", h, 5) for h in range(10)])
+        b1 = _vol_rows([("a", h, 5) for h in range(10, 20)])
+
+        spark.createDataFrame(b0).coalesce(1).write.parquet(f"{tmp}/in/b0")
+        first = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/sink",
+            "update",
+        )
+        assert set(first["status"]) == {"active"}
+
+        spark.createDataFrame(b1).coalesce(1).write.parquet(f"{tmp}/in/b1")
+        both = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/sink",
+            "update",
+        )
+        # recovered state: a's post-restart total includes batch 0's rows,
+        # and b's timeout (armed before the kill) fires exactly once
+        a_final = both[both["group"] == "a"].sort_values("rows_total").iloc[-1]
+        assert a_final["rows_total"] == 100 and a_final["status"] == "active"
+        b_silent = both[(both["group"] == "b") & (both["status"] == "silent")]
+        assert len(b_silent) == 1 and b_silent.iloc[0]["rows_total"] == 50
+
+        solid = _run_mode(
+            spark, factory, schema, f"{tmp}/in", f"{tmp}/ckpt2", f"{tmp}/sink2",
+            "update",
+        )
+
+        def final_state(df):
+            out = {}
+            for grp, sub in df.groupby("group"):
+                sub = sub.sort_values(["rows_total", "status"])
+                out[grp] = (
+                    int(sub.iloc[-1]["rows_total"]),
+                    "silent" in set(sub["status"]),
+                )
+            return out
+
+        assert final_state(both) == final_state(solid)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
