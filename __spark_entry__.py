@@ -334,6 +334,66 @@ def _cvm_ad_sql() -> str:
     """
 
 
+_SHIFT_PROBS = (0.05, 0.25, 0.5, 0.75, 0.95)
+
+
+def _q_quantile_shift(spark, sf_dir):
+    """Beyond-reference: per-feature quantile-shift table between splits
+    (stats.quantile_shift_report — one exact-percentile agg per side,
+    pandas-parity interpolation == DuckDB quantile_cont)."""
+    from driftspark.stats import quantile_shift_report
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    rep = quantile_shift_report(
+        ref, test, ["l_quantity", "l_extendedprice"], probs=_SHIFT_PROBS
+    )
+    rows = [
+        (c, p, _roundhu(rq, 6), _roundhu(tq, 6), _roundhu(sh, 6),
+         _roundhu(si, 9) if si is not None else None)
+        for c, entries in sorted(rep.items())
+        for p, rq, tq, sh, si in entries
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature string, prob double, ref_q double, test_q double, "
+        "shift double, shift_iqr double",
+    )
+
+
+def _quantile_shift_sql() -> str:
+    want = sorted(set(_SHIFT_PROBS) | {0.25, 0.75})
+    arr = "[" + ", ".join(str(p) for p in want) + "]"
+    vals = ", ".join(
+        f"({p}, {want.index(p) + 1})" for p in _SHIFT_PROBS
+    )
+    i25, i75 = want.index(0.25) + 1, want.index(0.75) + 1
+    return f"""
+        WITH f AS (
+          SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+                 l_orderkey FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+                 l_orderkey FROM lineitem
+        ), agg AS (
+          SELECT feature,
+                 quantile_cont(CASE WHEN l_orderkey % 2 = 0 THEN v END,
+                               {arr}) AS rq,
+                 quantile_cont(CASE WHEN l_orderkey % 2 = 1 THEN v END,
+                               {arr}) AS tq
+          FROM f GROUP BY feature
+        )
+        SELECT feature, CAST(pr.p AS DOUBLE) AS prob,
+               round(rq[pr.i], 6) AS ref_q,
+               round(tq[pr.i], 6) AS test_q,
+               round(tq[pr.i] - rq[pr.i], 6) AS shift,
+               CASE WHEN rq[{i75}] - rq[{i25}] > 0 THEN
+                 round((tq[pr.i] - rq[pr.i]) / (rq[{i75}] - rq[{i25}]), 9)
+               END AS shift_iqr
+        FROM agg, (VALUES {vals}) AS pr(p, i)
+        ORDER BY feature, prob
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2589,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_w1": _q_wasserstein,
         "divergence_price": _q_divergence_price,
         "cvm_ad": _q_cvm_ad,
+        "quantile_shift": _q_quantile_shift,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3660,6 +3721,7 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_w1": _wasserstein_sql(),
         "divergence_price": _divergence_sql(price_bucket),
         "cvm_ad": _cvm_ad_sql(),
+        "quantile_shift": _quantile_shift_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

@@ -997,6 +997,81 @@ def _cvm_ad_bucketed(
 
 
 # ---------------------------------------------------------------------------
+# Quantile-shift report (where did the distribution move, and by how much)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SHIFT_PROBS = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def quantile_shift_report(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = DEFAULT_SHIFT_PROBS,
+    exact: bool = True,
+) -> Dict[str, list]:
+    """Per-feature quantile table: WHERE the distribution moved and by how
+    much — the human-legible companion to the scalar drift statistics
+    (a KS D or CvM T says "drifted"; this says "the upper tail moved
+    +12% of an IQR while the median held").
+
+    ONE exact-percentile aggregation per side for ALL features and probs
+    (same pandas-parity linear interpolation as :func:`quantile_edges` —
+    engine-portable to DuckDB's ``quantile_cont``); ``exact=False``
+    switches to the Greenwald-Khanna sketch path for the 100 TB scale,
+    where an exact distributed sort per feature is not realistic.
+
+    Returns ``{feature: [(prob, ref_q, test_q, shift, shift_iqr), ...]}``
+    with ``shift = test_q - ref_q`` and ``shift_iqr = shift / ref IQR``
+    (None when the reference IQR is 0 — the explicit degenerate semantic,
+    never a division error under ANSI).  The reference IQR uses the exact
+    0.25/0.75 percentiles regardless of ``probs``.  Features empty on
+    either side are skipped with a warning (KS convention).
+    """
+    probs = [float(p) for p in probs]
+    if not cols or not probs:
+        return {}
+    if any(p < 0 or p > 1 for p in probs):
+        raise ValueError(f"probs must lie in [0, 1], got {probs}")
+    want = sorted(set(probs) | {0.25, 0.75})
+
+    def side(df):
+        if exact:
+            arr = F.array(*[F.lit(p) for p in want])
+            row = df.agg(
+                *[F.percentile(nn(c), arr).alias(c) for c in cols]
+            ).first()
+            return {c: row[c] for c in cols}
+        raw = df.approxQuantile(list(cols), want, 1e-4)
+        return {c: (list(v) if len(v) else None) for c, v in zip(cols, raw)}
+
+    ref_q, test_q = side(ref_df), side(test_df)
+    idx = {p: i for i, p in enumerate(want)}
+    out: Dict[str, list] = {}
+    skipped = []
+    for c in cols:
+        r, t = ref_q.get(c), test_q.get(c)
+        if r is None or t is None:
+            skipped.append(c)
+            continue
+        iqr = float(r[idx[0.75]]) - float(r[idx[0.25]])
+        rows = []
+        for p in probs:
+            rq, tq = float(r[idx[p]]), float(t[idx[p]])
+            shift = tq - rq
+            rows.append(
+                (p, rq, tq, shift, (shift / iqr) if iqr > 0 else None)
+            )
+        out[c] = rows
+    if skipped:
+        logger.warning(
+            "quantile_shift_report: no non-null values on one side for %s "
+            "— skipped", sorted(skipped),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Moment statistics (localizer dist_info; population std == np.std ddof=0)
 # ---------------------------------------------------------------------------
 

@@ -431,3 +431,59 @@ def test_cvm_detector(spark, samples):
 
     with pytest.raises(ValueError):
         CvMAndersonDarling(statistic="nope")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-shift report
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_shift_matches_numpy(spark, samples):
+    from driftspark.stats import quantile_shift_report
+
+    x, y, u, v = samples
+    ref, test = _frame(spark, {"a": (x, y), "b": (u, v)})
+    probs = (0.1, 0.5, 0.9)
+    rep = quantile_shift_report(ref, test, ["a", "b"], probs=probs)
+    for col, (xx, yy) in {"a": (x, y), "b": (u, v)}.items():
+        iqr = np.quantile(xx, 0.75) - np.quantile(xx, 0.25)
+        for (p, rq, tq, sh, si), pe in zip(rep[col], probs):
+            assert p == pe
+            assert rq == pytest.approx(np.quantile(xx, pe), abs=1e-9)
+            assert tq == pytest.approx(np.quantile(yy, pe), abs=1e-9)
+            assert sh == pytest.approx(tq - rq, abs=1e-12)
+            assert si == pytest.approx(sh / iqr, abs=1e-9)
+
+
+def test_quantile_shift_location_and_degenerate(spark):
+    from driftspark.stats import quantile_shift_report
+
+    x = np.arange(1000) / 10.0
+    ref, test = _frame(
+        spark, {"a": (x, x + 2.5), "c": (np.full(50, 7.0), np.full(40, 9.0))}
+    )
+    rep = quantile_shift_report(ref, test, ["a", "c"], probs=(0.25, 0.5, 0.75))
+    # pure location shift: every quantile moves by exactly the shift
+    for _, _, _, sh, _ in rep["a"]:
+        assert sh == pytest.approx(2.5, abs=1e-9)
+    # constant reference: IQR == 0 -> shift_iqr None, never a crash
+    for _, rq, tq, sh, si in rep["c"]:
+        assert (rq, tq, sh) == (7.0, 9.0, 2.0) and si is None
+
+
+def test_quantile_shift_skips_and_validates(spark):
+    from driftspark.stats import quantile_shift_report
+
+    ref, test = _frame(
+        spark, {"a": (np.arange(50.0), np.arange(50.0)), "d": (np.arange(30.0), [])}
+    )
+    rep = quantile_shift_report(ref, test, ["a", "d"])
+    assert "a" in rep and "d" not in rep
+    with pytest.raises(ValueError, match="probs"):
+        quantile_shift_report(ref, test, ["a"], probs=(0.5, 1.5))
+    # GK sketch path returns a true data point: at odd count the exact
+    # interpolated median IS a data point, so the two paths coincide
+    ref51, test51 = _frame(spark, {"a": (np.arange(51.0), np.arange(51.0))})
+    approx = quantile_shift_report(ref51, test51, ["a"], probs=(0.5,), exact=False)
+    exact = quantile_shift_report(ref51, test51, ["a"], probs=(0.5,))
+    assert approx["a"][0][1] == exact["a"][0][1] == 25.0
