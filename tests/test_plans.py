@@ -328,3 +328,45 @@ def test_lsh_cap_filters_have_no_window_sort(spark):
         embedding_near_duplicates(emb, "id", "vec", min_cosine=0.9, dim=8)
     )
     assert "Window" not in emb_plan, emb_plan[:2000]
+
+
+def test_volume_report_single_count_shuffle_and_broadcast_grid(spark):
+    from driftspark.volume import volume_report
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(volume_report(ev, "ts", "event_type"))
+    # the dense grid (1-row sequence explode) must broadcast to the counts,
+    # never shuffle them; the trailing window partitions by group
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_cvm_ad_window_partitioned_not_global(spark):
+    # the fused CvM/AD cumulative window is per-feature, never a global
+    # single-partition sort (the W1/KS scale contract)
+    from driftspark.stats import _melt
+    from pyspark.sql import Window
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    u = (
+        _melt(li.where("l_orderkey % 2 = 0"), ["l_quantity", "l_tax"])
+        .withColumn("r", F.lit(1)).withColumn("t", F.lit(0))
+    )
+    g = u.groupBy("feature", "value").agg(
+        F.sum("r").alias("r"), F.sum("t").alias("t")
+    )
+    from driftspark.stats import _cvm_ad_terms
+
+    w_cum = (
+        Window.partitionBy("feature").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    cvm, ad = _cvm_ad_terms(
+        F.sum("r").over(w_cum), F.sum("t").over(w_cum),
+        F.col("r"), F.col("t"),
+        F.sum("r").over(w_all), F.sum("t").over(w_all), 9,
+    )
+    scored = g.select("feature", cvm.alias("cvm"), ad.alias("ad"))
+    plan = _plan(scored)
+    assert "Window" in plan and "SinglePartition" not in plan
