@@ -394,6 +394,102 @@ def _quantile_shift_sql() -> str:
     """
 
 
+def _q_w1_partition(spark, sf_dir):
+    """Beyond-reference: per-partition exact Wasserstein-1 vs the GLOBAL
+    reference sample (verdicts.w1_by_partition — the scale-bearing
+    partition check; global ref value counts cross-joined to partitions,
+    quantized-decimal gap-term sum), normalized by the global reference
+    population std (the WassersteinDistance detector convention)."""
+    from driftspark.stats import moment_stats
+    from driftspark.verdicts import w1_by_partition
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    test = li.where(F.col("l_orderkey") % 2 == 1).withColumn(
+        "part", F.col("l_linenumber").cast("int")
+    )
+    stds = {c: s for c, (mu, s) in moment_stats(ref, cols).items()}
+    rows = [
+        (r["part"], r["feature"], _roundhu(float(r["w1"]), 6),
+         _roundhu(float(r["w1"]) / stds[r["feature"]], 6),
+         int(r["n"]), int(r["m"]))
+        for r in w1_by_partition(ref, test, cols, "part").collect()
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "part int, feature string, w1 double, w1_norm double, n long, m long",
+    )
+
+
+def _w1_partition_sql() -> str:
+    # mirrors verdicts.w1_by_partition operand for operand (see
+    # _wasserstein_sql note); m = 0 groups are term-guarded because
+    # CAST(NaN AS DECIMAL) errors in DuckDB — they are filtered by
+    # HAVING anyway, exactly like the Spark-side m > 0 filter
+    return """
+        WITH refm AS (
+          SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value
+          FROM lineitem WHERE l_orderkey % 2 = 0
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+          FROM lineitem WHERE l_orderkey % 2 = 0
+        ), testm AS (
+          SELECT CAST(l_linenumber AS INTEGER) AS part,
+                 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS value
+          FROM lineitem WHERE l_orderkey % 2 = 1
+          UNION ALL
+          SELECT CAST(l_linenumber AS INTEGER), 'l_extendedprice',
+                 CAST(l_extendedprice AS DOUBLE)
+          FROM lineitem WHERE l_orderkey % 2 = 1
+        ), rv AS (
+          SELECT feature, value, count(*) AS r FROM refm GROUP BY 1, 2
+        ), parts AS (SELECT DISTINCT part FROM testm),
+        rp AS (
+          SELECT p.part, rv.feature, rv.value, rv.r, 0 AS t
+          FROM rv CROSS JOIN parts p
+        ), tv AS (
+          SELECT part, feature, value, 0 AS r, count(*) AS t
+          FROM testm GROUP BY 1, 2, 3
+        ), u AS (
+          SELECT * FROM rp UNION ALL SELECT * FROM tv
+        ), g AS (
+          SELECT part, feature, value, sum(r) AS r, sum(t) AS t
+          FROM u GROUP BY 1, 2, 3
+        ), c AS (
+          SELECT part, feature, value,
+                 sum(r) OVER w AS cr, sum(t) OVER w AS ct,
+                 sum(r) OVER wa AS n, sum(t) OVER wa AS m,
+                 lead(value) OVER (PARTITION BY part, feature ORDER BY value)
+                   AS nxt
+          FROM g
+          WINDOW w AS (PARTITION BY part, feature ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wa AS (PARTITION BY part, feature)
+        ), terms AS (
+          SELECT part, feature, n, m,
+                 CAST(round(CASE WHEN m > 0 THEN
+                   coalesce(abs(cr * 1.0 / n - ct * 1.0 / m) * (nxt - value),
+                            0.0)
+                 ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS term
+          FROM c
+        ), stds AS (
+          SELECT 'l_quantity' AS feature, stddev_pop(l_quantity) AS s
+          FROM lineitem WHERE l_orderkey % 2 = 0
+          UNION ALL
+          SELECT 'l_extendedprice', stddev_pop(l_extendedprice)
+          FROM lineitem WHERE l_orderkey % 2 = 0
+        )
+        SELECT t.part, t.feature,
+               round(CAST(sum(term) AS DOUBLE), 6) AS w1,
+               round(CAST(sum(term) AS DOUBLE) / max(s.s), 6) AS w1_norm,
+               CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m
+        FROM terms t JOIN stds s ON t.feature = s.feature
+        GROUP BY t.part, t.feature HAVING max(m) > 0
+        ORDER BY t.part, t.feature
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2650,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergence_price": _q_divergence_price,
         "cvm_ad": _q_cvm_ad,
         "quantile_shift": _q_quantile_shift,
+        "w1_partition_verdicts": _q_w1_partition,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3722,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "divergence_price": _divergence_sql(price_bucket),
         "cvm_ad": _cvm_ad_sql(),
         "quantile_shift": _quantile_shift_sql(),
+        "w1_partition_verdicts": _w1_partition_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

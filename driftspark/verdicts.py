@@ -254,6 +254,95 @@ def ks_d_by_partition(
     )
 
 
+def w1_by_partition(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    part_col: str = "part",
+    quantize: int = 9,
+) -> DataFrame:
+    """(part, feature, w1, n, m) — exact Wasserstein-1 of each test
+    partition's sample vs the GLOBAL reference sample, distributed.
+
+    Same shape and scale contract as :func:`ks_d_by_partition` (global
+    reference value counts cross-joined with the partition ids, so the
+    per-(part, feature) window input stays at distinct values x parts),
+    plus the W1 value-gap term: |CDF_r - CDF_t| * (next value - value)
+    summed as quantized decimal — order-independent, engine-portable,
+    bit-identical under any layout (the wasserstein_all contract).
+
+    Partition ids keep their ORIGINAL type; NULL-part rows belong to no
+    partition and are excluded (the psi/chi2 paths count + warn the same
+    rows); (part, feature) groups with no test values are dropped, never
+    divided by zero (try_divide under ANSI).
+    """
+    from driftspark.stats import _w1_term_quantized
+
+    structs = lambda df: [  # noqa: E731
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ]
+
+    def melt(df, with_part):
+        sel = [F.col(part_col).alias("part")] if with_part else []
+        return (
+            df.select(*sel, F.explode(F.array(*structs(df))).alias("fv"))
+            .select(*(["part"] if with_part else []), "fv.feature", "fv.value")
+            .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        )
+
+    ref_vals = melt(ref_df, False).groupBy("feature", "value").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    parts = (
+        test_df.where(F.col(part_col).isNotNull())
+        .select(F.col(part_col).alias("part"))
+        .distinct()
+    )
+    ref_per_part = ref_vals.crossJoin(F.broadcast(parts)).withColumn("t", F.lit(0))
+    test_vals = (
+        melt(test_df, True)
+        .groupBy("part", "feature", "value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("r", F.lit(0))
+    )
+    u = ref_per_part.select("part", "feature", "value", "r", "t").unionByName(
+        test_vals.select("part", "feature", "value", "r", "t")
+    )
+    g = u.groupBy("part", "feature", "value").agg(
+        F.sum("r").alias("r"), F.sum("t").alias("t")
+    )
+    w_cum = (
+        Window.partitionBy("part", "feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("part", "feature")
+    w_lead = Window.partitionBy("part", "feature").orderBy("value")
+    gap = F.lead("value").over(w_lead) - F.col("value")
+    diff = F.abs(
+        F.try_divide(F.sum("r").over(w_cum), F.sum("r").over(w_all))
+        - F.try_divide(F.sum("t").over(w_cum), F.sum("t").over(w_all))
+    )
+    term = _w1_term_quantized(
+        F.coalesce(diff * gap, F.lit(0.0)), quantize
+    )
+    scored = g.select(
+        "part", "feature", term.alias("term"),
+        F.sum("r").over(w_all).alias("n"),
+        F.sum("t").over(w_all).alias("m"),
+    )
+    return (
+        scored.groupBy("part", "feature")
+        .agg(
+            F.sum("term").cast("double").alias("w1"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
+        .where((F.col("m") > 0) & (F.col("n") > 0))
+    )
+
+
 def _ref_ecdf_points(
     ref_g: DataFrame,
     max_points: int,
@@ -806,6 +895,8 @@ def partition_verdicts(
     ks_cols: Optional[Sequence[str]] = None,
     max_categories: int = 1000,
     ks_preaggregate: bool = False,
+    w1_cols: Optional[Sequence[str]] = None,
+    w1_threshold: float = 0.1,
 ) -> DataFrame:
     """Run the per-partition drift suite over one split-tagged table.
 
@@ -869,14 +960,28 @@ def partition_verdicts(
             ref_df, test_df, cat_cols, part_col, max_categories=max_categories
         )
 
-    # the three check families are independent — submit their Spark jobs
+    def run_w1():
+        # opt-in scale-bearing check: normalized W1 (w1 / global ref std)
+        # per partition; the ratio severity ladder matches the
+        # WassersteinDistance detector.  Degenerate ref std (constant
+        # feature) scores raw w1 against 0 — any movement fails.
+        if not w1_cols:
+            return [], {}
+        from driftspark.stats import moment_stats
+
+        stds = {c: s for c, (mu, s) in moment_stats(ref_df, list(w1_cols)).items()}
+        return w1_by_partition(ref_df, test_df, list(w1_cols), part_col).collect(), stds
+
+    # the check families are independent — submit their Spark jobs
     # concurrently so per-job scheduling latency overlaps (the scheduler
     # interleaves stages; at scale this also overlaps shuffle waits)
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         psi_fut = pool.submit(run_psi)
         ks_fut = pool.submit(run_ks)
         chi2_fut = pool.submit(run_chi2)
+        w1_fut = pool.submit(run_w1)
         psi_rows, ks_rows, chi2_rows = psi_fut.result(), ks_fut.result(), chi2_fut.result()
+        w1_rows, w1_stds = w1_fut.result()
 
     for r in psi_rows:
         psi = float(r["psi"])
@@ -924,6 +1029,25 @@ def partition_verdicts(
                 rec["n_test"],
             )
         )
+    if w1_rows:
+        from driftspark.detectors.wasserstein import severity_from_ratio
+
+        for r in w1_rows:
+            w1, std = float(r["w1"]), w1_stds.get(r["feature"], 0.0)
+            norm = w1 / std if std > 0 else (0.0 if w1 == 0.0 else float("inf"))
+            rows.append(
+                (
+                    r["part"],
+                    r["feature"],
+                    "w1",
+                    norm,
+                    None,
+                    severity_from_ratio(norm / w1_threshold),
+                    norm < w1_threshold,
+                    int(r["n"]),
+                    int(r["m"]),
+                )
+            )
 
     if not rows:
         return spark.createDataFrame([], out_schema)

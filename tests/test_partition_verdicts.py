@@ -427,3 +427,63 @@ def test_all_null_numeric_cols_skip_psi_gracefully(spark, caplog):
     assert any("PSI checks skipped" in r.message for r in caplog.records)
     checks = {r["check"] for r in out}
     assert checks == {"chi2"}  # x has no ECDF either; chi2 still ran
+
+
+def test_w1_by_partition_single_part_equals_wasserstein_all(spark, drifted):
+    from driftspark.stats import wasserstein_all
+    from driftspark.verdicts import w1_by_partition
+
+    ref = drifted.where("split = 'ref'")
+    test = drifted.where("split = 'test'").withColumn("part", F.lit("all"))
+    rows = {r["feature"]: r for r in
+            w1_by_partition(ref, test, ["w", "h"]).collect()}
+    base = wasserstein_all(ref, test.drop("part"), ["w", "h"])
+    for c in ("w", "h"):
+        assert rows[c]["w1"] == base[c][0]  # bit-identical quantized sums
+        assert (rows[c]["n"], rows[c]["m"]) == base[c][1:]
+
+
+def test_w1_by_partition_string_parts_and_null_excluded(spark):
+    import pandas as pd_
+
+    pdf = pd_.DataFrame(
+        {
+            "x": list(range(100)) + [v + 50 for v in range(100)],
+            "part": ["p1"] * 50 + ["p2"] * 40 + [None] * 10 + ["?"] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ref = df.where("part = '?'").select("x")
+    test = df.where("part <> '?'")
+    from driftspark.verdicts import w1_by_partition
+
+    rows = {r["part"]: r for r in w1_by_partition(ref, test, ["x"]).collect()}
+    # NULL-part rows belong to no partition (psi/chi2 convention)
+    assert set(rows) == {"p1", "p2"}
+    assert isinstance(next(iter(rows)), str)  # original id type preserved
+    # p1 == first half of the reference shifted into it -> strictly less
+    # drifted than p2 (upper tail only)
+    assert rows["p1"]["m"] == 50 and rows["p2"]["m"] == 40
+
+
+def test_partition_verdicts_w1_optin(spark, drifted, stable):
+    from driftspark.verdicts import partition_verdicts
+
+    # default OFF: no w1 rows (existing oracles stay byte-stable)
+    base = partition_verdicts(drifted, numeric_cols=["w"], cat_cols=[])
+    assert base.where("check = 'w1'").count() == 0
+
+    v = partition_verdicts(
+        drifted, numeric_cols=["w"], cat_cols=[], w1_cols=["w"],
+        w1_threshold=0.1,
+    ).where("check = 'w1'").collect()
+    assert len(v) == 4  # one per partition
+    for r in v:
+        assert r["p_value"] is None and r["statistic"] >= 0
+    # the drifted table must fail somewhere; the stable one must pass
+    assert any(not r["passed"] for r in v)
+    v0 = partition_verdicts(
+        stable, numeric_cols=["w"], cat_cols=[], w1_cols=["w"],
+        w1_threshold=0.5,
+    ).where("check = 'w1'").collect()
+    assert v0 and all(r["passed"] for r in v0)
