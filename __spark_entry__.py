@@ -490,6 +490,64 @@ def _w1_partition_sql() -> str:
     """
 
 
+def _q_contamination(spark, sf_dir):
+    """LLM-pipeline decontamination: per-document 8-gram overlap of the
+    odd-doc_id half vs the even half (dedup.contamination_report,
+    engine-portable md5 gram-hash path; xxhash64 is the scale default,
+    verified equal in tests)."""
+    from driftspark.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = contamination_report(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", n=8, threshold=0.5, hash_fn="md5",
+    )
+    return rep.select(
+        "id", "n_ngrams", "n_hit", F.round("rate", 9).alias("rate"),
+        "contaminated",
+    ).orderBy("id")
+
+
+def _contamination_sql() -> str:
+    # mirrors dedup.ngrams (sequence 0..max(size-n,0), 1-based slice of
+    # length n — short texts yield their single short gram) + the md5
+    # gram-hash join of contamination_report
+    return """
+        WITH grams AS (
+          SELECT doc_id, md5(g) AS g FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(words) - 7, 1)),
+              i -> array_to_string(words[i:i+7], ' ')
+            )) AS g
+            FROM (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> w <> '') AS words
+              FROM documents
+            )
+          ) WHERE g <> ''
+        ), tg AS (
+          SELECT DISTINCT doc_id AS id, g FROM grams WHERE doc_id % 2 = 1
+        ), rg AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+        ), per AS (
+          SELECT id, count(*) AS n_ngrams,
+                 sum(CASE WHEN rg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+          FROM tg LEFT JOIN rg ON tg.g = rg.g GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+               round(p.n_hit * 1.0 / p.n_ngrams, 9) AS rate,
+               coalesce(p.n_hit * 1.0 / p.n_ngrams > 0.5, FALSE)
+                 AS contaminated
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN per p ON d.doc_id = p.id
+        ORDER BY id
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2747,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_ad": _q_cvm_ad,
         "quantile_shift": _q_quantile_shift,
         "w1_partition_verdicts": _q_w1_partition,
+        "contamination": _q_contamination,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3820,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "cvm_ad": _cvm_ad_sql(),
         "quantile_shift": _quantile_shift_sql(),
         "w1_partition_verdicts": _w1_partition_sql(),
+        "contamination": _contamination_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

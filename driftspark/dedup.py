@@ -91,20 +91,34 @@ def minhash_signatures(
     n-grams (sliding window via posexplode + self-join-free array slicing).
 
     Returns (id, mh0..mh{n-1}).  One explode + one groupBy(doc) shuffle."""
-    if shingle_size == 1:
-        sh = tokens(df, id_col, text_col)
-    else:
-        words = F.split(F.lower(F.col(text_col)), r"\s+")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_size, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size)),
-        )
-        sh = (
-            df.select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
-            .where(F.col("token") != "")
-            .distinct()
-        )
-    return _signatures_from_tokens(sh, n_hashes)
+    return _signatures_from_tokens(
+        ngrams(df, id_col, text_col, shingle_size), n_hashes
+    )
+
+
+def ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, token) long form of word n-grams — n=1 is plain tokens; n>1
+    slides a window via sequence + array slicing (texts shorter than n
+    yield their single short gram, the minhash shingle convention)."""
+    if n == 1:
+        return tokens(df, id_col, text_col, distinct)
+    # drop empty words BEFORE sliding (Spark split keeps leading/trailing
+    # empties at limit -1: a whitespace-only text would otherwise emit a
+    # single-space gram) — grams are built over TOKENS, matching tokens()
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return out.distinct() if distinct else out
 
 
 def _signatures_from_tokens(tok: DataFrame, n_hashes: int) -> DataFrame:
@@ -550,3 +564,72 @@ def simhash_near_duplicates(
     # star pairs first so hamming-0 duplicates survive even when every
     # chunk bucket of a mega-cluster exceeds the cap
     return star.unionByName(near).dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Test-set contamination (decontamination pre-pass for training corpora)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    test_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document n-gram overlap of ``test_df`` against the ``ref_df``
+    corpus — THE decontamination question for training pipelines: which
+    eval/benchmark documents leak into the training set (or vice versa).
+
+    One distinct-gram set per side; the join runs on an n-gram HASH
+    (xxhash64 default — 8-byte shuffle keys instead of long strings at
+    10^12 grams; ``hash_fn="md5"`` is the engine-portable oracle path,
+    the simhash convention) with AQE free to pick broadcast vs
+    sort-merge.  Documents whose text yields NO grams (empty/whitespace)
+    are still reported — n_ngrams 0, rate NULL, contaminated false —
+    absence of evidence is not a pass that silently drops rows.
+
+    Returns (id, n_ngrams, n_hit, rate, contaminated) where ``rate`` =
+    n_hit / n_ngrams over the document's DISTINCT grams and
+    ``contaminated`` = rate > threshold (strict >, so threshold=0 flags
+    any single shared n-gram).
+    """
+    if hash_fn == "xxhash64":
+        h = lambda c: F.xxhash64(c)  # noqa: E731
+    elif hash_fn == "md5":
+        h = lambda c: F.md5(c)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+    tg = ngrams(test_df, id_col, text_col, n).select("id", h(F.col("token")).alias("g"))
+    rg = (
+        ngrams(ref_df, id_col, text_col, n)
+        .select(h(F.col("token")).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        tg.join(rg, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    all_ids = test_df.select(F.col(id_col).alias("id")).distinct()
+    rate = F.try_divide(F.col("n_hit"), F.col("n_ngrams"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            rate.alias("rate"),
+            F.coalesce(rate > F.lit(float(threshold)), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -494,3 +494,70 @@ def test_uniqueness_no_cachemanager_leak(spark):
     assert viol.count() == 2 and rep.first()["n_dup_keys"] == 1
     after_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert after_empty or not before_empty
+
+
+# ---------------------------------------------------------------------------
+# Test-set contamination (decontamination pre-pass)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_hand_computed(spark):
+    from driftspark.dedup import contamination_report
+
+    test = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams(3): abc bcd cde -> 2 hits
+            (2, "x y z w"),          # xyz yzw -> 0 hits
+            (3, "a b c"),            # short == exactly one gram, hit
+            (4, "   "),              # whitespace only: no grams
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "a b c d q r s"), (11, "b c d e f")], "doc_id long, text string"
+    )
+    rep = {
+        r["id"]: r
+        for r in contamination_report(
+            test, ref, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert rep[1]["n_ngrams"] == 3 and rep[1]["n_hit"] == 3  # abc bcd cde all present
+    assert rep[1]["contaminated"]
+    assert rep[2]["n_hit"] == 0 and not rep[2]["contaminated"]
+    assert rep[3]["n_ngrams"] == 1 and rep[3]["n_hit"] == 1
+    # empty doc is REPORTED, not dropped: rate NULL, contaminated False
+    assert rep[4]["n_ngrams"] == 0 and rep[4]["rate"] is None
+    assert not rep[4]["contaminated"]
+
+
+def test_contamination_hash_paths_and_threshold(spark):
+    from driftspark.dedup import contamination_report
+
+    import pytest as _pytest
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # 5 exact leaks
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    test = docs.where("doc_id >= 100")
+    ref = docs.where("doc_id < 100")
+    a = sorted(map(tuple, contamination_report(
+        test, ref, "doc_id", "text", n=8).collect()))
+    b = sorted(map(tuple, contamination_report(
+        test, ref, "doc_id", "text", n=8, hash_fn="md5").collect()))
+    assert a == b  # scale and portable hash paths agree
+    assert all(r[4] for r in a)  # every leaked doc flagged at threshold 0
+    with _pytest.raises(ValueError, match="hash_fn"):
+        contamination_report(test, ref, "doc_id", "text", hash_fn="crc")
+
+
+def test_ngrams_short_text_and_distinct(spark):
+    from driftspark.dedup import ngrams
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b a b a")], "doc_id long, text string"
+    )
+    g = {(r["id"], r["token"]) for r in ngrams(df, "doc_id", "text", 3).collect()}
+    assert (1, "only two") in g  # shorter than n -> single short gram
+    assert (2, "a b a") in g and (2, "b a b") in g
+    assert len([t for i, t in g if i == 2]) == 2  # distinct dedups repeats
