@@ -548,6 +548,63 @@ def _contamination_sql() -> str:
     """
 
 
+def _q_pii_scan(spark, sf_dir):
+    """Training-data filter pass: per-pattern PII counts + flag
+    (textops.pii_scan, pure regexp_count exprs).  The synthetic documents
+    are PII-free, so deterministic PII strings are injected by doc_id
+    residue IN THE QUERY — identically expressed on the DuckDB side."""
+    from driftspark.textops import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" contact a.b@example.com"))
+            .when(F.col("doc_id") % 10 == 1, F.lit(" call +1 (555) 123-4567"))
+            .when(F.col("doc_id") % 10 == 2, F.lit(" host 192.168.1.10"))
+            .when(F.col("doc_id") % 10 == 3, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(injected, "text").select(
+        "doc_id", "pii_email", "pii_phone", "pii_ipv4", "pii_ssn", "has_pii"
+    ).orderBy("doc_id")
+
+
+def _pii_scan_sql() -> str:
+    # len(regexp_extract_all) == regexp_count (non-overlapping, leftmost);
+    # the patterns live in the Java/RE2 common subset (textops.PII_PATTERNS)
+    return r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 10 = 0 THEN ' contact a.b@example.com'
+                   WHEN doc_id % 10 = 1 THEN ' call +1 (555) 123-4567'
+                   WHEN doc_id % 10 = 2 THEN ' host 192.168.1.10'
+                   WHEN doc_id % 10 = 3 THEN ' ssn 123-45-6789'
+                   ELSE '' END AS text
+          FROM documents
+        ), scanned AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+                   AS pii_email,
+                 CAST(len(regexp_extract_all(text,
+                   '\+?\d[\d().\- ]{7,14}\d')) AS BIGINT) AS pii_phone,
+                 CAST(len(regexp_extract_all(text,
+                   '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS pii_ipv4,
+                 CAST(len(regexp_extract_all(text,
+                   '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS pii_ssn
+          FROM injected
+        )
+        SELECT doc_id, pii_email, pii_phone, pii_ipv4, pii_ssn,
+               (pii_email > 0 OR pii_phone > 0 OR pii_ipv4 > 0 OR pii_ssn > 0)
+                 AS has_pii
+        FROM scanned ORDER BY doc_id
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2806,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_shift": _q_quantile_shift,
         "w1_partition_verdicts": _q_w1_partition,
         "contamination": _q_contamination,
+        "pii_scan": _q_pii_scan,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3880,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_shift": _quantile_shift_sql(),
         "w1_partition_verdicts": _w1_partition_sql(),
         "contamination": _contamination_sql(),
+        "pii_scan": _pii_scan_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

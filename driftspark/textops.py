@@ -117,3 +117,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning (training-data filter pass)
+# ---------------------------------------------------------------------------
+
+# Patterns live in the Java-regex AND RE2 common subset (no backrefs, no
+# lookaround) so the DuckDB oracle evaluates the IDENTICAL expressions.
+# Counts are per-pattern and independent — a phone-shaped substring inside
+# a longer number can legitimately count under two patterns.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?\d[\d().\- ]{7,14}\d",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
+    """Append per-pattern PII match counts (``pii_email``, ``pii_phone``,
+    ``pii_ipv4``, ``pii_ssn``) and a ``has_pii`` flag — the filter pass a
+    training pipeline runs before a corpus ships.
+
+    Pure JVM ``regexp_count`` column expressions: no UDFs, whole-stage
+    codegen, trivially scan-parallel at any scale.  NULL text scans as
+    zero matches (explicitly coalesced — counts are counts, not NULLs).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.coalesce(
+            F.regexp_count(t, F.lit(pat)), F.lit(0)
+        ).cast("long").alias(f"pii_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = df.select("*", *counts.values())
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"pii_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)

@@ -561,3 +561,27 @@ def test_ngrams_short_text_and_distinct(spark):
     assert (1, "only two") in g  # shorter than n -> single short gram
     assert (2, "a b a") in g and (2, "b a b") in g
     assert len([t for i, t in g if i == 2]) == 2  # distinct dedups repeats
+
+
+def test_pii_scan_hand_cases(spark):
+    from driftspark.textops import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at john.doe@example.com or +1 (555) 123-4567"),
+            (2, "server at 192.168.1.10 port 8080"),
+            (3, "ssn 123-45-6789 leaked twice 987-65-4321"),
+            (4, "clean text, no identifiers"),
+            (5, None),
+            (6, "two mails a@b.co c@d.org"),
+        ],
+        "id long, text string",
+    )
+    by = {r["id"]: r for r in pii_scan(df, "text").collect()}
+    assert by[1]["pii_email"] == 1 and by[1]["pii_phone"] == 1 and by[1]["has_pii"]
+    assert by[2]["pii_ipv4"] == 1
+    assert by[3]["pii_ssn"] == 2
+    assert not by[4]["has_pii"] and by[4]["pii_email"] == 0
+    # NULL text scans as zero counts, not NULL (explicit coalesce)
+    assert by[5]["pii_email"] == 0 and by[5]["has_pii"] is False
+    assert by[6]["pii_email"] == 2
