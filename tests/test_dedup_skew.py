@@ -105,3 +105,58 @@ def test_lsh_pairs_under_mega_cluster_and_hot_skew():
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=420
     )
     assert "DEDUP_SKEW_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
+
+
+def test_contamination_under_boilerplate_skew():
+    """A boilerplate gram shared by EVERY test doc is the contamination
+    join's hot key: the report must stay correct and layout-invariant
+    (AQE splits the skewed sort-merge side; correctness must not depend
+    on the physical layout)."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import functions as F
+        from driftspark.session import get_spark
+        from driftspark.dedup import contamination_report
+
+        spark = get_spark(app_name="driftspark-contam-skew", master="local[4]",
+                          shuffle_partitions=16)
+        spark.sparkContext.setLogLevel("ERROR")
+        BOILER = "terms of service apply to all content provided herein"
+        # 3000 test docs: every one carries the 9-word boilerplate (one
+        # shared 8-gram window per position) + unique tail; 500 of them
+        # are exact copies of ref docs
+        test_rows = [
+            (i, BOILER + " " + " ".join(f"t{i}w{j}" for j in range(8)))
+            for i in range(3000)
+        ]
+        ref_rows = [
+            (10_000 + i, BOILER + " " + " ".join(f"r{i}w{j}" for j in range(8)))
+            for i in range(2000)
+        ] + [(20_000 + i, test_rows[i][1]) for i in range(500)]  # leaks
+        test = spark.createDataFrame(test_rows, "doc_id long, text string")
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+
+        def run(t, r):
+            return sorted(map(tuple, contamination_report(
+                t, r, "doc_id", "text", n=8, threshold=0.9).collect()))
+
+        base = run(test, ref)
+        relaid = run(test.repartition(3), ref.repartition(17, "doc_id"))
+        assert relaid == base, "layout changed the report"
+        flagged = [r for r in base if r[4]]
+        assert len(flagged) == 500, f"expected the 500 leaks, got {len(flagged)}"
+        # every doc shares the boilerplate grams -> nonzero hits everywhere
+        assert all(r[2] > 0 for r in base)
+        # non-leaked docs: only the boilerplate grams hit, rate well under 0.9
+        clean = [r for r in base if not r[4]]
+        assert all(r[3] < 0.5 for r in clean)
+        print("CONTAM_SKEW_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert "CONTAM_SKEW_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
