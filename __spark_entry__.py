@@ -605,6 +605,71 @@ def _pii_scan_sql() -> str:
     """
 
 
+def _q_outliers(spark, sf_dir):
+    """Profiler: per-(returnflag, column) Tukey-fence outlier rates with
+    GLOBAL exact-percentile fences (profile.outlier_report — which
+    partition produces values abnormal for the whole table)."""
+    from driftspark.profile import outlier_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    rep = outlier_report(
+        li, ["l_extendedprice", "l_quantity"], ["l_returnflag"], k=1.5
+    )
+    return rep.select(
+        F.col("l_returnflag").alias("grp"), "column", "n", "n_null",
+        "n_low", "n_high",
+        F.round("outlier_rate", 9).alias("outlier_rate"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+    ).orderBy("grp", "column")
+
+
+def _outliers_sql() -> str:
+    # mirrors profile.outlier_report: global quantile_cont fences with
+    # identical arithmetic (q25 - 1.5*(q75-q25)), strict </> predicates
+    return """
+        WITH q AS (
+          SELECT quantile_cont(l_extendedprice, [0.25, 0.75]) AS qp,
+                 quantile_cont(l_quantity, [0.25, 0.75]) AS qq
+          FROM lineitem
+        ), f AS (
+          SELECT qp[1] - 1.5 * (qp[2] - qp[1]) AS p_lo,
+                 qp[2] + 1.5 * (qp[2] - qp[1]) AS p_hi,
+                 qq[1] - 1.5 * (qq[2] - qq[1]) AS q_lo,
+                 qq[2] + 1.5 * (qq[2] - qq[1]) AS q_hi
+          FROM q
+        ), g AS (
+          SELECT l_returnflag AS grp,
+                 count(*) AS n,
+                 CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS p_null,
+                 CAST(sum(CASE WHEN l_extendedprice < (SELECT p_lo FROM f)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS p_low,
+                 CAST(sum(CASE WHEN l_extendedprice > (SELECT p_hi FROM f)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS q_null,
+                 CAST(sum(CASE WHEN l_quantity < (SELECT q_lo FROM f)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS q_low,
+                 CAST(sum(CASE WHEN l_quantity > (SELECT q_hi FROM f)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS q_high
+          FROM lineitem GROUP BY 1
+        )
+        SELECT grp, 'l_extendedprice' AS "column", n, p_null AS n_null,
+               p_low AS n_low, p_high AS n_high,
+               round((p_low + p_high) * 1.0 / (n - p_null), 9) AS outlier_rate,
+               round((SELECT p_lo FROM f), 6) AS lo_fence,
+               round((SELECT p_hi FROM f), 6) AS hi_fence
+        FROM g
+        UNION ALL
+        SELECT grp, 'l_quantity', n, q_null, q_low, q_high,
+               round((q_low + q_high) * 1.0 / (n - q_null), 9),
+               round((SELECT q_lo FROM f), 6), round((SELECT q_hi FROM f), 6)
+        FROM g
+        ORDER BY grp, "column"
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2864,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_partition_verdicts": _q_w1_partition,
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
+        "outlier_rates": _q_outliers,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -3939,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_partition_verdicts": _w1_partition_sql(),
         "contamination": _contamination_sql(),
         "pii_scan": _pii_scan_sql(),
+        "outlier_rates": _outliers_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

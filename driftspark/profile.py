@@ -91,3 +91,88 @@ def phash_histogram(
         .groupBy(*group_cols, bucket)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def outlier_report(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_cols: Optional[Sequence[str]] = None,
+    k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-(group, column) Tukey-fence outlier rates: counts outside
+    [q25 - k*IQR, q75 + k*IQR] with the fences computed GLOBALLY (one
+    exact-percentile aggregation — pandas-parity interpolation, the
+    quantile_edges path; ``exact=False`` switches to the GK sketch at
+    the scale where an exact percentile is unrealistic).
+
+    Global fences + per-group counts is the validation semantic: "which
+    partition is producing values abnormal for the WHOLE table" — fences
+    computed per group would hide a partition that is abnormal overall
+    but internally consistent.  A constant column (IQR 0) degenerates
+    explicitly: every value != the constant counts as an outlier.
+
+    ONE counting scan with all columns' conditional sums fused; output is
+    O(groups x columns): (group cols..., column, n, n_null, n_low,
+    n_high, outlier_rate, lo_fence, hi_fence).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    probs = [0.25, 0.75]
+    if exact:
+        row = df.agg(
+            *[F.percentile(nn(c), F.array(F.lit(0.25), F.lit(0.75))).alias(c)
+              for c in columns]
+        ).first()
+        quarts = {c: row[c] for c in columns}
+    else:
+        raw = df.approxQuantile(list(columns), probs, 1e-4)
+        quarts = {c: (list(v) if len(v) else None) for c, v in zip(columns, raw)}
+
+    gb = [F.col(g) for g in (group_cols or [])]
+    aggs = []
+    fences = {}
+    for c in columns:
+        q = quarts[c]
+        if q is None:  # all-null column: no fences, count nulls only
+            fences[c] = (None, None)
+            lo_pred = F.lit(False)
+            hi_pred = F.lit(False)
+        else:
+            iqr = float(q[1]) - float(q[0])
+            lo, hi = float(q[0]) - k * iqr, float(q[1]) + k * iqr
+            fences[c] = (lo, hi)
+            lo_pred = nn(c) < F.lit(lo)
+            hi_pred = nn(c) > F.lit(hi)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(nn(c))).alias(f"{c}__nnull"),
+            F.sum(lo_pred.cast("long")).alias(f"{c}__lo"),
+            F.sum(hi_pred.cast("long")).alias(f"{c}__hi"),
+        ]
+    wide = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nnull").alias("n_null"),
+            F.coalesce(F.col(f"{c}__lo"), F.lit(0)).alias("n_low"),
+            F.coalesce(F.col(f"{c}__hi"), F.lit(0)).alias("n_high"),
+            F.lit(fences[c][0]).cast("double").alias("lo_fence"),
+            F.lit(fences[c][1]).cast("double").alias("hi_fence"),
+        )
+        for c in columns
+    ]
+    out = wide.select(
+        *(group_cols or []), F.explode(F.array(*structs)).alias("s")
+    ).select(
+        *(group_cols or []),
+        "s.column", "s.n", "s.n_null", "s.n_low", "s.n_high",
+        F.try_divide(
+            F.col("s.n_low") + F.col("s.n_high"),
+            F.col("s.n") - F.col("s.n_null"),
+        ).alias("outlier_rate"),
+        "s.lo_fence", "s.hi_fence",
+    )
+    return out

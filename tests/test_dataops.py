@@ -585,3 +585,55 @@ def test_pii_scan_hand_cases(spark):
     # NULL text scans as zero counts, not NULL (explicit coalesce)
     assert by[5]["pii_email"] == 0 and by[5]["has_pii"] is False
     assert by[6]["pii_email"] == 2
+
+
+def test_outlier_report_matches_numpy(spark):
+    import numpy as np
+
+    from driftspark.profile import outlier_report
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 2000).tolist() + [50.0, -50.0, None] + [7.0] * 10
+    grp = ["a"] * 1000 + ["b"] * 1003 + ["a"] * 10
+    df = spark.createDataFrame(
+        list(zip(grp, vals)), "g string, x double"
+    )
+    got = {
+        (r["g"], r["column"]): r
+        for r in outlier_report(df, ["x"], ["g"], k=1.5).collect()
+    }
+    xs = np.array([v for v in vals if v is not None])
+    q25, q75 = np.quantile(xs, [0.25, 0.75])
+    lo, hi = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+    for g in ("a", "b"):
+        r = got[(g, "x")]
+        assert r["lo_fence"] == lo and r["hi_fence"] == hi  # global fences
+        assert r["n_low"] == sum(
+            1 for gg, v in zip(grp, vals) if gg == g and v is not None and v < lo
+        )
+        assert r["n_high"] == sum(
+            1 for gg, v in zip(grp, vals) if gg == g and v is not None and v > hi
+        )
+    assert got[("b", "x")]["n_null"] == 1
+
+
+def test_outlier_report_degenerates(spark):
+    from driftspark.profile import outlier_report
+
+    df = spark.createDataFrame(
+        [(float(7), None) for _ in range(20)] + [(9.0, None)],
+        "c double, allnull double",
+    )
+    got = {r["column"]: r for r in outlier_report(df, ["c", "allnull"]).collect()}
+    # constant column: IQR 0 -> fences collapse to the constant; the one
+    # deviating value IS an outlier (explicit degenerate semantic)
+    assert got["c"]["lo_fence"] == got["c"]["hi_fence"] == 7.0
+    assert got["c"]["n_high"] == 1 and got["c"]["n_low"] == 0
+    # all-null column: no fences, nulls counted, rate NULL (try_divide)
+    assert got["allnull"]["lo_fence"] is None
+    assert got["allnull"]["n_null"] == 21
+    assert got["allnull"]["outlier_rate"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="columns"):
+        outlier_report(df, [])
