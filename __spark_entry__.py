@@ -670,6 +670,52 @@ def _outliers_sql() -> str:
     """
 
 
+def _q_correlation_drift(spark, sf_dir):
+    """Cross-column dependency drift: pairwise Pearson shift between
+    splits (stats.correlation_drift — one fused corr agg per side)."""
+    from driftspark.stats import correlation_drift
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    d = correlation_drift(
+        ref, test, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    rows = [
+        (a, b, _roundhu(rr, 6), _roundhu(tt, 6), _roundhu(dd, 6))
+        for (a, b), (rr, tt, dd) in sorted(d.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_a string, col_b string, ref_r double, test_r double, "
+        "delta double",
+    )
+
+
+def _correlation_drift_sql() -> str:
+    # corr() is sample Pearson with pairwise NULL deletion in both engines
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    sel = []
+    for a, b in pairs:
+        sel.append(f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   round(corr(CASE WHEN l_orderkey % 2 = 0 THEN {a} END,
+                              CASE WHEN l_orderkey % 2 = 0 THEN {b} END), 6)
+                     AS ref_r,
+                   round(corr(CASE WHEN l_orderkey % 2 = 1 THEN {a} END,
+                              CASE WHEN l_orderkey % 2 = 1 THEN {b} END), 6)
+                     AS test_r,
+                   round(corr(CASE WHEN l_orderkey % 2 = 1 THEN {a} END,
+                              CASE WHEN l_orderkey % 2 = 1 THEN {b} END)
+                         - corr(CASE WHEN l_orderkey % 2 = 0 THEN {a} END,
+                                CASE WHEN l_orderkey % 2 = 0 THEN {b} END), 6)
+                     AS delta
+            FROM lineitem""")
+    return " UNION ALL ".join(sel) + " ORDER BY col_a, col_b"
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -2930,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
         "outlier_rates": _q_outliers,
+        "correlation_drift": _q_correlation_drift,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -4006,6 +4053,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "pii_scan": _pii_scan_sql(),
         "outlier_rates": _outliers_sql(),
+        "correlation_drift": _correlation_drift_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

@@ -1071,6 +1071,57 @@ def quantile_shift_report(
     return out
 
 
+def correlation_drift(
+    ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
+) -> Dict[Tuple[str, str], Tuple[Optional[float], Optional[float], Optional[float]]]:
+    """Pairwise Pearson-correlation shift between reference and test —
+    the drift mode every univariate statistic is blind to (two features
+    whose marginals hold but whose RELATIONSHIP flips).
+
+    ONE aggregation per side computes all d*(d-1)/2 pair correlations as
+    fused ``corr`` expressions (sample correlation, pairwise NULL/NaN
+    deletion — the SQL semantic on both engines).  O(d²) expressions in
+    one scan: fine to a few dozen columns; wider matrices belong to
+    pyspark.ml.stat.Correlation's vector path.
+
+    Returns ``{(col_a, col_b): (ref_r, test_r, delta)}`` with None where
+    a correlation is undefined (constant column) — and delta None if
+    either side is.
+    """
+    cols = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        return {}
+
+    def side(df):
+        # ANSI guard (Spark 4 default): corr on a zero-variance column
+        # aborts the job with DIVIDE_BY_ZERO — probe stddevs first (tiny
+        # agg) and only emit corr exprs for non-degenerate pairs; the
+        # rest are the explicit None semantic, never a crash
+        srow = df.agg(
+            *[F.stddev(nn(c)).alias(c) for c in cols]
+        ).first()
+        live = [
+            p for p in pairs
+            if (srow[p[0]] or 0) > 0 and (srow[p[1]] or 0) > 0
+        ]
+        out = {p: None for p in pairs}
+        if live:
+            row = df.agg(
+                *[F.corr(nn(a), nn(b)).alias(f"{a}\x00{b}") for a, b in live]
+            ).first()
+            out.update({p: row[f"{p[0]}\x00{p[1]}"] for p in live})
+        return out
+
+    r, t = side(ref_df), side(test_df)
+    out = {}
+    for p in pairs:
+        rr, tt = r[p], t[p]
+        delta = (tt - rr) if (rr is not None and tt is not None) else None
+        out[p] = (rr, tt, delta)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Moment statistics (localizer dist_info; population std == np.std ddof=0)
 # ---------------------------------------------------------------------------

@@ -487,3 +487,24 @@ def test_quantile_shift_skips_and_validates(spark):
     approx = quantile_shift_report(ref51, test51, ["a"], probs=(0.5,), exact=False)
     exact = quantile_shift_report(ref51, test51, ["a"], probs=(0.5,))
     assert approx["a"][0][1] == exact["a"][0][1] == 25.0
+
+
+def test_correlation_drift_matches_numpy(spark):
+    from driftspark.stats import correlation_drift
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    x = rng.normal(0, 1, n)
+    y = 0.8 * x + 0.2 * rng.normal(0, 1, n)     # strongly correlated in ref
+    y2 = -0.5 * x + 0.8 * rng.normal(0, 1, n)   # flipped in test
+    const = np.full(n, 3.0)
+    ref, test = _frame(spark, {"x": (x, x), "y": (y, y2), "k": (const, const)})
+    d = correlation_drift(ref, test, ["x", "y", "k"])
+    rr, tt, delta = d[("x", "y")]
+    assert rr == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-9)
+    assert tt == pytest.approx(np.corrcoef(x, y2)[0, 1], abs=1e-9)
+    assert delta == pytest.approx(tt - rr, abs=1e-12)
+    assert rr > 0.9 and tt < 0  # the relationship flip is the signal
+    # constant column: correlation undefined on both sides, delta None
+    assert d[("x", "k")] == (None, None, None)
+    assert correlation_drift(ref, test, ["x"]) == {}
