@@ -1928,6 +1928,57 @@ def _q_phash_histogram(spark, sf_dir):
     return phash_histogram(img, group_cols=["split"]).orderBy("split", "bucket")
 
 
+def _q_phash_contamination(spark, sf_dir):
+    """Image-axis decontamination: per TEST image the nearest REF image
+    by phash hamming (imageops.phash_contamination — exact matches via a
+    cap-immune equality join, near matches via the pigeonhole chunk
+    join).  max_hamming=3 < the 4 chunk bands and fixture buckets stay
+    under the cap, so the all-pairs SQL oracle is exact.  Duplicate
+    image_ids collapse via min(phash) per side for engine determinism."""
+    from driftspark.imageops import phash_contamination
+
+    path = _oracle_img_path()
+    _ensure_oracle_img_table(path)
+    img = spark.read.parquet(path)
+
+    def side(split):
+        return (
+            img.where(F.col("split") == split)
+            .groupBy("image_id")
+            .agg(F.min("phash").alias("phash"))
+        )
+
+    return phash_contamination(
+        side("test"), side("ref"), "image_id", "phash", max_hamming=3
+    ).select(
+        F.col("id").alias("image_id"), "min_hamming", "n_matches",
+        "contaminated",
+    ).orderBy("image_id")
+
+
+def _phash_contamination_sql(path: str) -> str:
+    return f"""
+        WITH t AS (
+          SELECT image_id AS id, min(phash) AS h
+          FROM '{path}/*.parquet' WHERE split = 'test' GROUP BY image_id
+        ), r AS (
+          SELECT image_id AS rid, min(phash) AS rh
+          FROM '{path}/*.parquet' WHERE split = 'ref' GROUP BY image_id
+        ), m AS (
+          SELECT t.id, min(bit_count(xor(t.h, r.rh))) AS min_hamming,
+                 CAST(count(*) AS BIGINT) AS n_matches
+          FROM t, r WHERE bit_count(xor(t.h, r.rh)) <= 3
+          GROUP BY t.id
+        )
+        SELECT t.id AS image_id,
+               CAST(m.min_hamming AS INTEGER) AS min_hamming,
+               coalesce(m.n_matches, 0) AS n_matches,
+               m.min_hamming IS NOT NULL AS contaminated
+        FROM t LEFT JOIN m ON t.id = m.id
+        ORDER BY image_id
+    """
+
+
 def _q_phash_neardups(spark, sf_dir):
     """Image near-dup pairs by phash hamming distance (banded chunk join,
     imageops.phash_near_duplicates).  Near-dups are constructed
@@ -3016,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_partition_verdicts": _q_image_verdicts,
         "phash_histogram": _q_phash_histogram,
         "phash_neardups": _q_phash_neardups,
+        "phash_contamination": _q_phash_contamination,
         "image_payload_check": _q_image_payload_check,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -4415,6 +4467,10 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardups": (
             _ensure_oracle_img_table(_oracle_img_path())
             or _phash_neardups_sql(_oracle_img_path())
+        ),
+        "phash_contamination": (
+            _ensure_oracle_img_table(_oracle_img_path())
+            or _phash_contamination_sql(_oracle_img_path())
         ),
         "simhash": _simhash_md5_sql(),
         "minhash_lsh_neardups": _minhash_lsh_sql(),

@@ -633,3 +633,103 @@ def contamination_report(
             ),
         )
     )
+
+
+def hamming_contamination(
+    test_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 4,
+    chunks: Optional[int] = None,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Bipartite fingerprint contamination: for every test row, the
+    nearest reference fingerprint within ``max_hamming`` bits — the
+    image/simhash analog of :func:`contamination_report` (eval images
+    leaking into a training corpus as exact or near-duplicates).
+
+    Exact matches (hamming 0) go through a plain equality join —
+    complete recall regardless of bucket caps.  Hamming 1..max uses the
+    pigeonhole chunk join (``max_hamming + 1`` contiguous bit spans, the
+    simhash_near_duplicates layout) with hot (chunk, value) buckets
+    capped on the REFERENCE side — the documented recall bound applies
+    only to near (not exact) matches whose every chunk is hot.
+
+    Returns one row per test id: (id, min_hamming int — NULL when
+    nothing within range, n_matches long — distinct ref ids in range,
+    contaminated bool).
+    """
+    if chunks is None:
+        chunks = max_hamming + 1
+    elif chunks <= max_hamming:
+        logger.warning(
+            "hamming_contamination: chunks=%d cannot guarantee recall at "
+            "max_hamming=%d; clamping to %d",
+            chunks, max_hamming, max_hamming + 1,
+        )
+        chunks = max_hamming + 1
+    if chunks > 64:
+        raise ValueError(f"chunks={chunks} > 64 bits of fingerprint")
+
+    t = test_df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    r = ref_df.select(F.col(id_col).alias("rid"), F.col(hash_col).alias("rh"))
+
+    exact = t.join(r, t["h"] == r["rh"]).select(
+        "id", "rid", F.lit(0).cast("int").alias("d")
+    )
+
+    bounds = [i * 64 // chunks for i in range(chunks + 1)]
+
+    def _span(col, c):
+        width = bounds[c + 1] - bounds[c]
+        shifted = F.shiftrightunsigned(col, bounds[c])
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    def _explode(df, hcol):
+        structs = [
+            F.struct(F.lit(c).alias("chunk"), _span(F.col(hcol), c).alias("v"))
+            for c in range(chunks)
+        ]
+        return df.select("*", F.explode(F.array(*structs)).alias("cc")).select(
+            *df.columns, "cc.chunk", "cc.v"
+        )
+
+    re_ = _explode(r, "rh")
+    hot = (
+        re_.groupBy("chunk", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("chunk", "v")
+    )
+    te = _explode(t, "h").join(hot, ["chunk", "v"], "left_anti")
+    re_ = re_.join(hot, ["chunk", "v"], "left_anti")
+    near = (
+        te.join(re_, ["chunk", "v"])
+        .select(
+            "id", "rid",
+            F.bit_count(F.col("h").bitwiseXOR(F.col("rh"))).cast("int").alias("d"),
+        )
+        .where((F.col("d") > 0) & (F.col("d") <= max_hamming))
+    )
+    matches = (
+        exact.unionByName(near)
+        .dropDuplicates(["id", "rid"])
+        .groupBy("id")
+        .agg(
+            F.min("d").alias("min_hamming"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        )
+    )
+    return (
+        t.select("id").distinct()
+        .join(matches, "id", "left")
+        .select(
+            "id",
+            "min_hamming",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.col("min_hamming").isNotNull().alias("contaminated"),
+        )
+    )

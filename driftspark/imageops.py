@@ -400,3 +400,17 @@ def validate_image_payloads_auto(
                 big,
             )
     return validate_image_payloads(ref, test, min_psnr)
+
+
+def phash_contamination(test_df, ref_df, id_col: str = "image_id",
+                        phash_col: str = "phash", max_hamming: int = 4):
+    """Image test-set contamination: for every test image, the nearest
+    reference image by perceptual-hash hamming distance — eval images
+    leaking into a training corpus as exact or near-duplicate pixels.
+    Thin wrapper over driftspark.dedup.hamming_contamination (exact
+    matches cap-immune; near matches via the pigeonhole chunk join)."""
+    from driftspark.dedup import hamming_contamination
+
+    return hamming_contamination(
+        test_df, ref_df, id_col, phash_col, max_hamming=max_hamming
+    )

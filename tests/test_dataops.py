@@ -637,3 +637,47 @@ def test_outlier_report_degenerates(spark):
 
     with _pytest.raises(ValueError, match="columns"):
         outlier_report(df, [])
+
+
+def test_hamming_contamination_hand_cases(spark):
+    from driftspark.dedup import hamming_contamination
+
+    # ref fingerprints: 0b0, 0b1111, huge
+    ref = spark.createDataFrame(
+        [("r1", 0), ("r2", 15), ("r3", -1)], "id string, h long"
+    )
+    test = spark.createDataFrame(
+        [
+            ("t_exact", 15),       # == r2 -> hamming 0
+            ("t_near", 14),        # 1 bit from r2, 3 from r1(0b1110)
+            ("t_far", 0b11110000111100001111000011110000),  # 16+ bits from all
+        ],
+        "id string, h long",
+    )
+    by = {r["id"]: r for r in hamming_contamination(
+        test, ref, "id", "h", max_hamming=4).collect()}
+    assert by["t_exact"]["min_hamming"] == 0 and by["t_exact"]["contaminated"]
+    # t_exact also within 4 of r1 (bit_count(15)=4) -> 2 matches
+    assert by["t_exact"]["n_matches"] == 2
+    assert by["t_near"]["min_hamming"] == 1
+    assert by["t_near"]["n_matches"] == 2  # r2 at 1, r1 at 3
+    assert by["t_far"]["min_hamming"] is None
+    assert by["t_far"]["n_matches"] == 0 and not by["t_far"]["contaminated"]
+
+
+def test_hamming_contamination_exact_path_cap_immune(spark):
+    from driftspark.dedup import hamming_contamination
+
+    # a 500-copy identical fingerprint saturates every chunk bucket at
+    # max_bucket_size=10 — exact (hamming 0) detection must survive
+    ref = spark.createDataFrame(
+        [(f"r{i}", 12345) for i in range(500)], "id string, h long"
+    )
+    test = spark.createDataFrame(
+        [("t0", 12345), ("t1", 12345 ^ 1)], "id string, h long"
+    )
+    by = {r["id"]: r for r in hamming_contamination(
+        test, ref, "id", "h", max_hamming=2, max_bucket_size=10).collect()}
+    assert by["t0"]["min_hamming"] == 0 and by["t0"]["n_matches"] == 500
+    # near match lost to the cap: documented recall bound on near-only
+    assert by["t1"]["min_hamming"] is None
