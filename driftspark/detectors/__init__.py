@@ -2,6 +2,7 @@
 
 from driftspark.detectors.base import BaseDriftDetector
 from driftspark.detectors.cbpe import CBPE
+from driftspark.detectors.correlation import CorrelationDrift
 from driftspark.detectors.domain_classifier import DomainClassifier
 from driftspark.detectors.gof import CvMAndersonDarling
 from driftspark.detectors.hallucination import HallucinationRiskDetector
@@ -20,4 +21,5 @@ __all__ = [
     "HallucinationRiskDetector",
     "WassersteinDistance",
     "CvMAndersonDarling",
+    "CorrelationDrift",
 ]

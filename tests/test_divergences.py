@@ -508,3 +508,36 @@ def test_correlation_drift_matches_numpy(spark):
     # constant column: correlation undefined on both sides, delta None
     assert d[("x", "k")] == (None, None, None)
     assert correlation_drift(ref, test, ["x"]) == {}
+
+
+def test_correlation_detector(spark):
+    from driftspark.dataset import SparkDataset
+    from driftspark.detectors import CorrelationDrift
+    from driftspark.registry import DetectorRegistry
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    x = rng.normal(0, 1, n)
+    noise = rng.normal(0, 1, n)
+    y_ref = 0.9 * x + 0.1 * noise
+    y_flip = -0.9 * x + 0.1 * noise
+    ref, test = _frame(spark, {"x": (x, x), "y": (y_ref, y_flip)})
+    det = DetectorRegistry.create("correlation")
+    assert isinstance(det, CorrelationDrift)
+    res = det.fit_detect(SparkDataset(ref), SparkDataset(test))
+    # marginals of y_ref and y_flip are near-identical; the RELATIONSHIP
+    # flipped -> |delta r| ~ 2, critical
+    assert res.drift_detected and res.severity.value == "critical"
+    assert res.score > 1.5
+    fr = res.metadata["feature_results"]["x|y"]
+    assert fr["ref_r"] > 0.9 and fr["test_r"] < -0.9
+
+    # null: same frame both sides -> zero drift
+    res0 = CorrelationDrift().fit_detect(SparkDataset(ref), SparkDataset(ref))
+    assert not res0.drift_detected and res0.score == pytest.approx(0.0, abs=1e-12)
+
+    # single numeric feature: no pairs, explicit message
+    ref1, test1 = _frame(spark, {"x": (x, x)})
+    res1 = CorrelationDrift().fit_detect(SparkDataset(ref1), SparkDataset(test1))
+    assert not res1.drift_detected
+    assert res1.metadata["message"] == "No correlatable feature pairs"
