@@ -68,6 +68,43 @@ def main(sf_dir: str) -> None:
                  for p, _, _, _, si in rows if si is not None and abs(si) > 0.05]
         print(f"  {feat}: {' '.join(moved) if moved else 'no quantile moved >5% IQR'}")
 
+    print("== 3b. dependency drift + outliers + PII ==")
+    from pyspark.sql import Window
+
+    from driftspark.detectors import CorrelationDrift
+    from driftspark.profile import outlier_report
+    from driftspark.textops import pii_scan
+
+    # the synthetic columns are independent, so construct a dependent
+    # pair: gross tracks price in ref, anti-tracks it in test — the
+    # marginal-blind failure mode CorrelationDrift exists for
+    gross = F.col("l_extendedprice") * (1 + F.col("l_tax"))
+    cref = ref.withColumn("gross", gross)
+    cflip = test.withColumn(
+        "gross", F.max(gross).over(Window.partitionBy()) - gross
+    )
+    pair = ["l_extendedprice", "gross"]
+    corr = CorrelationDrift().fit_detect(
+        SparkDataset(cref.select(*pair)), SparkDataset(cflip.select(*pair))
+    )
+    print(f"correlation drift: {corr.drift_detected} "
+          f"(max |delta r| = {corr.score:.3f})")
+    # inject a 100x price corruption on a thin slice — Tukey fences catch it
+    corrupted = li.withColumn(
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 997 == 0,
+               F.col("l_extendedprice") * 100).otherwise(F.col("l_extendedprice")),
+    )
+    out = outlier_report(corrupted, ["l_extendedprice"], ["l_returnflag"]).collect()
+    print("outlier rates by returnflag:",
+          {r["l_returnflag"]: round(r["outlier_rate"] or 0, 5) for r in out})
+    pii = pii_scan(
+        docs.withColumn("text", F.when(F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" mail x@y.io"))).otherwise(F.col("text"))),
+        "text",
+    )
+    print("docs with PII:", pii.where("has_pii").count())
+
     print("== 4. test-set contamination (8-gram overlap) ==")
     rep = contamination_report(
         docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0"),
