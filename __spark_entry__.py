@@ -1586,6 +1586,96 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+VALUE_EDGES = [0.0, 10.0, 25.0, 50.0, 100.0, 200.0, 600.0]
+
+
+def _q_rolling_psi(spark, sf_dir):
+    """Temporal self-drift: PSI of each day's events.value histogram vs
+    its trailing 7 days (verdicts.rolling_psi — dense bucket×bin grid,
+    psi_by_partition clamp/renormalize math verbatim)."""
+    import numpy as np
+
+    from driftspark.verdicts import rolling_psi
+
+    ev = _t(spark, sf_dir, "events")
+    rep = rolling_psi(
+        ev, "ts", {"value": np.array(VALUE_EDGES)}, bucket="day",
+        trailing=7, min_history=3, psi_threshold=0.2,
+    )
+    return rep.select(
+        "feature", "bucket_ts", F.round("psi", 9).alias("psi"),
+        "n_test", "n_trailing", "history", "severity", "passed",
+    ).orderBy("bucket_ts")
+
+
+def _rolling_psi_sql() -> str:
+    value_bucket = _bucket_sql("value", VALUE_EDGES)
+    n_bins = len(VALUE_EDGES) - 1
+    return f"""
+        WITH pts AS (
+          SELECT ts, value FROM events WHERE ts IS NOT NULL
+        ), binned AS (
+          SELECT date_trunc('day', ts) AS b, {value_bucket} AS bin FROM pts
+        ), counts AS (
+          SELECT b, bin, count(*) AS t FROM binned
+          WHERE bin IS NOT NULL GROUP BY 1, 2
+        ), span AS (
+          SELECT min(date_trunc('day', ts)) AS mn,
+                 max(date_trunc('day', ts)) AS mx FROM pts
+        ), gb AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS b
+          FROM span
+        ), gbi AS (
+          SELECT b, row_number() OVER (ORDER BY b) - 1 AS idx FROM gb
+        ), bins AS (
+          SELECT unnest(generate_series(0, {n_bins - 1})) AS bin
+        ), dense AS (
+          SELECT g.b, g.idx, bins.bin, coalesce(c.t, 0) AS t
+          FROM gbi g CROSS JOIN bins
+          LEFT JOIN counts c ON c.b = g.b AND c.bin = bins.bin
+        ), tr AS (
+          SELECT b, idx, bin, t,
+                 coalesce(sum(t) OVER (PARTITION BY bin ORDER BY idx
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM dense
+        ), p AS (
+          SELECT b, idx, t, r,
+                 sum(r) OVER wb AS rsum, sum(t) OVER wb AS tsum
+          FROM tr WINDOW wb AS (PARTITION BY b)
+        ), q AS (
+          SELECT b, idx, rsum, tsum,
+                 greatest(CASE WHEN rsum > 0 THEN r * 1.0 / rsum END, 0.001)
+                   AS e,
+                 greatest(CASE WHEN tsum > 0 THEN t * 1.0 / tsum END, 0.001)
+                   AS a
+          FROM p
+        ), s AS (
+          SELECT b, idx, rsum, tsum,
+                 e / sum(e) OVER (PARTITION BY b) AS en,
+                 a / sum(a) OVER (PARTITION BY b) AS an
+          FROM q
+        ), agg AS (
+          SELECT b, max(idx) AS idx,
+                 sum((an - en) * ln(an / en)) AS psi,
+                 max(rsum) AS n_trailing, max(tsum) AS n_test
+          FROM s GROUP BY b
+        )
+        SELECT 'value' AS feature,
+               strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               round(psi, 9) AS psi,
+               CAST(n_test AS BIGINT) AS n_test,
+               CAST(n_trailing AS BIGINT) AS n_trailing,
+               CAST(least(idx, 7) AS BIGINT) AS history,
+               CASE WHEN least(idx, 7) < 3 THEN 'insufficient_history'
+                    WHEN psi < 0.1 THEN 'none' WHEN psi < 0.2 THEN 'low'
+                    WHEN psi < 0.3 THEN 'medium' WHEN psi < 0.5 THEN 'high'
+                    ELSE 'critical' END AS severity,
+               CASE WHEN least(idx, 7) < 3 THEN NULL
+                    ELSE psi < 0.2 END AS passed
+        FROM agg ORDER BY bucket_ts
+    """
+
+
 def _q_volume_anomalies(spark, sf_dir):
     """Beyond-reference: dense-grid partition-volume anomaly report over
     the events table (driftspark.volume.volume_report) — zero-row buckets
@@ -3050,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "events_hourly": _q_events_hourly,
         "volume_anomalies": _q_volume_anomalies,
+        "rolling_psi": _q_rolling_psi,
         "freshness": _q_freshness,
         "expectation_counts": _q_expectations,
         "null_counts": _q_null_counts,
@@ -4350,6 +4441,7 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS avg_value
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
         """,
+        "rolling_psi": _rolling_psi_sql(),
         "volume_anomalies": """
             WITH pts AS (
               SELECT event_type AS grp, date_trunc('hour', ts) AS b

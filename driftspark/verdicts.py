@@ -173,6 +173,133 @@ def psi_by_partition(
     )
 
 
+def rolling_psi(
+    df: DataFrame,
+    ts_col: str,
+    edges_map: Dict[str, np.ndarray],
+    bucket: str = "day",
+    trailing: int = 7,
+    min_history: int = 3,
+    min_bin_size: float = 0.001,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """PSI of each time bucket vs its own TRAILING window — temporal
+    self-drift ("is today shaped like the last week"), distinct from the
+    global-reference partition verdicts (part_col=date_trunc answers "is
+    today shaped like the FITTED reference").
+
+    One melt+bin scan → (feature, bucket, bin) counts → a DENSE
+    (feature, bucket, bin) grid (lazy sequence-explode buckets × fitted
+    bins, so empty bins AND empty buckets participate in the clamp —
+    the pandas all-categories semantic) → the trailing reference is a
+    per-(feature, bin) window sum over the preceding ``trailing``
+    buckets.  PSI math is verbatim psi_by_partition (clamp to
+    min_bin_size via greatest-over-try_divide, renormalize, sum) — an
+    all-out-of-range or EMPTY bucket scores a ~0 shape drift with
+    n_test = 0 marking it (volume is volume_report's job).
+
+    Buckets with fewer than ``min_history`` preceding buckets verdict
+    ``insufficient_history``.  Returns (feature, bucket_ts string,
+    psi double, n_test, n_trailing, history, severity, passed).
+    """
+    from driftspark.volume import _BUCKETS, VERDICT_INSUFFICIENT
+
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, got {bucket!r}")
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    if not edges_map:
+        raise ValueError("edges_map is empty")
+    spark = df.sparkSession
+
+    pts = df.where(F.col(ts_col).isNotNull())
+    binned = _melt_binned(
+        pts, edges_map, F.date_trunc(bucket, F.col(ts_col)), False
+    ).select(F.col("part").alias("__b"), "feature", "bin")
+    counts = binned.groupBy("__b", "feature", "bin").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+
+    # dense grids: lazy global [min,max] bucket span (volume_report
+    # pattern; indexed so history needs no second window) × fitted bins
+    span = pts.select(
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.min("__b").alias("mn"), F.max("__b").alias("mx"))
+    grid_b = span.select(
+        F.posexplode(F.expr(f"sequence(mn, mx, interval 1 {bucket})")).alias(
+            "idx", "__b"
+        )
+    )
+    bins_rows = [
+        (c, b) for c, e in edges_map.items() for b in range(len(e) - 1)
+    ]
+    grid_fb = spark.createDataFrame(
+        pd.DataFrame(bins_rows, columns=["feature", "bin"])
+    )
+    dense = (
+        grid_fb.crossJoin(F.broadcast(grid_b))
+        .join(counts, ["__b", "feature", "bin"], "left")
+        .na.fill({"t": 0})
+    )
+
+    w_trail = (
+        Window.partitionBy("feature", "bin")
+        .orderBy("idx")
+        .rowsBetween(-trailing, -1)
+    )
+    dense = dense.withColumn("r", F.coalesce(F.sum("t").over(w_trail), F.lit(0)))
+
+    w = Window.partitionBy("feature", "__b")
+    rsum = F.sum("r").over(w)
+    tsum = F.sum("t").over(w)
+    e = F.greatest(F.try_divide(F.col("r"), rsum), F.lit(min_bin_size))
+    a = F.greatest(F.try_divide(F.col("t"), tsum), F.lit(min_bin_size))
+    scored = dense.select(
+        "feature", "__b", "idx",
+        e.alias("e"), a.alias("a"),
+        F.sum(e).over(w).alias("esum"),
+        F.sum(a).over(w).alias("asum"),
+        rsum.alias("n_trailing"),
+        tsum.alias("n_test"),
+    )
+    en = F.col("e") / F.col("esum")
+    an = F.col("a") / F.col("asum")
+    agg = scored.groupBy("feature", "__b").agg(
+        F.sum((an - en) * F.log(an / en)).alias("psi"),
+        F.first("idx").alias("idx"),
+        F.first("n_trailing").alias("n_trailing"),
+        F.first("n_test").alias("n_test"),
+    )
+    hist = F.least(F.col("idx"), F.lit(trailing))
+    sev = F.when(
+        hist < F.lit(min_history), F.lit(VERDICT_INSUFFICIENT)
+    ).otherwise(_severity_from_psi_col(F.col("psi")))
+    return agg.select(
+        "feature",
+        F.date_format("__b", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "psi",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_trailing").cast("long").alias("n_trailing"),
+        hist.cast("long").alias("history"),
+        sev.alias("severity"),
+        F.when(hist < F.lit(min_history), F.lit(None).cast("boolean"))
+        .otherwise(F.col("psi") < F.lit(psi_threshold))
+        .alias("passed"),
+    )
+
+
+def _severity_from_psi_col(psi):
+    """The reference PSI severity ladder (numerics.severity_from_psi) as
+    a column expression — strict < boundaries, identical cutoffs."""
+    return (
+        F.when(psi < 0.1, F.lit("none"))
+        .when(psi < 0.2, F.lit("low"))
+        .when(psi < 0.3, F.lit("medium"))
+        .when(psi < 0.5, F.lit("high"))
+        .otherwise(F.lit("critical"))
+    )
+
+
 def ks_d_by_partition(
     ref_df: DataFrame,
     test_df: DataFrame,

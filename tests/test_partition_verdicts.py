@@ -487,3 +487,72 @@ def test_partition_verdicts_w1_optin(spark, drifted, stable):
         w1_threshold=0.5,
     ).where("check = 'w1'").collect()
     assert v0 and all(r["passed"] for r in v0)
+
+
+def _rolling_events(spark, day_specs):
+    """day_specs: [(day_offset, values)] -> events-like frame."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (t0 + timedelta(days=d, minutes=i % 300), float(v))
+        for d, vals in day_specs
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_rolling_psi_flags_the_shifted_day(spark):
+    from driftspark.verdicts import rolling_psi
+
+    rng = np.random.RandomState(3)
+    stable = [(d, rng.uniform(0, 100, 400)) for d in range(10)]
+    shifted = [(10, rng.uniform(150, 250, 400))]  # day 10 jumps regime
+    tail = [(d, rng.uniform(0, 100, 400)) for d in range(11, 13)]
+    df = _rolling_events(spark, stable + shifted + tail)
+    edges = {"value": np.array([0.0, 25.0, 50.0, 75.0, 100.0, 150.0, 300.0])}
+    rep = {r["bucket_ts"]: r for r in rolling_psi(
+        df, "ts", edges, bucket="day", trailing=7, min_history=3
+    ).collect()}
+    assert len(rep) == 13
+    assert rep["2024-05-11 00:00:00"]["severity"] == "critical"
+    assert rep["2024-05-11 00:00:00"]["passed"] is False
+    assert rep["2024-05-09 00:00:00"]["severity"] == "none"
+    # the first min_history days are labeled, never silently scored
+    for d in range(3):
+        r = rep[f"2024-05-0{d + 1} 00:00:00"]
+        assert r["severity"] == "insufficient_history" and r["passed"] is None
+    # day 12 compares against a trailing window CONTAINING the shifted
+    # day — mild but nonzero drift, and n_trailing spans 7 days
+    assert rep["2024-05-12 00:00:00"]["n_trailing"] == 7 * 400
+
+
+def test_rolling_psi_empty_day_is_a_row_not_a_crash(spark):
+    from driftspark.verdicts import rolling_psi
+
+    rng = np.random.RandomState(4)
+    days = [(d, rng.uniform(0, 100, 200)) for d in range(8) if d != 5]
+    df = _rolling_events(spark, days)
+    edges = {"value": np.array([0.0, 50.0, 100.0])}
+    rep = {r["bucket_ts"]: r for r in rolling_psi(
+        df, "ts", edges, bucket="day", trailing=3, min_history=2
+    ).collect()}
+    gap = rep["2024-05-06 00:00:00"]
+    # the silent day exists on the dense grid with zero test mass; PSI is
+    # an in-range-shape statistic so it scores ~uniform-vs-trailing — the
+    # volume crater itself is volume_report's verdict
+    assert gap["n_test"] == 0 and gap["psi"] is not None
+    # and the day after still has a 3-day trailing window including day 5
+    assert rep["2024-05-07 00:00:00"]["n_trailing"] == 2 * 200
+
+
+def test_rolling_psi_validation(spark):
+    from driftspark.verdicts import rolling_psi
+
+    df = _rolling_events(spark, [(0, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="bucket"):
+        rolling_psi(df, "ts", {"value": np.array([0.0, 1.0])}, bucket="eon")
+    with pytest.raises(ValueError, match="edges_map"):
+        rolling_psi(df, "ts", {})
+    with pytest.raises(ValueError, match="trailing"):
+        rolling_psi(df, "ts", {"value": np.array([0.0, 1.0])}, trailing=0)
