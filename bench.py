@@ -233,6 +233,31 @@ def main():
         lambda: cosine_topk(emb, "vec_id", "embedding", qvec, 10).collect(),
     )
 
+    from driftspark.dedup import contamination_report
+    from driftspark.volume import freshness_report, volume_report
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.count()  # scan warmup (same treatment as the other tables)
+    _timed(
+        q,
+        "contamination",
+        lambda: contamination_report(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            "doc_id", "text", n=8,
+        ).where("contaminated").count(),
+    )
+    _timed(
+        q,
+        "volume_freshness",
+        lambda: (
+            volume_report(events, "ts", "event_type").where(
+                "verdict = 'anomalous'"
+            ).count(),
+            freshness_report(events, "ts", "event_type").count(),
+        ),
+    )
+
     # --- north-rule metric: validated images/sec -------------------------
     from driftspark.constraints import uniqueness_report
     from driftspark.imageops import validate_image_payloads_paired
