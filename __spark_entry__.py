@@ -316,15 +316,15 @@ def _cvm_ad_sql() -> str:
                  CAST(round(
                    (r + t) * (cr / n - ct / m) * (cr / n - ct / m)
                      * CAST(n AS DOUBLE) * m
-                     / (CAST(n + m AS DOUBLE) * (n + m)), 9)
-                   AS DECIMAL(38,9)) AS cvm_term,
+                     / (CAST(n + m AS DOUBLE) * (n + m)), 18)
+                   AS DECIMAL(38,18)) AS cvm_term,
                  CAST(round(
                    CASE WHEN cr + ct < n + m THEN
                      (r + t) * (cr / n - ct / m) * (cr / n - ct / m)
                        * CAST(n AS DOUBLE) * m
                        / (CAST(cr + ct AS DOUBLE) * (n + m - cr - ct))
-                   ELSE 0.0 END, 9)
-                   AS DECIMAL(38,9)) AS ad_term
+                   ELSE 0.0 END, 18)
+                   AS DECIMAL(38,18)) AS ad_term
           FROM c
         )
         SELECT feature, round(CAST(sum(cvm_term) AS DOUBLE), 6) AS cvm,

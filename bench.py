@@ -250,11 +250,14 @@ def main():
     _timed(
         q,
         "volume_freshness",
+        # collect(), not count(): Catalyst would prune the max-ts/lag
+        # aggregates under a bare count (CLAUDE.md profiling rule); the
+        # volume filter is count-safe because it reads the window columns
         lambda: (
             volume_report(events, "ts", "event_type").where(
                 "verdict = 'anomalous'"
             ).count(),
-            freshness_report(events, "ts", "event_type").count(),
+            freshness_report(events, "ts", "event_type").collect(),
         ),
     )
 

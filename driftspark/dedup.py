@@ -579,10 +579,19 @@ def contamination_report(
     n: int = 8,
     threshold: float = 0.0,
     hash_fn: str = "xxhash64",
+    min_hits: int = 1,
 ) -> DataFrame:
     """Per-document n-gram overlap of ``test_df`` against the ``ref_df``
     corpus — THE decontamination question for training pipelines: which
     eval/benchmark documents leak into the training set (or vice versa).
+
+    FALSE-POSITIVE bound of the default hash join: xxhash64 collides a
+    clean test gram with SOME ref gram at rate ~G²/2^65 over G distinct
+    grams — negligible below ~10^9 grams, but at 10^12 grams a few 10^4
+    collisions are EXPECTED, and threshold=0 flags a document on a
+    single hit.  At that scale raise ``min_hits`` (a real leak shares
+    many grams; a collision shares one) or a fractional ``threshold``,
+    or verify flagged docs with ``hash_fn="md5"`` (128-bit).
 
     One distinct-gram set per side; the join runs on an n-gram HASH
     (xxhash64 default — 8-byte shuffle keys instead of long strings at
@@ -594,9 +603,11 @@ def contamination_report(
 
     Returns (id, n_ngrams, n_hit, rate, contaminated) where ``rate`` =
     n_hit / n_ngrams over the document's DISTINCT grams and
-    ``contaminated`` = rate > threshold (strict >, so threshold=0 flags
-    any single shared n-gram).
+    ``contaminated`` = rate > threshold AND n_hit >= min_hits (strict >,
+    so the defaults flag any single shared n-gram).
     """
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     if hash_fn == "xxhash64":
         h = lambda c: F.xxhash64(c)  # noqa: E731
     elif hash_fn == "md5":
@@ -628,9 +639,11 @@ def contamination_report(
             F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
             rate.alias("rate"),
-            F.coalesce(rate > F.lit(float(threshold)), F.lit(False)).alias(
-                "contaminated"
-            ),
+            F.coalesce(
+                (rate > F.lit(float(threshold)))
+                & (F.col("n_hit") >= F.lit(int(min_hits))),
+                F.lit(False),
+            ).alias("contaminated"),
         )
     )
 

@@ -311,6 +311,9 @@ _AD_CRIT_K2 = _AD_B0 + _AD_B1 + _AD_B2  # m = 1
 
 _EULER_GAMMA = 0.5772156649015329
 _AD_EXACT_N_MAX = 10_000_000  # O(N) vectorized driver math below this
+# the quadratic log-fit through the (constant) critical table, hoisted —
+# recomputing the polyfit per p-value call was pure waste
+_AD_P_COEFFS = np.polyfit(_AD_CRIT_K2, np.log(_AD_SIG_LEVELS), 2)
 
 
 def anderson_darling_2samp_sigma(n: int, m: int) -> float:
@@ -362,8 +365,7 @@ def anderson_darling_2samp_p(standardized: float) -> float:
         return float(_AD_SIG_LEVELS[-1])
     if standardized <= _AD_CRIT_K2[0]:
         return float(_AD_SIG_LEVELS[0])
-    coeffs = np.polyfit(_AD_CRIT_K2, np.log(_AD_SIG_LEVELS), 2)
-    p = float(math.exp(np.polyval(coeffs, standardized)))
+    p = float(math.exp(np.polyval(_AD_P_COEFFS, standardized)))
     return min(0.25, max(0.001, p))
 
 

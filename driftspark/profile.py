@@ -118,16 +118,9 @@ def outlier_report(
     """
     if not columns:
         raise ValueError("columns must be non-empty")
-    probs = [0.25, 0.75]
-    if exact:
-        row = df.agg(
-            *[F.percentile(nn(c), F.array(F.lit(0.25), F.lit(0.75))).alias(c)
-              for c in columns]
-        ).first()
-        quarts = {c: row[c] for c in columns}
-    else:
-        raw = df.approxQuantile(list(columns), probs, 1e-4)
-        quarts = {c: (list(v) if len(v) else None) for c, v in zip(columns, raw)}
+    from driftspark.stats import percentiles_by_column
+
+    quarts = percentiles_by_column(df, columns, [0.25, 0.75], exact)
 
     gb = [F.col(g) for g in (group_cols or [])]
     aggs = []

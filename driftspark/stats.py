@@ -29,6 +29,7 @@ Semantics parity notes (reference = /root/reference/src/drift_autopsy):
 from __future__ import annotations
 
 import logging
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -779,7 +780,7 @@ def cvm_ad_all(
     cols: Sequence[str],
     bucketed_threshold: int = 4_000_000,
     n_buckets: int = 64,
-    quantize: int = 9,
+    quantize: int = 18,
 ) -> Dict[str, Tuple[float, float, int, int]]:
     """Exact two-sample Cramér–von Mises T and Anderson–Darling A² per
     feature, fused in ONE job (beyond the reference's detector set — both
@@ -810,6 +811,14 @@ def cvm_ad_all(
     offsets), every term rounded to ``quantize`` decimals and summed as
     decimal(38, quantize) — order-independent, bit-identical under any
     layout/routing, engine-portable to DuckDB.
+
+    ``quantize`` defaults to 18 (not W1's 9): these terms SQUARE the CDF
+    gap, so on tie-free continuous data the null per-term magnitude is
+    ~1/(4N) — a 9-decimal quantum zeroes every term past N ~ 5e8, the
+    exact scale this path exists for.  At 18 decimals terms survive to
+    N ~ 5e17 and decimal(38,18)'s 1e20 integer headroom still holds the
+    bounded totals (T <= nm/N <= N/4, A² similar); worst-case absolute
+    quantization error stays 0.5e-18 per pooled distinct value.
 
     Returns {feature: (cvm, ad, n_ref, m_test)}; features empty on either
     side are skipped with a warning (KS convention).
@@ -1003,6 +1012,25 @@ def _cvm_ad_bucketed(
 DEFAULT_SHIFT_PROBS = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
 
 
+def percentiles_by_column(
+    df: DataFrame, cols: Sequence[str], probs: Sequence[float], exact: bool = True
+) -> Dict[str, Optional[list]]:
+    """One aggregation pass of per-column percentiles at ``probs`` —
+    exact pandas-parity interpolation (``F.percentile``, the
+    quantile_edges contract) or the Greenwald-Khanna sketch for the
+    scale where an exact distributed percentile is unrealistic (GK
+    returns true DATA POINTS, never interpolated values).  All-null
+    columns map to None.  Shared by quantile_shift_report and
+    profile.outlier_report — one definition of the exact/sketch switch.
+    """
+    if exact:
+        arr = F.array(*[F.lit(float(p)) for p in probs])
+        row = df.agg(*[F.percentile(nn(c), arr).alias(c) for c in cols]).first()
+        return {c: (list(row[c]) if row[c] is not None else None) for c in cols}
+    raw = df.approxQuantile(list(cols), [float(p) for p in probs], 1e-4)
+    return {c: (list(v) if len(v) else None) for c, v in zip(cols, raw)}
+
+
 def quantile_shift_report(
     ref_df: DataFrame,
     test_df: DataFrame,
@@ -1034,18 +1062,8 @@ def quantile_shift_report(
     if any(p < 0 or p > 1 for p in probs):
         raise ValueError(f"probs must lie in [0, 1], got {probs}")
     want = sorted(set(probs) | {0.25, 0.75})
-
-    def side(df):
-        if exact:
-            arr = F.array(*[F.lit(p) for p in want])
-            row = df.agg(
-                *[F.percentile(nn(c), arr).alias(c) for c in cols]
-            ).first()
-            return {c: row[c] for c in cols}
-        raw = df.approxQuantile(list(cols), want, 1e-4)
-        return {c: (list(v) if len(v) else None) for c, v in zip(cols, raw)}
-
-    ref_q, test_q = side(ref_df), side(test_df)
+    ref_q = percentiles_by_column(ref_df, cols, want, exact)
+    test_q = percentiles_by_column(test_df, cols, want, exact)
     idx = {p: i for i, p in enumerate(want)}
     out: Dict[str, list] = {}
     skipped = []
@@ -1094,23 +1112,56 @@ def correlation_drift(
         return {}
 
     def side(df):
-        # ANSI guard (Spark 4 default): corr on a zero-variance column
-        # aborts the job with DIVIDE_BY_ZERO — probe stddevs first (tiny
-        # agg) and only emit corr exprs for non-degenerate pairs; the
-        # rest are the explicit None semantic, never a crash
-        srow = df.agg(
-            *[F.stddev(nn(c)).alias(c) for c in cols]
+        # ANSI guard (Spark 4 default): F.corr aborts with DIVIDE_BY_ZERO
+        # whenever the PAIRWISE-non-null overlap has zero variance — a
+        # marginal-stddev probe cannot see that (x varies overall but is
+        # constant exactly where y is non-null), so corr is computed
+        # manually: centered conditional sums + try_divide.  Centering at
+        # the marginal means (one tiny probe agg) keeps the two-pass
+        # formula well-conditioned; Pearson r is shift-invariant, so any
+        # constant center gives the identical value.
+        probe = df.agg(
+            *[F.stddev(nn(c)).alias(f"s\x00{c}") for c in cols],
+            *[F.avg(nn(c)).alias(f"m\x00{c}") for c in cols],
         ).first()
         live = [
             p for p in pairs
-            if (srow[p[0]] or 0) > 0 and (srow[p[1]] or 0) > 0
+            if (probe[f"s\x00{p[0]}"] or 0) > 0
+            and (probe[f"s\x00{p[1]}"] or 0) > 0
         ]
         out = {p: None for p in pairs}
-        if live:
-            row = df.agg(
-                *[F.corr(nn(a), nn(b)).alias(f"{a}\x00{b}") for a, b in live]
-            ).first()
-            out.update({p: row[f"{p[0]}\x00{p[1]}"] for p in live})
+        if not live:
+            return out
+        aggs = []
+        for a, b in live:
+            va, vb = nn(a), nn(b)
+            valid = va.isNotNull() & vb.isNotNull()
+            ca = F.when(valid, va - F.lit(float(probe[f"m\x00{a}"])))
+            cb = F.when(valid, vb - F.lit(float(probe[f"m\x00{b}"])))
+            k = f"{a}\x00{b}"
+            aggs += [
+                F.sum(valid.cast("long")).alias(f"n\x00{k}"),
+                F.sum(ca).alias(f"sa\x00{k}"),
+                F.sum(cb).alias(f"sb\x00{k}"),
+                F.sum(ca * ca).alias(f"saa\x00{k}"),
+                F.sum(cb * cb).alias(f"sbb\x00{k}"),
+                F.sum(ca * cb).alias(f"sab\x00{k}"),
+            ]
+        row = df.agg(*aggs).first()
+        for a, b in live:
+            k = f"{a}\x00{b}"
+            n = row[f"n\x00{k}"]
+            if not n:
+                continue  # no pairwise overlap: undefined, stays None
+            sa, sb = row[f"sa\x00{k}"], row[f"sb\x00{k}"]
+            num = row[f"sab\x00{k}"] - sa * sb / n
+            vara = max(row[f"saa\x00{k}"] - sa * sa / n, 0.0)
+            varb = max(row[f"sbb\x00{k}"] - sb * sb / n, 0.0)
+            den = math.sqrt(vara * varb)
+            # zero-variance OVERLAP (or n == 1): undefined, stays None —
+            # the explicit degenerate semantic, never an ANSI abort
+            if den > 0:
+                out[(a, b)] = num / den
         return out
 
     r, t = side(ref_df), side(test_df)

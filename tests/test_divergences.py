@@ -510,6 +510,26 @@ def test_correlation_drift_matches_numpy(spark):
     assert correlation_drift(ref, test, ["x"]) == {}
 
 
+def test_correlation_drift_constant_pairwise_overlap(spark):
+    # the ANSI trap a marginal-stddev probe cannot see: both columns vary
+    # overall, but x is CONSTANT exactly where y is non-null — F.corr
+    # would abort the job with DIVIDE_BY_ZERO; the manual centered-sum
+    # path must return the explicit None instead
+    from driftspark.stats import correlation_drift
+
+    rows = [(1.0, None), (2.0, None), (5.0, 1.0), (5.0, 2.0), (5.0, 3.0),
+            (9.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    d = correlation_drift(df, df, ["x", "y"])
+    assert d[("x", "y")] == (None, None, None)
+    # zero pairwise overlap (disjoint non-null rows): also None
+    rows2 = [(1.0, None), (2.0, None), (None, 1.0), (None, 2.0)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    assert correlation_drift(df2, df2, ["x", "y"])[("x", "y")] == (
+        None, None, None,
+    )
+
+
 def test_correlation_detector(spark):
     from driftspark.dataset import SparkDataset
     from driftspark.detectors import CorrelationDrift
