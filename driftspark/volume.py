@@ -136,7 +136,12 @@ def volume_report(
     observed group (cross join of two tiny lazy frames — no driver
     collect, plan construction is job-free), so a group that stops
     sending data accrues explicit zero-count rows and its crater is
-    scored like any other value.  Trailing mean/std (sample std, the
+    scored like any other value.  SCALE NOTE: the dense grid is
+    O(groups x buckets) — ``group_col`` is meant for bounded-cardinality
+    partition columns (feeds, event types, sources, tenants); a
+    per-user/per-key analysis over millions of groups x years of hourly
+    buckets would materialize their product, and belongs to plain
+    windowed counts instead.  Trailing mean/std (sample std, the
     SQL default) come from the ``trailing`` buckets strictly BEFORE the
     current one; the first ``min_history`` buckets of each group are
     verdict ``insufficient_history``.
