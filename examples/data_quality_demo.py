@@ -105,6 +105,20 @@ def main(sf_dir: str) -> None:
     )
     print("docs with PII:", pii.where("has_pii").count())
 
+    print("== 3c. rolling temporal drift (each day vs its trailing week) ==")
+    import numpy as np
+
+    from driftspark.verdicts import rolling_psi
+
+    roll = rolling_psi(
+        events, "ts",
+        {"value": np.array([0.0, 10.0, 25.0, 50.0, 100.0, 200.0, 600.0])},
+        bucket="day", trailing=7, min_history=3,
+    ).orderBy("bucket_ts")
+    roll.where("severity <> 'insufficient_history'").orderBy(
+        F.desc("psi")
+    ).show(3, truncate=False)
+
     print("== 4. test-set contamination (8-gram overlap) ==")
     rep = contamination_report(
         docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0"),
