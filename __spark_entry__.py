@@ -716,6 +716,56 @@ def _correlation_drift_sql() -> str:
     return " UNION ALL ".join(sel) + " ORDER BY col_a, col_b"
 
 
+def _q_category_shift(spark, sf_dir):
+    """Categorical composition shift between splits
+    (stats.category_shift_report — the categorical companion to the
+    quantile-shift table; one fused scan for both sides)."""
+    from driftspark.stats import category_shift_report
+
+    ref, test = _split(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    rep = category_shift_report(ref, test, ["l_returnflag", "l_linestatus"])
+    return rep.select(
+        "feature", "category", "n_ref", "n_test",
+        F.round("ref_prop", 9).alias("ref_prop"),
+        F.round("test_prop", 9).alias("test_prop"),
+        F.round("delta", 9).alias("delta"),
+    ).orderBy("feature", "category")
+
+
+def _category_shift_sql() -> str:
+    return """
+        WITH u AS (
+          SELECT 'l_returnflag' AS feature,
+                 CAST(l_returnflag AS VARCHAR) AS category,
+                 CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+                 CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END
+          FROM lineitem
+        ), g AS (
+          SELECT feature, category,
+                 sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_test
+          FROM u GROUP BY 1, 2
+        ), p AS (
+          SELECT feature, category, n_ref, n_test,
+                 n_ref * 1.0 / sum(n_ref) OVER (PARTITION BY feature)
+                   AS ref_prop,
+                 n_test * 1.0 / sum(n_test) OVER (PARTITION BY feature)
+                   AS test_prop
+          FROM g
+        )
+        SELECT feature, category,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_test AS BIGINT) AS n_test,
+               round(ref_prop, 9) AS ref_prop,
+               round(test_prop, 9) AS test_prop,
+               round(coalesce(test_prop, 0) - coalesce(ref_prop, 0), 9)
+                 AS delta
+        FROM p ORDER BY feature, category
+    """
+
+
 def _q_chi2_returnflag(spark, sf_dir):
     """A11: chi-square statistic of categorical counts between splits."""
     from driftspark.stats import categorical_counts
@@ -3118,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "outlier_rates": _q_outliers,
         "correlation_drift": _q_correlation_drift,
+        "category_shift": _q_category_shift,
         "chi2_returnflag": _q_chi2_returnflag,
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
@@ -4197,6 +4248,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _pii_scan_sql(),
         "outlier_rates": _outliers_sql(),
         "correlation_drift": _correlation_drift_sql(),
+        "category_shift": _category_shift_sql(),
         "ks_d": """
             WITH feats AS (
               SELECT 'l_quantity' AS feature, l_quantity AS value, l_orderkey FROM lineitem

@@ -1089,6 +1089,91 @@ def quantile_shift_report(
     return out
 
 
+def category_shift_report(
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    top_k: Optional[int] = None,
+    max_categories: int = 10_000,
+) -> DataFrame:
+    """Per-category proportion shift — the categorical companion to
+    :func:`quantile_shift_report` (a chi2 says "composition drifted";
+    this says "category X gained 4 points, Y lost 3").
+
+    ONE scan: both sides melt with a side tag into one groupBy(feature,
+    category) — categories absent from a side get proportion 0 via the
+    fused conditional sums, so appearing/disappearing categories are
+    first-class rows.  NULL category is kept as an explicit row (a null
+    surge IS composition drift).  Cardinality guard: features whose
+    category count exceeds ``max_categories`` are dropped with a warning
+    (the chi2_by_partition convention — a free-text column is not a
+    categorical feature).  ``top_k`` keeps the largest absolute deltas
+    per feature.
+
+    Returns (feature, category string, n_ref, n_test, ref_prop,
+    test_prop, delta) — proportions over each side's TOTAL rows for the
+    feature (nulls included in the denominator, matching the explicit
+    null rows).
+    """
+    if not cols:
+        return ref_df.sparkSession.createDataFrame(
+            [], "feature string, category string, n_ref long, n_test long, "
+                "ref_prop double, test_prop double, delta double",
+        )
+
+    def melt(df, tag):
+        structs = [
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col(c).cast("string").alias("category"),
+            )
+            for c in cols
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("fc")).select(
+            "fc.feature", "fc.category", F.lit(tag).alias("is_ref")
+        )
+
+    u = melt(ref_df, 1).unionByName(melt(test_df, 0))
+    g = u.groupBy("feature", "category").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_test"),
+    )
+    # cardinality guard BEFORE any window: one partial-agg count
+    card = g.groupBy("feature").agg(F.count(F.lit(1)).alias("nc"))
+    over = [r["feature"] for r in card.where(F.col("nc") > max_categories).collect()]
+    if over:
+        logger.warning(
+            "category_shift_report: dropping %s — category count exceeds "
+            "max_categories=%d (not a categorical feature)",
+            sorted(over), max_categories,
+        )
+        g = g.where(~F.col("feature").isin(over))
+
+    w = Window.partitionBy("feature")
+    ref_prop = F.try_divide(F.col("n_ref"), F.sum("n_ref").over(w))
+    test_prop = F.try_divide(F.col("n_test"), F.sum("n_test").over(w))
+    out = g.select(
+        "feature",
+        "category",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_test").cast("long").alias("n_test"),
+        ref_prop.alias("ref_prop"),
+        test_prop.alias("test_prop"),
+        (F.coalesce(test_prop, F.lit(0.0)) - F.coalesce(ref_prop, F.lit(0.0))
+         ).alias("delta"),
+    )
+    if top_k is not None:
+        wk = Window.partitionBy("feature").orderBy(
+            F.abs(F.col("delta")).desc(), F.col("category").asc_nulls_last()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= top_k)
+            .drop("__rk")
+        )
+    return out
+
+
 def correlation_drift(
     ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
 ) -> Dict[Tuple[str, str], Tuple[Optional[float], Optional[float], Optional[float]]]:

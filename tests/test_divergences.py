@@ -561,3 +561,46 @@ def test_correlation_detector(spark):
     res1 = CorrelationDrift().fit_detect(SparkDataset(ref1), SparkDataset(test1))
     assert not res1.drift_detected
     assert res1.metadata["message"] == "No correlatable feature pairs"
+
+
+def test_category_shift_hand_math_and_edges(spark):
+    from driftspark.stats import category_shift_report
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("b",), (None,)] * 10, "cat string"
+    )
+    test = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",), (None,), (None,)] * 10, "cat string"
+    )
+    rows = {r["category"]: r for r in
+            category_shift_report(ref, test, ["cat"]).collect()}
+    # proportions over TOTAL rows incl. nulls (null surge IS drift)
+    assert rows["a"]["ref_prop"] == pytest.approx(2 / 6)
+    assert rows["a"]["test_prop"] == pytest.approx(1 / 6)
+    assert rows["a"]["delta"] == pytest.approx(-1 / 6)
+    # appearing category: ref side zero, first-class row
+    assert rows["c"]["n_ref"] == 0 and rows["c"]["delta"] == pytest.approx(1 / 6)
+    # NULL category is an explicit row
+    assert rows[None]["delta"] == pytest.approx(1 / 6)
+
+    # top_k keeps the largest absolute movers
+    top = category_shift_report(ref, test, ["cat"], top_k=2).collect()
+    assert len(top) == 2
+    assert all(abs(r["delta"]) >= 1 / 6 - 1e-12 for r in top)
+
+
+def test_category_shift_cardinality_guard(spark, caplog):
+    import logging
+
+    from driftspark.stats import category_shift_report
+
+    wide = spark.range(500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("freeform"),
+        (F.col("id") % 2).cast("string").alias("ok"),
+    )
+    with caplog.at_level(logging.WARNING):
+        rows = category_shift_report(
+            wide, wide, ["freeform", "ok"], max_categories=100
+        ).collect()
+    assert {r["feature"] for r in rows} == {"ok"}  # freeform dropped
+    assert any("max_categories" in r.message for r in caplog.records)
