@@ -33,6 +33,7 @@ class ValidationResult:
     referential_violations: Optional[DataFrame] = None
     verdicts: Optional[DataFrame] = None
     payload_checks: Optional[DataFrame] = None
+    contamination: Optional[DataFrame] = None
     n_images: int = 0
     n_pairs: int = 0
     elapsed_sec: float = 0.0
@@ -81,6 +82,8 @@ def run_validation(
     min_psnr: float = 40.0,
     expected_schema=None,
     expectations=None,
+    contamination_ref: Optional[DataFrame] = None,
+    contamination_max_hamming: int = 4,
     **verdict_kwargs,
 ) -> ValidationResult:
     """Run the full constraint + drift (+ payload) validation concurrently.
@@ -180,6 +183,21 @@ def run_validation(
             )
         res.n_pairs = res.payload_checks.count()
 
+    def pass_contamination():
+        # optional decontamination pass: test-split images vs an external
+        # reference corpus by phash hamming (a REPORT — leaks are a
+        # curation decision, so it does not gate `passed`)
+        if contamination_ref is None:
+            return
+        from driftspark.imageops import phash_contamination
+
+        res.contamination = phash_contamination(
+            images.where(F.col(split_col) == "test"),
+            contamination_ref,
+            max_hamming=contamination_max_hamming,
+        )
+        res.contamination.count()
+
     def pass_expectations():
         if expectations is None:
             return
@@ -188,7 +206,7 @@ def run_validation(
         res.expectations = run_expectations(images, expectations, group_col=part_col)
         res.expectations.count()
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futs = [
             pool.submit(f)
             for f in (
@@ -198,6 +216,7 @@ def run_validation(
                 pass_verdicts,
                 pass_payload,
                 pass_expectations,
+                pass_contamination,
             )
         ]
         for f in futs:

@@ -80,3 +80,25 @@ def test_run_validation_with_schema_and_expectations(spark):
     )
     assert res2.schema_check.ok is False
     assert res2.passed is False
+
+
+def test_run_validation_contamination_pass(spark):
+    from pyspark.sql import functions as F
+
+    from driftspark.runner import run_validation
+    from driftspark.synth import synth_image_table
+
+    img = synth_image_table(spark, 1500, n_parts=4, drift=False, with_bytes=False)
+    # "training corpus" = the test split's own phashes -> every test image
+    # is an exact leak
+    corpus = img.where("split = 'test'").select("image_id", "phash")
+    res = run_validation(img, contamination_ref=corpus)
+    n_test = img.where("split = 'test'").select("image_id").distinct().count()
+    assert res.contamination.count() == n_test
+    leaked = res.contamination.where("contaminated")
+    assert leaked.count() == n_test  # exact-match path: complete recall
+    assert leaked.where("min_hamming = 0").count() == n_test
+    # a report, not a gate: contamination does not affect `passed`
+    res_off = run_validation(img)
+    assert res_off.contamination is None
+    assert res.passed == res_off.passed
