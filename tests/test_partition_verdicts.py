@@ -556,3 +556,21 @@ def test_rolling_psi_validation(spark):
         rolling_psi(df, "ts", {})
     with pytest.raises(ValueError, match="trailing"):
         rolling_psi(df, "ts", {"value": np.array([0.0, 1.0])}, trailing=0)
+
+
+def test_rolling_psi_layout_invariance(spark):
+    from driftspark.verdicts import rolling_psi
+
+    rng = np.random.RandomState(7)
+    df = _rolling_events(
+        spark, [(d, rng.uniform(0, 100, 300)) for d in range(9)]
+    )
+    edges = {"value": np.array([0.0, 25.0, 50.0, 75.0, 100.0])}
+    base = {r["bucket_ts"]: r for r in rolling_psi(df, "ts", edges).collect()}
+    relaid = {r["bucket_ts"]: r for r in rolling_psi(
+        df.repartition(13), "ts", edges).collect()}
+    assert set(base) == set(relaid)
+    for k in base:
+        assert relaid[k]["psi"] == pytest.approx(base[k]["psi"], abs=1e-12)
+        assert relaid[k]["severity"] == base[k]["severity"]
+        assert relaid[k]["n_test"] == base[k]["n_test"]
