@@ -400,6 +400,193 @@ def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+#: fused-path load-balance targets: aim for ~this many distinct values per
+#: (feature, bucket) window group, with at most this many buckets per
+#: feature (the per-bucket offsets frame stays a tiny broadcast)
+_CDF_ROWS_PER_BUCKET = 16_000
+_CDF_MAX_BUCKETS = 1024
+
+
+def _cdf_prescan(
+    ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
+) -> Dict[str, tuple]:
+    """{col: (n, m, lo, hi, nd_approx)} from ONE light union scan — no
+    explode, no shuffle (global aggregate ships only sketch state).
+
+    ``n``/``m`` are the EXACT per-side non-null non-NaN counts (the same
+    rows :func:`_melt` keeps, so they are the KS/W1/CvM sample sizes);
+    ``lo``/``hi`` the pooled exact min/max (uniform bucket bounds for the
+    fused path — bucket PLACEMENT affects only load balance, never the
+    statistic); ``nd_approx`` an HLL distinct estimate used solely to
+    route to the percentile-bucketed decomposition and to size the bucket
+    count.  This replaces the former build-then-count totals pass over
+    the persisted melt aggregate: the routing signal no longer costs a
+    full explode + (feature, value) shuffle + cache materialization.
+    """
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        nnv = F.when(~F.isnan(v), v)
+        aggs.append(F.count(nnv).alias(f"{c}__n"))
+        aggs.append(F.min(nnv).alias(f"{c}__mn"))
+        aggs.append(F.max(nnv).alias(f"{c}__mx"))
+        aggs.append(F.approx_count_distinct(nnv).alias(f"{c}__nd"))
+    u = ref_df.select(*cols).withColumn("__s", F.lit(0)).unionByName(
+        test_df.select(*cols).withColumn("__s", F.lit(1))
+    )
+    rows = {r["__s"]: r for r in u.groupBy("__s").agg(*aggs).collect()}
+    out: Dict[str, tuple] = {}
+    for c in cols:
+        n = int(rows[0][f"{c}__n"]) if 0 in rows else 0
+        m = int(rows[1][f"{c}__n"]) if 1 in rows else 0
+        mns = [rows[s][f"{c}__mn"] for s in rows if rows[s][f"{c}__mn"] is not None]
+        mxs = [rows[s][f"{c}__mx"] for s in rows if rows[s][f"{c}__mx"] is not None]
+        nd = max(int(rows[s][f"{c}__nd"]) for s in rows) if rows else 0
+        out[c] = (
+            n, m,
+            min(mns) if mns else None,
+            max(mxs) if mxs else None,
+            nd,
+        )
+    return out
+
+
+def _cdf_route(
+    fn_name: str,
+    prescan: Dict[str, tuple],
+    bucketed_threshold: int,
+) -> Tuple[Dict[str, Tuple[int, int]], list, list]:
+    """(nm, fused_features, percentile_features) from the prescan: drops
+    one-sided-empty features with the KS-convention warning, and routes
+    features whose approximate distinct count exceeds
+    ``bucketed_threshold`` to the equal-mass percentile decomposition
+    (robust to value-skew at the scale where uniform buckets could leave
+    one bucket hot).  Either route is exact — the statistics are
+    bucket-layout-invariant by construction — so the approximate routing
+    signal cannot change a result."""
+    nm = {c: (v[0], v[1]) for c, v in prescan.items()}
+    degenerate = [c for c, (n, m) in nm.items() if n == 0 or m == 0]
+    if degenerate:
+        logger.warning(
+            "%s: no non-null values on one side for %s — skipped",
+            fn_name, sorted(degenerate),
+        )
+    ok = [c for c in prescan if c not in set(degenerate)]
+    fused = [c for c in ok if prescan[c][4] <= bucketed_threshold]
+    big = [c for c in ok if prescan[c][4] > bucketed_threshold]
+    return nm, fused, big
+
+
+def _cdf_cum_frame(
+    g: DataFrame,
+    prescan: Dict[str, tuple],
+    feats: Sequence[str],
+    with_gap: bool = False,
+) -> DataFrame:
+    """The fused exact-cumulative frame over the per-value counts ``g``:
+    one action computes, for every (feature, value), the exact global
+    cumulative side counts and side totals — with the per-feature
+    cumulative window split into value-ordered UNIFORM buckets so the
+    sort/window/term work runs bucket-parallel instead of one task per
+    feature.
+
+    Shape: bucket id = floor((value - lo) / (hi - lo) * nb) (a flat
+    arithmetic expression from the prescan bounds — deterministic and
+    order-preserving, so within-bucket running sums + exact cross-bucket
+    prefix offsets reconstruct the EXACT global cumulative counts) →
+    running window per (feature, bkt) → the per-bucket totals aggregate
+    re-reads the same shuffled exchange (ReuseExchange; the offsets frame
+    is O(features x buckets) and broadcasts) → prefix offsets, per-feature
+    totals (and, for W1, the next non-empty bucket's minimum — the
+    boundary gap) come from tiny windows over that aggregate.
+
+    Returns columns: feature, value, r, t, cr, ct, n, m (+ nxt when
+    ``with_gap`` — NULL at the last distinct value of a feature).
+    Uniform buckets are a LOAD-BALANCE choice only; any deterministic
+    monotone bucketing yields identical statistics (locked by the
+    layout/bucketed bit-parity tests)."""
+    import math
+
+    bucket = F.lit(0)
+    for c in feats:
+        n, m, lo, hi, nd = prescan[c]
+        nb = max(1, min(
+            -(-min(nd, n + m) // _CDF_ROWS_PER_BUCKET), _CDF_MAX_BUCKETS
+        ))
+        if (
+            nb > 1
+            and lo is not None and hi is not None
+            and math.isfinite(lo) and math.isfinite(hi) and hi > lo
+        ):
+            bc = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.lit(float(lo)))
+                        / F.lit(float(hi - lo)) * F.lit(nb)
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(nb - 1),
+            )
+        else:
+            bc = F.lit(0)
+        bucket = F.when(F.col("feature") == c, bc).otherwise(bucket)
+    gb = g.withColumn("bkt", bucket)
+
+    bt_aggs = [F.sum("r").alias("rs"), F.sum("t").alias("ts")]
+    if with_gap:
+        bt_aggs.append(F.min("value").alias("mn"))
+    bt = gb.groupBy("feature", "bkt").agg(*bt_aggs)
+    w_off = (
+        Window.partitionBy("feature")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("feature")
+    off_cols = [
+        F.col("feature"), F.col("bkt"),
+        F.coalesce(F.sum("rs").over(w_off), F.lit(0)).alias("roff"),
+        F.coalesce(F.sum("ts").over(w_off), F.lit(0)).alias("toff"),
+        F.sum("rs").over(w_tot).alias("n"),
+        F.sum("ts").over(w_tot).alias("m"),
+    ]
+    if with_gap:
+        off_cols.append(
+            F.lead("mn").over(Window.partitionBy("feature").orderBy("bkt"))
+            .alias("nxt_bkt")
+        )
+    offs = bt.select(*off_cols)
+
+    w_loc = (
+        Window.partitionBy("feature", "bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre_cols = [
+        F.col("feature"), F.col("bkt"), F.col("value"),
+        F.col("r"), F.col("t"),
+        F.sum("r").over(w_loc).alias("lcr"),
+        F.sum("t").over(w_loc).alias("lct"),
+    ]
+    if with_gap:
+        pre_cols.append(
+            F.lead("value")
+            .over(Window.partitionBy("feature", "bkt").orderBy("value"))
+            .alias("nxt_in")
+        )
+    pre = gb.select(*pre_cols)
+
+    sel = [
+        F.col("feature"), F.col("value"), F.col("r"), F.col("t"),
+        (F.col("lcr") + F.col("roff")).alias("cr"),
+        (F.col("lct") + F.col("toff")).alias("ct"),
+        F.col("n"), F.col("m"),
+    ]
+    if with_gap:
+        sel.append(F.coalesce("nxt_in", "nxt_bkt").alias("nxt"))
+    return pre.join(F.broadcast(offs), ["feature", "bkt"]).select(*sel)
+
+
 def ks_d_all(
     ref_df: DataFrame,
     test_df: DataFrame,
@@ -409,96 +596,61 @@ def ks_d_all(
 ) -> Dict[str, Tuple[float, int, int]]:
     """Exact KS D per feature, fully distributed.
 
-    Plan: melt both sides → union → groupBy(feature, value) pre-aggregate
-    side counts (partial agg map-side) → per-feature cumulative window over
-    distinct values → max |cdf_ref - cdf_test|.  D is attained at sample
-    points, and the cumulative count at a distinct value equals
-    searchsorted(..., side='right'), so this is exactly scipy's statistic.
+    Plan: ONE light prescan (per-column counts/min/max/HLL — no explode,
+    no shuffle) for sample sizes and routing, then ONE fused job: melt
+    both sides → union → groupBy(feature, value) pre-aggregate side
+    counts (partial agg map-side) → bucket-parallel cumulative windows
+    (:func:`_cdf_cum_frame`) → max |cdf_ref - cdf_test|.  D is attained
+    at sample points, and the cumulative count at a distinct value equals
+    searchsorted(..., side='right'), so this is exactly scipy's
+    statistic.
 
-    A per-feature window puts ALL of a feature's distinct values in ONE
-    task — fine below ``bucketed_threshold`` distinct values, a
-    single-task sort bottleneck at 10^12 rows.  Features above the
-    threshold switch to a bucketed decomposition that yields the SAME
-    exact D: values are coarse-bucketed by approx-quantile edges, the
-    cumulative window runs per (feature, bucket) — ``n_buckets``-way
-    parallel — and each bucket's prefix offsets (exact side totals of all
-    earlier buckets) join in broadcast before the max.
-
-    Routing needs the per-feature distinct counts before a plan can be
-    chosen, so the distinct-value aggregate is persisted and one totals
-    job runs first — one extra cheap action vs the old single-action
-    window plan (any routing signal requires a scan; running the window
-    to discover the count would execute the very single-task sort the
-    routing exists to avoid).
+    Features whose approximate distinct count exceeds
+    ``bucketed_threshold`` switch to the equal-mass percentile
+    decomposition (:func:`_ks_d_bucketed`) — same exact D, robust to
+    value-skew where the fused path's uniform buckets could run hot.
 
     Returns {feature: (d, n_ref, m_test)}.
     """
     if not cols:
+        return {}
+    prescan = _cdf_prescan(ref_df, test_df, cols)
+    nm, fused, big = _cdf_route("ks_d_all", prescan, bucketed_threshold)
+    if not fused and not big:
         return {}
     u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
         _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
     )
     g = u.groupBy("feature", "value").agg(
         F.sum("r").alias("r"), F.sum("t").alias("t")
-    ).persist()
+    )
+    out: Dict[str, Tuple[float, int, int]] = {}
+    if big:
+        # the percentile path runs 3 actions over g — persist it
+        g = g.persist()
     try:
-        totals = g.groupBy("feature").agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.sum("r").alias("n"),
-            F.sum("t").alias("m"),
-        ).collect()
-        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
-        # a side with zero non-null values for a feature has no ECDF —
-        # KS is undefined AND the window's sum()/total division would
-        # abort under Spark 4's default ANSI mode; drop such features
-        # here (callers already skip absent keys / n==0 rows)
-        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
-        if degenerate:
-            logger.warning(
-                "ks_d_all: no non-null values on one side for %s — skipped",
-                sorted(degenerate),
+        if fused:
+            cum = _cdf_cum_frame(
+                g.where(F.col("feature").isin(fused)), prescan, fused
             )
-        ok = set(nm) - set(degenerate)
-        small = [
-            r["feature"] for r in totals
-            if r["nd"] <= bucketed_threshold and r["feature"] in ok
-        ]
-        big = [
-            r["feature"] for r in totals
-            if r["nd"] > bucketed_threshold and r["feature"] in ok
-        ]
-
-        out: Dict[str, Tuple[float, int, int]] = {}
-        if small:
-            out.update(_ks_d_window(g.where(F.col("feature").isin(small)), nm))
+            scored = cum.select(
+                "feature",
+                F.abs(
+                    F.col("cr") / F.col("n") - F.col("ct") / F.col("m")
+                ).alias("diff"),
+            )
+            rows = scored.groupBy("feature").agg(F.max("diff").alias("d")).collect()
+            out.update(
+                {r["feature"]: (float(r["d"]), *nm[r["feature"]]) for r in rows}
+            )
         if big:
             out.update(
                 _ks_d_bucketed(g.where(F.col("feature").isin(big)), nm, n_buckets)
             )
         return out
     finally:
-        g.unpersist()
-
-
-def _ks_d_window(g: DataFrame, nm: Dict[str, Tuple[int, int]]) -> Dict:
-    """Per-feature cumulative window over the distinct-value counts."""
-    w_cum = (
-        Window.partitionBy("feature")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("feature")
-    scored = g.select(
-        "feature",
-        (
-            F.abs(
-                F.sum("r").over(w_cum) / F.sum("r").over(w_all)
-                - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
-            )
-        ).alias("diff"),
-    )
-    rows = scored.groupBy("feature").agg(F.max("diff").alias("d")).collect()
-    return {r["feature"]: (float(r["d"]), *nm[r["feature"]]) for r in rows}
+        if big:
+            g.unpersist()
 
 
 def _ks_d_bucketed(
@@ -591,13 +743,13 @@ def wasserstein_all(
     pooled sorted distinct values — scipy.stats.wasserstein_distance's
     quantile-integral identity on empirical CDFs.
 
-    Same distributed shape as :func:`ks_d_all`: melt -> per-value
-    pre-aggregated side counts (map-side combine; the shuffle carries
-    only distinct values) -> per-feature cumulative window, routed to a
-    bucketed decomposition above ``bucketed_threshold`` distinct values
-    so no feature ever sorts in a single task (the cross-bucket boundary
-    gap uses the NEXT bucket's minimum value, collected with the same
-    tiny per-bucket offsets frame and broadcast back).
+    Same distributed shape as :func:`ks_d_all`: light prescan, then melt
+    -> per-value pre-aggregated side counts (map-side combine; the
+    shuffle carries only distinct values) -> bucket-parallel cumulative
+    windows (:func:`_cdf_cum_frame`, which also carries the cross-bucket
+    boundary gap from the next non-empty bucket's minimum), routed to
+    the equal-mass percentile decomposition above ``bucketed_threshold``
+    distinct values.
 
     Determinism: each term is rounded to ``quantize`` decimals and summed
     as decimal(38, quantize) — an EXACT, order-independent sum, so the
@@ -612,38 +764,37 @@ def wasserstein_all(
     """
     if not cols:
         return {}
+    prescan = _cdf_prescan(ref_df, test_df, cols)
+    nm, fused, big = _cdf_route("wasserstein_all", prescan, bucketed_threshold)
+    ok = set(fused) | set(big)
+    if not ok:
+        return {}
     u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
         _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
     )
     g = u.groupBy("feature", "value").agg(
         F.sum("r").alias("r"), F.sum("t").alias("t")
-    ).persist()
+    )
+    out: Dict[str, Tuple[float, int, int]] = {}
+    if big:
+        g = g.persist()
     try:
-        totals = g.groupBy("feature").agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.sum("r").alias("n"),
-            F.sum("t").alias("m"),
-        ).collect()
-        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
-        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
-        if degenerate:
-            logger.warning(
-                "wasserstein_all: no non-null values on one side for %s — "
-                "skipped", sorted(degenerate),
+        if fused:
+            cum = _cdf_cum_frame(
+                g.where(F.col("feature").isin(fused)), prescan, fused,
+                with_gap=True,
             )
-        ok = set(nm) - set(degenerate)
-        small = [
-            r["feature"] for r in totals
-            if r["nd"] <= bucketed_threshold and r["feature"] in ok
-        ]
-        big = [
-            r["feature"] for r in totals
-            if r["nd"] > bucketed_threshold and r["feature"] in ok
-        ]
-        out: Dict[str, Tuple[float, int, int]] = {}
-        if small:
+            term = F.abs(
+                F.col("cr") / F.col("n") - F.col("ct") / F.col("m")
+            ) * (F.col("nxt") - F.col("value"))
+            scored = cum.select(
+                "feature", _w1_term_quantized(term, quantize).alias("term")
+            ).where(F.col("term").isNotNull())
+            rows = scored.groupBy("feature").agg(
+                F.sum("term").cast("double").alias("w1")
+            ).collect()
             out.update(
-                _w1_window(g.where(F.col("feature").isin(small)), nm, quantize)
+                {r["feature"]: (float(r["w1"]), *nm[r["feature"]]) for r in rows}
             )
         if big:
             out.update(
@@ -658,35 +809,13 @@ def wasserstein_all(
             out[f] = (0.0, *nm[f])
         return out
     finally:
-        g.unpersist()
+        if big:
+            g.unpersist()
 
 
 def _w1_term_quantized(term, quantize: int):
     """round(term, q) :: decimal(38, q) — the order-independent summand."""
     return F.round(term, quantize).cast(f"decimal(38,{quantize})")
-
-
-def _w1_window(g: DataFrame, nm: Dict[str, Tuple[int, int]], quantize: int) -> Dict:
-    """Per-feature cumulative window; the gap to the next distinct value
-    comes from lead() in the same ordering."""
-    w_cum = (
-        Window.partitionBy("feature")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("feature")
-    w_ord = Window.partitionBy("feature").orderBy("value")
-    term = F.abs(
-        F.sum("r").over(w_cum) / F.sum("r").over(w_all)
-        - F.sum("t").over(w_cum) / F.sum("t").over(w_all)
-    ) * (F.lead("value").over(w_ord) - F.col("value"))
-    scored = g.select(
-        "feature", _w1_term_quantized(term, quantize).alias("term")
-    ).where(F.col("term").isNotNull())
-    rows = scored.groupBy("feature").agg(
-        F.sum("term").cast("double").alias("w1")
-    ).collect()
-    return {r["feature"]: (float(r["w1"]), *nm[r["feature"]]) for r in rows}
 
 
 def _w1_bucketed(
@@ -805,8 +934,9 @@ def cvm_ad_all(
     rows.
 
     Same distributed shape and determinism contract as
-    :func:`wasserstein_all`: melt -> per-value pre-agg -> per-feature
-    cumulative window (bucketed decomposition above ``bucketed_threshold``
+    :func:`wasserstein_all`: light prescan -> melt -> per-value pre-agg
+    -> bucket-parallel cumulative windows (:func:`_cdf_cum_frame`;
+    equal-mass percentile decomposition above ``bucketed_threshold``
     distinct values — no boundary gap needed here, only exact prefix
     offsets), every term rounded to ``quantize`` decimals and summed as
     decimal(38, quantize) — order-independent, bit-identical under any
@@ -825,39 +955,43 @@ def cvm_ad_all(
     """
     if not cols:
         return {}
+    prescan = _cdf_prescan(ref_df, test_df, cols)
+    nm, fused, big = _cdf_route("cvm_ad_all", prescan, bucketed_threshold)
+    if not fused and not big:
+        return {}
     u = _melt(ref_df, cols).withColumn("r", F.lit(1)).withColumn("t", F.lit(0)).unionByName(
         _melt(test_df, cols).withColumn("r", F.lit(0)).withColumn("t", F.lit(1))
     )
     g = u.groupBy("feature", "value").agg(
         F.sum("r").alias("r"), F.sum("t").alias("t")
-    ).persist()
+    )
+    out: Dict[str, Tuple[float, float, int, int]] = {}
+    if big:
+        g = g.persist()
     try:
-        totals = g.groupBy("feature").agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.sum("r").alias("n"),
-            F.sum("t").alias("m"),
-        ).collect()
-        nm = {r["feature"]: (int(r["n"]), int(r["m"])) for r in totals}
-        degenerate = [f for f, (n, m) in nm.items() if n == 0 or m == 0]
-        if degenerate:
-            logger.warning(
-                "cvm_ad_all: no non-null values on one side for %s — skipped",
-                sorted(degenerate),
+        if fused:
+            cum = _cdf_cum_frame(
+                g.where(F.col("feature").isin(fused)), prescan, fused
             )
-        ok = set(nm) - set(degenerate)
-        small = [
-            r["feature"] for r in totals
-            if r["nd"] <= bucketed_threshold and r["feature"] in ok
-        ]
-        big = [
-            r["feature"] for r in totals
-            if r["nd"] > bucketed_threshold and r["feature"] in ok
-        ]
-        out: Dict[str, Tuple[float, float, int, int]] = {}
-        if small:
-            out.update(
-                _cvm_ad_window(g.where(F.col("feature").isin(small)), nm, quantize)
+            cvm, ad = _cvm_ad_terms(
+                F.col("cr"), F.col("ct"),
+                F.col("r"), F.col("t"),
+                F.col("n"), F.col("m"),
+                quantize,
             )
+            rows = (
+                cum.select("feature", cvm.alias("cvm"), ad.alias("ad"))
+                .groupBy("feature")
+                .agg(
+                    F.sum("cvm").cast("double").alias("cvm"),
+                    F.sum("ad").cast("double").alias("ad"),
+                )
+                .collect()
+            )
+            out.update({
+                r["feature"]: (float(r["cvm"]), float(r["ad"]), *nm[r["feature"]])
+                for r in rows
+            })
         if big:
             out.update(
                 _cvm_ad_bucketed(
@@ -866,7 +1000,8 @@ def cvm_ad_all(
             )
         return out
     finally:
-        g.unpersist()
+        if big:
+            g.unpersist()
 
 
 def _cvm_ad_terms(cr, ct, rl, tl, n, m, quantize: int):
@@ -893,36 +1028,6 @@ def _cvm_ad_terms(cr, ct, rl, tl, n, m, quantize: int):
         _w1_term_quantized(cvm, quantize),
         _w1_term_quantized(ad, quantize),
     )
-
-
-def _cvm_ad_window(
-    g: DataFrame, nm: Dict[str, Tuple[int, int]], quantize: int
-) -> Dict:
-    w_cum = (
-        Window.partitionBy("feature")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("feature")
-    cvm, ad = _cvm_ad_terms(
-        F.sum("r").over(w_cum), F.sum("t").over(w_cum),
-        F.col("r"), F.col("t"),
-        F.sum("r").over(w_all), F.sum("t").over(w_all),
-        quantize,
-    )
-    rows = (
-        g.select("feature", cvm.alias("cvm"), ad.alias("ad"))
-        .groupBy("feature")
-        .agg(
-            F.sum("cvm").cast("double").alias("cvm"),
-            F.sum("ad").cast("double").alias("ad"),
-        )
-        .collect()
-    )
-    return {
-        r["feature"]: (float(r["cvm"]), float(r["ad"]), *nm[r["feature"]])
-        for r in rows
-    }
 
 
 def _cvm_ad_bucketed(
