@@ -67,30 +67,45 @@ def quantile_edges(
     aggregate — same interpolation as numpy/pandas quantile, so edges match
     ``pd.qcut`` retbins (up to float associativity).  Nulls/NaNs excluded.
 
-    ONE direct aggregation over the raw columns: the percentile
-    aggregate's partial state is already a distinct-value counts map that
-    merges map-side, so this ships exactly the per-column value domain up
-    the agg tree with NO explode and NO (feature, value) exchange — ~1.4x
-    faster than the former melt + groupBy + weighted-percentile plan and
-    bit-identical (locked by the pd.qcut parity tests).
+    ONE direct aggregation per column, submitted as CONCURRENT jobs: the
+    percentile aggregate's partial state is a distinct-value counts map
+    whose final merge is single-threaded per aggregate — a multi-column
+    global agg serializes every column's merge into one task, which
+    dominated the exact-edges fit.  Per-column jobs keep each merge in
+    its own job (overlapping scheduling and merges, guide-§2.6 style)
+    and, with a columnar source, read DISJOINT column chunks — total
+    scan bytes stay ~constant while the merges parallelize (interleaved
+    best-of-3 at sf0.1: 2.26 s → 1.56 s for 4 columns).  Values are
+    bit-identical (same per-column aggregate expression; locked by the
+    pd.qcut parity tests).
     """
     if not cols:
         return {}
+    from concurrent.futures import ThreadPoolExecutor
+
     probs = F.array(*[F.lit(i / q) for i in range(q + 1)])
-    aggs = []
-    for c in cols:
-        aggs.append(F.percentile(nn(c), probs).alias(f"{c}__pct"))
-        aggs.append(F.min(nn(c)).alias(f"{c}__min"))
-        aggs.append(F.max(nn(c)).alias(f"{c}__max"))
-    row = df.agg(*aggs).first()
+
+    def one(c: str):
+        return c, df.agg(
+            F.percentile(nn(c), probs).alias("pct"),
+            F.min(nn(c)).alias("mn"),
+            F.max(nn(c)).alias("mx"),
+        ).first()
+
+    if len(cols) == 1:
+        rows = dict([one(cols[0])])
+    else:
+        with ThreadPoolExecutor(max_workers=min(len(cols), 8)) as pool:
+            rows = dict(pool.map(one, cols))
     out: Dict[str, np.ndarray] = {}
     for c in cols:
-        if row[f"{c}__pct"] is None:  # all-null column
+        row = rows[c]
+        if row["pct"] is None:  # all-null column
             continue
-        edges = np.unique(np.asarray(row[f"{c}__pct"], dtype=np.float64))
+        edges = np.unique(np.asarray(row["pct"], dtype=np.float64))
         if len(edges) < 2:
             # constant column → reference falls back to uniform edges
-            edges = np.linspace(row[f"{c}__min"], row[f"{c}__max"], q + 1)
+            edges = np.linspace(row["mn"], row["mx"], q + 1)
         out[c] = edges
     return out
 

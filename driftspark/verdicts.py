@@ -48,20 +48,32 @@ VERDICT_SCHEMA = (
 )
 
 
-def _melt_binned(df: DataFrame, edges_map: Dict[str, np.ndarray], part_expr, is_ref: bool):
+def _melt_binned(
+    df: DataFrame,
+    edges_map: Dict[str, np.ndarray],
+    part_expr,
+    is_ref: bool,
+    keep_out_of_range: bool = False,
+):
+    """(is_ref, part, feature, bin) long form; out-of-range/NULL values
+    carry a NULL bin and are dropped by default.  ``keep_out_of_range``
+    retains ONE NULL-bin row per (row, feature) so a single aggregation
+    can also observe the partition/row universe (psi_by_partition uses it
+    to avoid a second scan for the partition ids; NULL-bin rows never
+    join the dense bin grid, so histogram math is unchanged)."""
     structs = [
         F.struct(F.lit(c).alias("feature"), bucket_expr(c, e).alias("bin"))
         for c, e in edges_map.items()
     ]
-    return (
+    out = (
         df.select(
             F.lit(is_ref).alias("is_ref"),
             part_expr.alias("part"),
             F.explode(F.array(*structs)).alias("fb"),
         )
         .select("is_ref", "part", "fb.feature", "fb.bin")
-        .where(F.col("bin").isNotNull())
     )
+    return out if keep_out_of_range else out.where(F.col("bin").isNotNull())
 
 
 def psi_by_partition(
@@ -92,10 +104,18 @@ def psi_by_partition(
     # non-castable partition values and silently merge those test rows
     # into the reference histogram.
     part_type = test_df.schema[part_col].dataType
+    # the test side keeps out-of-range values as NULL-bin rows so this ONE
+    # aggregation also yields the full partition universe (previously a
+    # second scan of test_df computed the distinct partition ids); NULL-bin
+    # rows never match the dense bin grid, so the histogram math is
+    # untouched and a fully-out-of-range partition still gets its
+    # n_test = 0 verdict rows from the grid
     u = _melt_binned(
         ref_df, edges_map, F.lit(None).cast(part_type), True
     ).unionByName(
-        _melt_binned(test_df, edges_map, F.col(part_col), False)
+        _melt_binned(
+            test_df, edges_map, F.col(part_col), False, keep_out_of_range=True
+        )
     )
     counts = (
         u.groupBy("is_ref", "part", "feature", "bin")
@@ -103,7 +123,9 @@ def psi_by_partition(
         .localCheckpoint()
     )
     dropped = (
-        counts.where(~F.col("is_ref") & F.col("part").isNull())
+        counts.where(
+            ~F.col("is_ref") & F.col("part").isNull() & F.col("bin").isNotNull()
+        )
         .agg(F.sum("c"))
         .first()[0]
     )
@@ -115,12 +137,12 @@ def psi_by_partition(
             part_col,
         )
     # reference histogram is global: one row per (feature, bin)
-    ref_cnt = counts.where(F.col("is_ref")).select(
+    ref_cnt = counts.where(F.col("is_ref") & F.col("bin").isNotNull()).select(
         "feature", "bin", F.col("c").alias("r")
     )
-    test_cnt = counts.where(~F.col("is_ref") & F.col("part").isNotNull()).select(
-        "part", "feature", "bin", F.col("c").alias("t")
-    )
+    test_cnt = counts.where(
+        ~F.col("is_ref") & F.col("part").isNotNull() & F.col("bin").isNotNull()
+    ).select("part", "feature", "bin", F.col("c").alias("t"))
 
     # dense (part, feature, bin) grid so empty bins participate in the
     # clamp+renormalize exactly like pandas' all-categories value_counts
@@ -128,9 +150,16 @@ def psi_by_partition(
         (c, b) for c, e in edges_map.items() for b in range(len(e) - 1)
     ]
     grid_fb = spark.createDataFrame(pd.DataFrame(bins_rows, columns=["feature", "bin"]))
+    # the partition universe comes from the already-aggregated counts —
+    # NOT a second scan of test_df.  A partition whose every value is
+    # out-of-range/NULL for every feature has no in-range bin rows and
+    # therefore no counts row at all: such a partition has nothing for
+    # PSI (an in-range-shape statistic) to score on ANY feature, so the
+    # distinct-on-counts universe loses no scoreable verdict row (the
+    # mass exodus itself is the KS check's job).
     parts = (
-        test_df.where(F.col(part_col).isNotNull())
-        .select(F.col(part_col).alias("part"))
+        counts.where(~F.col("is_ref") & F.col("part").isNotNull())
+        .select("part")
         .distinct()
     )
     grid = parts.crossJoin(F.broadcast(grid_fb))
