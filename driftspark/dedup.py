@@ -28,9 +28,25 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the source scan yields fewer
+    partitions than half the cluster parallelism — a small parquet file
+    (or one unsplittable input) otherwise funnels every downstream
+    per-token hash (16 md5s/token for MinHash, n-gram sliding windows)
+    through one task while the rest of the cluster idles (guide §2.5
+    input skew).  At real scale the input has >= parallelism splits and
+    the guard is a no-op, so no shuffle of the corpus is ever added
+    where the scan is already parallel."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(p // 2, 2):
+        return df.repartition(p)
+    return df
+
+
 def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
     """(id, token) long form — whitespace tokenization, lowercased."""
-    t = df.select(
+    t = _spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
@@ -115,7 +131,8 @@ def ngrams(
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     out = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
+        _spread_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
         .where(F.col("token") != "")
     )
     return out.distinct() if distinct else out
@@ -295,17 +312,27 @@ def minhash_near_duplicates(
     tok = tokens(df, id_col, text_col).persist(lvl)
     sigs = _signatures_from_tokens(tok, n_hashes).persist(lvl)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, max_bucket_size)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # count shared tokens by joining token lists through the candidate pair
-    shared = (
-        cands.join(tok.select(F.col("id").alias("id_a"), "token"), "id_a")
-        .join(tok.select(F.col("id").alias("id_b"), "token"), ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact Jaccard verification via per-doc token ARRAYS: one groupBy
+    # builds (id, tokens[]) and the candidate pairs attach both sides'
+    # arrays (AQE broadcasts the array table when it fits, sort-merge
+    # otherwise), with |intersection| computed in-JVM by array_intersect.
+    # This replaces the former token-long-form plan — two shuffle joins
+    # that multiplied each doc's token rows by its pair count, plus a
+    # (id_a, id_b) re-aggregation and a separate sizes join — with one
+    # aggregation and two joins; tok is distinct per doc, so
+    # size(array_intersect) and size(array) equal the old distinct-token
+    # intersection and set sizes exactly (element order is irrelevant).
+    arrays = tok.groupBy("id").agg(F.collect_list("token").alias("toks"))
     out = (
-        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        cands
+        .join(arrays.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a")
+        .join(arrays.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            F.size("ta").alias("na"),
+            F.size("tb").alias("nb"),
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
