@@ -28,25 +28,12 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
-def _spread_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the source scan yields fewer
-    partitions than half the cluster parallelism — a small parquet file
-    (or one unsplittable input) otherwise funnels every downstream
-    per-token hash (16 md5s/token for MinHash, n-gram sliding windows)
-    through one task while the rest of the cluster idles (guide §2.5
-    input skew).  At real scale the input has >= parallelism splits and
-    the guard is a no-op, so no shuffle of the corpus is ever added
-    where the scan is already parallel."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(p // 2, 2):
-        return df.repartition(p)
-    return df
+from driftspark.partitioning import spread_input as _spread_input
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
     """(id, token) long form — whitespace tokenization, lowercased."""
-    t = _spread_input(df).select(
+    t = _spread_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
@@ -131,7 +118,7 @@ def ngrams(
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     out = (
-        _spread_input(df)
+        _spread_input(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
         .where(F.col("token") != "")
     )

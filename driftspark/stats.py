@@ -403,7 +403,13 @@ def categorical_proportions(
 
 
 def _melt(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """(feature, value) long form; NaN/null dropped (pandas dropna parity)."""
+    """(feature, value) long form; NaN/null dropped (pandas dropna parity).
+
+    Deliberately NOT spread_input-guarded: an interleaved A/B at sf0.1
+    showed the extra round-robin exchange costs more than the explode
+    saves (the heavy work here happens after the groupBy exchange, which
+    already parallelizes it) — unlike the per-token md5/n-gram paths in
+    driftspark.dedup where the guard wins 3x."""
     structs = [
         F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
         for c in cols

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from driftspark.partitioning import spread_input
+
 # small public stopword profiles (top function words) per language
 LANG_PROFILES = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
@@ -68,8 +70,12 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Heuristic document quality in [0, 1]: rewards natural length,
     moderate word length, a healthy stopword rate; penalizes punctuation /
-    digit / uppercase excess.  (Gopher-rules-style filtering signals.)"""
-    d = with_text_stats(df, text_col)
+    digit / uppercase excess.  (Gopher-rules-style filtering signals.)
+
+    The input is spread first when its scan is low-parallelism (single
+    row-group files): the regex/stat columns are the heavy part of this
+    plan and would otherwise evaluate in one task."""
+    d = with_text_stats(spread_input(df), text_col)
     stop_hits = _word_hits(F.col(text_col), LANG_PROFILES["en"])
     stop_ratio = stop_hits / F.greatest(F.col("n_tokens"), F.lit(1))
     length_ok = (
@@ -95,6 +101,7 @@ def detect_language(df: DataFrame, text_col: str) -> DataFrame:
     """Append lang_pred: argmax of per-language stopword hit counts,
     'und' (undetermined) when nothing matches.  Ties break by profile
     order (en, de, fr, es)."""
+    df = spread_input(df)
     t = F.col(text_col)
     hit_cols = {lang: _word_hits(t, words) for lang, words in LANG_PROFILES.items()}
     best = F.greatest(*hit_cols.values())
@@ -113,6 +120,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
         )
     )
+    df = spread_input(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
@@ -144,6 +152,7 @@ def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
     codegen, trivially scan-parallel at any scale.  NULL text scans as
     zero matches (explicitly coalesced — counts are counts, not NULLs).
     """
+    df = spread_input(df)
     t = F.col(text_col)
     counts = {
         name: F.coalesce(
