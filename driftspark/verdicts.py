@@ -120,7 +120,10 @@ def psi_by_partition(
     counts = (
         u.groupBy("is_ref", "part", "feature", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        # lazy: the null-part probe below is the first action and
+        # materializes the checkpoint in the SAME job (an eager
+        # checkpoint here ran one extra job per call)
+        .localCheckpoint(eager=False)
     )
     dropped = (
         counts.where(
@@ -151,12 +154,10 @@ def psi_by_partition(
     ]
     grid_fb = spark.createDataFrame(pd.DataFrame(bins_rows, columns=["feature", "bin"]))
     # the partition universe comes from the already-aggregated counts —
-    # NOT a second scan of test_df.  A partition whose every value is
-    # out-of-range/NULL for every feature has no in-range bin rows and
-    # therefore no counts row at all: such a partition has nothing for
-    # PSI (an in-range-shape statistic) to score on ANY feature, so the
-    # distinct-on-counts universe loses no scoreable verdict row (the
-    # mass exodus itself is the KS check's job).
+    # NOT a second scan of test_df.  It is COMPLETE: the test melt keeps
+    # out-of-range values as NULL-bin rows, so every partition with any
+    # row at all appears here (incl. fully-out-of-range partitions, which
+    # then get their n_test = 0 verdict rows from the grid below).
     parts = (
         counts.where(~F.col("is_ref") & F.col("part").isNotNull())
         .select("part")
@@ -863,7 +864,9 @@ def chi2_by_partition(
     counts_df = (
         u.groupBy("is_ref", "part", "feature", "v")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        # lazy: the cardinality-guard meta job materializes it (one
+        # fewer job than an eager checkpoint)
+        .localCheckpoint(eager=False)
     )
 
     # ONE tiny job over the checkpointed aggregates fetches both guard
@@ -977,7 +980,7 @@ def fit_ref_category_counts(
         .where(F.col("v").isNotNull())
         .groupBy("feature", "v")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ncats = counts_df.groupBy("feature").agg(F.count(F.lit(1)).alias("n")).collect()
     capped = {r["feature"] for r in ncats if r["n"] > max_categories}
