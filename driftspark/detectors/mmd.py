@@ -145,7 +145,16 @@ class MMD(BaseDriftDetector):
             return np.nan_to_num(pdf.values.astype(np.float64))
 
         n_ref, n_test = counts.get(0, 0), counts.get(1, 0)
-        return take(a, n_ref), n_ref, take(b, n_test), n_test
+        # the two side collections are independent Spark jobs — overlap
+        # them (partition_verdicts thread-pool precedent) so the sample
+        # phase costs ~max(side) instead of the sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(take, a, n_ref)
+            fb = pool.submit(take, b, n_test)
+            X, Y = fa.result(), fb.result()
+        return X, n_ref, Y, n_test
 
     def _median_gamma(self, X: np.ndarray, Y: np.ndarray) -> float:
         """Median-heuristic gamma over the first 100 rows/side (mmd.py:108-115)."""
