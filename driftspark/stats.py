@@ -429,7 +429,10 @@ _CDF_MAX_BUCKETS = 1024
 
 
 def _cdf_prescan(
-    ref_df: DataFrame, test_df: DataFrame, cols: Sequence[str]
+    ref_df: DataFrame,
+    test_df: DataFrame,
+    cols: Sequence[str],
+    bucketed_threshold: int = 0,
 ) -> Dict[str, tuple]:
     """{col: (n, m, lo, hi, nd_approx)} from ONE light union scan — no
     explode, no shuffle (global aggregate ships only sketch state).
@@ -438,11 +441,18 @@ def _cdf_prescan(
     rows :func:`_melt` keeps, so they are the KS/W1/CvM sample sizes);
     ``lo``/``hi`` the pooled exact min/max (uniform bucket bounds for the
     fused path — bucket PLACEMENT affects only load balance, never the
-    statistic); ``nd_approx`` an HLL distinct estimate used solely to
-    route to the percentile-bucketed decomposition and to size the bucket
+    statistic); ``nd_approx`` a distinct-count bound used solely to route
+    to the percentile-bucketed decomposition and to size the bucket
     count.  This replaces the former build-then-count totals pass over
     the persisted melt aggregate: the routing signal no longer costs a
     full explode + (feature, value) shuffle + cache materialization.
+
+    The HLL distinct sketch only matters when a feature COULD exceed
+    ``bucketed_threshold`` — and nd <= n + m always, so when every
+    feature's pooled count is under the threshold the sketch is provably
+    routing-neutral and is skipped (its per-row update was ~30% of this
+    scan); otherwise a second pass measures it for the over-bound
+    features only.
     """
     aggs = []
     for c in cols:
@@ -451,7 +461,6 @@ def _cdf_prescan(
         aggs.append(F.count(nnv).alias(f"{c}__n"))
         aggs.append(F.min(nnv).alias(f"{c}__mn"))
         aggs.append(F.max(nnv).alias(f"{c}__mx"))
-        aggs.append(F.approx_count_distinct(nnv).alias(f"{c}__nd"))
     u = ref_df.select(*cols).withColumn("__s", F.lit(0)).unionByName(
         test_df.select(*cols).withColumn("__s", F.lit(1))
     )
@@ -462,13 +471,23 @@ def _cdf_prescan(
         m = int(rows[1][f"{c}__n"]) if 1 in rows else 0
         mns = [rows[s][f"{c}__mn"] for s in rows if rows[s][f"{c}__mn"] is not None]
         mxs = [rows[s][f"{c}__mx"] for s in rows if rows[s][f"{c}__mx"] is not None]
-        nd = max(int(rows[s][f"{c}__nd"]) for s in rows) if rows else 0
         out[c] = (
             n, m,
             min(mns) if mns else None,
             max(mxs) if mxs else None,
-            nd,
+            n + m,  # nd bound; refined below only where it matters
         )
+    over = [c for c in cols if out[c][0] + out[c][1] > bucketed_threshold]
+    if over:
+        nd_row = u.agg(*[
+            F.approx_count_distinct(
+                F.when(~F.isnan(F.col(c).cast("double")), F.col(c).cast("double"))
+            ).alias(c)
+            for c in over
+        ]).first()
+        for c in over:
+            n, m, lo, hi, _ = out[c]
+            out[c] = (n, m, lo, hi, int(nd_row[c]))
     return out
 
 
@@ -635,7 +654,7 @@ def ks_d_all(
     """
     if not cols:
         return {}
-    prescan = _cdf_prescan(ref_df, test_df, cols)
+    prescan = _cdf_prescan(ref_df, test_df, cols, bucketed_threshold)
     nm, fused, big = _cdf_route("ks_d_all", prescan, bucketed_threshold)
     if not fused and not big:
         return {}
@@ -785,7 +804,7 @@ def wasserstein_all(
     """
     if not cols:
         return {}
-    prescan = _cdf_prescan(ref_df, test_df, cols)
+    prescan = _cdf_prescan(ref_df, test_df, cols, bucketed_threshold)
     nm, fused, big = _cdf_route("wasserstein_all", prescan, bucketed_threshold)
     ok = set(fused) | set(big)
     if not ok:
@@ -976,7 +995,7 @@ def cvm_ad_all(
     """
     if not cols:
         return {}
-    prescan = _cdf_prescan(ref_df, test_df, cols)
+    prescan = _cdf_prescan(ref_df, test_df, cols, bucketed_threshold)
     nm, fused, big = _cdf_route("cvm_ad_all", prescan, bucketed_threshold)
     if not fused and not big:
         return {}
