@@ -151,28 +151,32 @@ class DomainClassifier(BaseDriftDetector):
             )
             n_by_side = {r["__side"]: r["n"] for r in counted}
             capped = False
-            if n_by_side.get(0, 0) > cap:
+
+            def cap_side(side_df, total):
                 if self.sample_hash == "md5":
-                    ref_side = ref_side.orderBy(
-                        self._md5_key_hash(), *keys
-                    ).limit(cap)
-                else:
-                    ref_side = content_keyed_top_n(
-                        ref_side, cap, F.xxhash64(*cols), cols,
-                        total=n_by_side[0],
-                    )
-                capped = True
-            if n_by_side.get(1, 0) > cap:
-                if self.sample_hash == "md5":
-                    test_side = test_side.orderBy(
-                        self._md5_key_hash(), *keys
-                    ).limit(cap)
-                else:
-                    test_side = content_keyed_top_n(
-                        test_side, cap, F.xxhash64(*cols), cols,
-                        total=n_by_side[1],
-                    )
-                capped = True
+                    return side_df.orderBy(self._md5_key_hash(), *keys).limit(cap)
+                return content_keyed_top_n(
+                    side_df, cap, F.xxhash64(*cols), cols, total=total
+                )
+
+            # the xxhash64 pre-filter verification counts inside
+            # content_keyed_top_n are independent jobs per side — overlap
+            # them (MMD/partition_verdicts thread-pool precedent)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                ref_fut = (
+                    pool.submit(cap_side, ref_side, n_by_side[0])
+                    if n_by_side.get(0, 0) > cap else None
+                )
+                test_fut = (
+                    pool.submit(cap_side, test_side, n_by_side[1])
+                    if n_by_side.get(1, 0) > cap else None
+                )
+                if ref_fut is not None:
+                    ref_side, capped = ref_fut.result(), True
+                if test_fut is not None:
+                    test_side, capped = test_fut.result(), True
         else:
             capped = False
         u = (
