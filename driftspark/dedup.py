@@ -280,11 +280,12 @@ def minhash_near_duplicates(
     exact token-Jaccard verification of candidates only.  Returns
     (id_a, id_b, jaccard >= min_jaccard).
 
-    The token table feeds the signatures, the sizes, and both sides of the
-    intersection join; the signature table feeds both sides of the bucket
-    self-join — both are cached so each expensive explode/distinct/agg
-    runs once instead of 3x/2x (at 10^12 scale these spill to disk, which
-    still beats recomputing the distinct-token shuffle).  The caches stay
+    The token table feeds the signatures AND the per-doc token-array
+    aggregation of the verification stage; the signature table feeds both
+    sides of the bucket self-join and the star pass — both are cached so
+    each expensive explode/distinct/agg runs once instead of twice (at
+    10^12 scale these spill to disk, which still beats recomputing the
+    distinct-token shuffle).  The caches stay
     registered on the returned DataFrame's lineage (Spark evicts LRU);
     callers looping over many corpora in one session can reclaim storage
     early with ``spark.catalog.clearCache()``.

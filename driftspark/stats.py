@@ -92,6 +92,10 @@ def quantile_edges(
             F.max(nn(c)).alias("mx"),
         ).first()
 
+    # these are tiny driver .first() collects over the py4j socket, NOT
+    # Arrow streams — the box's ~8-concurrent-Arrow-stream knee
+    # (CLAUDE.md) does not apply, so nesting inside the verdict/runner
+    # pools is safe
     if len(cols) == 1:
         rows = dict([one(cols[0])])
     else:
@@ -454,23 +458,29 @@ def _cdf_prescan(
     scan); otherwise a second pass measures it for the over-bound
     features only.
     """
+    # positional aliases: a feature column literally named like the side
+    # tag (or like another alias) must not collide with the injected
+    # ``__s`` — every feature is renamed to __f{i} before the union
+    alias = {c: f"__f{i}" for i, c in enumerate(cols)}
     aggs = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = F.col(alias[c]).cast("double")
         nnv = F.when(~F.isnan(v), v)
-        aggs.append(F.count(nnv).alias(f"{c}__n"))
-        aggs.append(F.min(nnv).alias(f"{c}__mn"))
-        aggs.append(F.max(nnv).alias(f"{c}__mx"))
-    u = ref_df.select(*cols).withColumn("__s", F.lit(0)).unionByName(
-        test_df.select(*cols).withColumn("__s", F.lit(1))
+        aggs.append(F.count(nnv).alias(f"{alias[c]}__n"))
+        aggs.append(F.min(nnv).alias(f"{alias[c]}__mn"))
+        aggs.append(F.max(nnv).alias(f"{alias[c]}__mx"))
+    sel = [F.col(c).alias(alias[c]) for c in cols]
+    u = ref_df.select(*sel).withColumn("__s", F.lit(0)).unionByName(
+        test_df.select(*sel).withColumn("__s", F.lit(1))
     )
     rows = {r["__s"]: r for r in u.groupBy("__s").agg(*aggs).collect()}
     out: Dict[str, tuple] = {}
     for c in cols:
-        n = int(rows[0][f"{c}__n"]) if 0 in rows else 0
-        m = int(rows[1][f"{c}__n"]) if 1 in rows else 0
-        mns = [rows[s][f"{c}__mn"] for s in rows if rows[s][f"{c}__mn"] is not None]
-        mxs = [rows[s][f"{c}__mx"] for s in rows if rows[s][f"{c}__mx"] is not None]
+        a = alias[c]
+        n = int(rows[0][f"{a}__n"]) if 0 in rows else 0
+        m = int(rows[1][f"{a}__n"]) if 1 in rows else 0
+        mns = [rows[s][f"{a}__mn"] for s in rows if rows[s][f"{a}__mn"] is not None]
+        mxs = [rows[s][f"{a}__mx"] for s in rows if rows[s][f"{a}__mx"] is not None]
         out[c] = (
             n, m,
             min(mns) if mns else None,
@@ -481,13 +491,16 @@ def _cdf_prescan(
     if over:
         nd_row = u.agg(*[
             F.approx_count_distinct(
-                F.when(~F.isnan(F.col(c).cast("double")), F.col(c).cast("double"))
-            ).alias(c)
+                F.when(
+                    ~F.isnan(F.col(alias[c]).cast("double")),
+                    F.col(alias[c]).cast("double"),
+                )
+            ).alias(alias[c])
             for c in over
         ]).first()
         for c in over:
             n, m, lo, hi, _ = out[c]
-            out[c] = (n, m, lo, hi, int(nd_row[c]))
+            out[c] = (n, m, lo, hi, int(nd_row[alias[c]]))
     return out
 
 
@@ -545,8 +558,6 @@ def _cdf_cum_frame(
     Uniform buckets are a LOAD-BALANCE choice only; any deterministic
     monotone bucketing yields identical statistics (locked by the
     layout/bucketed bit-parity tests)."""
-    import math
-
     bucket = F.lit(0)
     for c in feats:
         n, m, lo, hi, nd = prescan[c]

@@ -13,6 +13,20 @@ from pyspark.sql import functions as F
 
 from driftspark.partitioning import spread_input
 
+
+def _spread_text(df: DataFrame) -> DataFrame:
+    """spread_input for the column-APPENDING text ops: these return the
+    full input frame plus new columns, so the guard would shuffle every
+    payload byte, not just the text.  Skip the spread when the frame
+    carries binary/array payload columns (image bytes, embeddings — the
+    shuffle would cost more than the regex work it parallelizes); plain
+    string/numeric frames spread as usual."""
+    from pyspark.sql.types import ArrayType, BinaryType
+
+    if any(isinstance(f.dataType, (BinaryType, ArrayType)) for f in df.schema.fields):
+        return df
+    return spread_input(df)
+
 # small public stopword profiles (top function words) per language
 LANG_PROFILES = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
@@ -75,7 +89,7 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     The input is spread first when its scan is low-parallelism (single
     row-group files): the regex/stat columns are the heavy part of this
     plan and would otherwise evaluate in one task."""
-    d = with_text_stats(spread_input(df), text_col)
+    d = with_text_stats(_spread_text(df), text_col)
     stop_hits = _word_hits(F.col(text_col), LANG_PROFILES["en"])
     stop_ratio = stop_hits / F.greatest(F.col("n_tokens"), F.lit(1))
     length_ok = (
@@ -101,7 +115,7 @@ def detect_language(df: DataFrame, text_col: str) -> DataFrame:
     """Append lang_pred: argmax of per-language stopword hit counts,
     'und' (undetermined) when nothing matches.  Ties break by profile
     order (en, de, fr, es)."""
-    df = spread_input(df)
+    df = _spread_text(df)
     t = F.col(text_col)
     hit_cols = {lang: _word_hits(t, words) for lang, words in LANG_PROFILES.items()}
     best = F.greatest(*hit_cols.values())
@@ -152,7 +166,7 @@ def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
     codegen, trivially scan-parallel at any scale.  NULL text scans as
     zero matches (explicitly coalesced — counts are counts, not NULLs).
     """
-    df = spread_input(df)
+    df = _spread_text(df)
     t = F.col(text_col)
     counts = {
         name: F.coalesce(
